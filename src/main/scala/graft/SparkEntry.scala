@@ -1,13 +1,280 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry; those
+  * expressible in ANSI SQL also carry a DuckDB `oracleSql` entry (the driver
+  * hash-compares rows). Column names/aliases are kept identical between the
+  * Spark plan and the oracle SQL, and floating-point aggregates are rounded
+  * inside the query so summation order can't flip the comparison.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (reference EP1 word-frequency top-N). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    WordFreqOps.topWordsQuery(spark, "/root/testdata/sf0.001")
+
+  // Shared SQL fragments, kept in one place so Spark + oracle stay in sync.
+  /** DuckDB rendering of TextFunctions.normalized. */
+  private val NORM =
+    "trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9가-힣]+', ' ', 'g'))"
+  /** DuckDB rendering of TextFunctions.tokens(text, 2, 15). */
+  private val TOKS =
+    s"list_filter(string_split($NORM, ' '), t -> length(t) BETWEEN 2 AND 15)"
+  /** DuckDB rendering of TextFunctions.tokens(text, 1, 100). */
+  private val TOKS_ALL =
+    s"list_filter(string_split($NORM, ' '), t -> length(t) BETWEEN 1 AND 100)"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational suite (SURVEY.md §2.2–2.7) ---
+    "rel_pricing_summary" -> RelationalOps.pricingSummary,
+    "rel_region_rollup" -> RelationalOps.customerByRegion,
+    "rel_revenue_segment" -> RelationalOps.revenueBySegment,
+    "rel_semi_join" -> RelationalOps.ordersWithDiscount,
+    "rel_anti_join" -> RelationalOps.customersWithoutOrders,
+    "rel_filter_pushdown" -> RelationalOps.selectiveScan,
+    "rel_topk_window" -> RelationalOps.topOrdersPerPriority,
+    "rel_sort_limit" -> RelationalOps.top100Lines,
+    "rel_distinct_agg" -> RelationalOps.distinctPartsPerFlag,
+    "rel_setops" -> RelationalOps.nationSetOps,
+    "rel_year_month" -> RelationalOps.ordersByYearMonth,
+    "rel_order_span" -> RelationalOps.customerOrderSpan,
+    "rel_json_props" -> RelationalOps.eventPropsStats,
+    "rel_sessionize" -> RelationalOps.userSessions,
+    "rel_rollup" -> RelationalOps.lineStatusRollup,
+    "rel_string_funcs" -> RelationalOps.partTypeStats,
+    "rel_hourly_counts" -> RelationalOps.hourlyEventCounts,
+    // --- text suite (SURVEY.md §2.1–2.8 text path + LLM-pipeline text ops) ---
+    "txt_word_topn" -> WordFreqOps.topWordsQuery,
+    "txt_wordfreq_stats" -> WordFreqOps.wordFreqStats,
+    "txt_prep_summary" -> DocPrep.prepSummary,
+    "txt_clean_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), cleanText(col("text")).as("cleaned"),
+          normalized(col("text")).as("norm"))
+    }),
+    "txt_token_stats" -> TextAnalysisOps.tokenStatsByLang,
+    "txt_langid" -> TextAnalysisOps.langIdDistribution,
+    "txt_quality" -> TextAnalysisOps.qualityBySource,
+    "txt_dup_clusters" -> TextAnalysisOps.duplicateClusters,
+    "txt_fingerprints" -> TextAnalysisOps.fingerprintSample,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+        |GROUP BY 1,2""".stripMargin,
+    "rel_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | round(sum(c_acctbal),2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2""".stripMargin,
+    "rel_revenue_segment" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1,2""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS sum_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY 1""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY 1""".stripMargin,
+    "rel_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "rel_topk_window" ->
+      """SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+    "rel_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "rel_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_setops" ->
+      """SELECT 'both' AS tag, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'customer_only' AS tag, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'supplier_only' AS tag, nk FROM
+        |  (SELECT s_nationkey AS nk FROM supplier
+        |   EXCEPT SELECT c_nationkey FROM customer)""".stripMargin,
+    "rel_year_month" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(month(o_orderdate) AS INT) AS o_month,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS sum_totalprice,
+        | strftime(min(o_orderdate), '%Y-%m-%d') AS first_day
+        |FROM orders GROUP BY 1,2""".stripMargin,
+    "rel_order_span" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+        |                        CAST(max(o_orderdate) AS DATE)) AS INT) AS span_days
+        |FROM orders GROUP BY 1""".stripMargin,
+    "rel_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS INT)),4) AS avg_k,
+        | max(CAST(json_extract_string(props,'$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "rel_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY 1""".stripMargin,
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_string_funcs" ->
+      """SELECT split_part(p_type, ' ', 1) AS type_head, p_brand,
+        | count(*) AS n_parts,
+        | round(avg(p_size),4) AS avg_size,
+        | max(upper(p_name)) AS max_name
+        |FROM part GROUP BY 1,2""".stripMargin,
+    "rel_hourly_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "txt_word_topn" ->
+      s"""SELECT word, count(*) AS freq
+         |FROM (SELECT unnest($TOKS) AS word FROM documents)
+         |GROUP BY 1 ORDER BY freq DESC, word LIMIT 100""".stripMargin,
+    "txt_wordfreq_stats" ->
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)
+         |SELECT count(*) AS n_words,
+         | round(avg(freq),4) AS mean_freq,
+         | round(median(freq),4) AS median_freq,
+         | round(stddev_samp(freq),4) AS std_freq,
+         | max(freq) AS max_freq, min(freq) AS min_freq
+         |FROM wc""".stripMargin,
+    "txt_prep_summary" ->
+      """WITH dd AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |                 FROM documents) WHERE rn = 1),
+        |f AS (SELECT * FROM dd WHERE text IS NOT NULL AND length(trim(text)) > 10)
+        |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | round(avg(length(text)),4) AS avg_len
+        |FROM f GROUP BY 1""".stripMargin,
+    "txt_clean_normalize" ->
+      s"""SELECT doc_id,
+         | trim(regexp_replace(regexp_replace(coalesce(text,''),
+         |   '[^가-힣a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS cleaned,
+         | $NORM AS norm
+         |FROM documents WHERE doc_id < 20""".stripMargin,
+    "txt_token_stats" ->
+      s"""WITH d AS (SELECT lang, $TOKS AS toks FROM documents),
+         |vol AS (SELECT lang, count(*) AS n_docs,
+         |          CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |          round(avg(len(toks)),4) AS avg_tokens
+         |        FROM d GROUP BY 1),
+         |voc AS (SELECT lang, count(DISTINCT word) AS n_distinct_words
+         |        FROM (SELECT lang, unnest(toks) AS word FROM d) GROUP BY 1)
+         |SELECT lang, n_docs, n_tokens, avg_tokens, n_distinct_words
+         |FROM vol JOIN voc USING (lang)""".stripMargin,
+    "txt_langid" ->
+      s"""WITH d AS (SELECT text, $TOKS_ALL AS toks FROM documents),
+         |s AS (SELECT text,
+         |  len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.langMarkers("de"))})) AS s_de,
+         |  len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.langMarkers("en"))})) AS s_en,
+         |  len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.langMarkers("es"))})) AS s_es,
+         |  len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.langMarkers("fr"))})) AS s_fr
+         |  FROM d),
+         |p AS (SELECT CASE
+         |  WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+         |  WHEN regexp_matches(text, '[\\x{AC00}-\\x{D7A3}]') THEN 'ko'
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |  WHEN s_fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS pred_lang FROM s)
+         |SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY 1""".stripMargin,
+    "txt_quality" ->
+      s"""WITH d AS (
+         |  SELECT source, text, $NORM AS norm, $TOKS_ALL AS toks FROM documents),
+         |q AS (SELECT source,
+         |  (CASE WHEN len(toks) >= 5 AND len(toks) <= 1000 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN len(toks) > 0
+         |          AND length(replace(norm,' ','')) * 1.0 / len(toks) >= 2.0
+         |          AND length(replace(norm,' ','')) * 1.0 / len(toks) <= 12.0
+         |          THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN len(toks) > 0
+         |          AND len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.allMarkers)})) * 1.0 / len(toks) >= 0.01
+         |          THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN length(coalesce(text,'')) > 0
+         |          AND length(regexp_replace(coalesce(text,''), '[^a-zA-Z0-9가-힣]', '', 'g')) * 1.0
+         |              / length(coalesce(text,'')) >= 0.6
+         |          THEN 0.25 ELSE 0.0 END) AS q
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs, round(avg(q),4) AS avg_quality,
+         | CAST(sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+         |FROM q GROUP BY 1""".stripMargin,
+    "txt_dup_clusters" ->
+      s"""SELECT fp_set, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+         | max(doc_id) AS max_doc_id
+         |FROM (SELECT md5(array_to_string(list_sort(list_distinct($TOKS)), ' ')) AS fp_set,
+         |             doc_id FROM documents)
+         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "txt_fingerprints" ->
+      s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, md5(norm) AS fp_md5,
+         | list_reduce(
+         |   list_prepend(CAST(7 AS BIGINT),
+         |     list_transform(list_filter(string_split(norm, ''), c -> c <> ''),
+         |                    c -> CAST(unicode(c) AS BIGINT))),
+         |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+         |FROM n""".stripMargin,
+  )
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator suite over the TPC-H-ish fixtures.
+  *
+  * The reference's relational surface (SURVEY.md §2.2–2.7: project, cast,
+  * filter, dedup, date parts, group-agg, top-k windows, set ops) exercised as
+  * declarative DataFrame plans, plus the joins the reference does implicitly
+  * via index alignment (SURVEY.md §2.4).
+  *
+  * Scale notes (100 TB design intent, verified via `.explain("formatted")`):
+  *   - Filters are plain column predicates → pushed into the parquet scan.
+  *   - Dimension joins (`nation`, `region`, `supplier`) use an explicit
+  *     `broadcast()` hint — no shuffle of the fact side.
+  *   - Fact-fact joins shuffle on the join key only after aggregation-safe
+  *     projection (Catalyst prunes columns; nothing reads all columns).
+  *   - Aggregations are partial+final hash aggregates (map-side combine).
+  *   - Top-k uses window `row_number` with a deterministic tie-break so plans
+  *     stay rank-prunable (AQE) and results are reproducible.
+  *
+  * All money sums are rounded in the query itself so DuckDB-oracle hash
+  * comparison is insensitive to summation order (floating-point association).
+  */
+object RelationalOps {
+
+  /** Q1-style pricing summary: scan + pushed filter + 2-key hash agg. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1997-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Customer rollup through two broadcast dimension joins. */
+  def customerByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+  }
+
+  /** Fact-fact-dim join: lineitem ⋈ orders (shuffle on orderkey) ⋈ customer
+    * (broadcast at fixture scale; would shuffle-hash at 100 TB — AQE decides).
+    */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Left-semi join (EXISTS): orders having a deep-discount line. */
+  def ordersWithDiscount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_discount") > 0.05)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_totalprice"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_custkey")).as("min_custkey"))
+  }
+
+  /** Selective scan: every predicate should appear in PushedFilters. */
+  def selectiveScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Top-3 orders per priority — deterministic tie-break on key. */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Global ordered limit → TakeOrderedAndProject (no full sort at scale). */
+  def top100Lines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(100)
+
+  /** Exact distinct counts per group (shuffle-heavy; the approx_ variant is
+    * the 100 TB path — kept exact here for oracle comparability).
+    */
+  def distinctPartsPerFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+
+  /** INTERSECT / EXCEPT / UNION over nation keys of two entity tables. */
+  def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("customer_only"))
+    val supOnly = sn.except(cn).withColumn("tag", lit("supplier_only"))
+    both.unionByName(custOnly).unionByName(supOnly).select(col("tag"), col("nk"))
+  }
+
+  /** Date-part projection + group (reference P6/F8). */
+  def ordersByYearMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_totalprice"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"))
+
+  /** Per-customer activity span in days (reference A3 datediff semantics). */
+  def customerOrderSpan(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        datediff(max(col("o_orderdate")), min(col("o_orderdate"))).as("span_days"))
+
+  /** JSON extraction from the events props column (engine built-in; the
+    * fixture's `props` is a JSON object — SURVEY.md §2.8 note).
+    */
+  def eventPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  /** Sessionization-lite via lag(): count 1-hour-gap session starts/user. */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 3600L * 1000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"))
+  }
+
+  /** ROLLUP over two grouping columns (subtotals + grand total). */
+  def lineStatusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** String-function projection block (reference F6/F7/F11 analogues). */
+  def partTypeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        col("p_brand"),
+        col("p_size"),
+        upper(col("p_name")).as("p_name_u"))
+      .groupBy(col("type_head"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(avg(col("p_size")), 4).as("avg_size"),
+        max(col("p_name_u")).as("max_name"))
+
+  /** Batch analogue of the streaming tumbling-window count (§2.10): the same
+    * groupBy(window) shape Structured Streaming runs incrementally.
+    */
+  def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+}

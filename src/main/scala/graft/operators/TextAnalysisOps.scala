@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language identification, quality scoring, token counting, document
+  * fingerprinting. These generalize the reference's preprocessing stage
+  * (SURVEY.md §2.8) to the operations a 100 TB corpus curation run needs.
+  *
+  * Everything is a codegen'd expression chain over one scan — no UDFs, no
+  * shuffle until the final (small) aggregate, so each operator is
+  * embarrassingly parallel across executors.
+  */
+object TextAnalysisOps {
+
+  /** Marker stopwords per language for the n-gram/marker-count heuristic.
+    * Deterministic, tiny, broadcast-as-literals.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "en", "los", "del", "se", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "des"))
+
+  /** All marker words, deduped + sorted (deterministic for oracle SQL). */
+  val allMarkers: Seq[String] = langMarkers.values.flatten.toSeq.distinct.sorted
+
+  private def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+
+  /** Language-ID heuristic: script detection (CJK/Hangul) first, then
+    * marker-word argmax with alphabetical tie-break, "und" when no signal.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(text, 1, 100)
+    val langs = Seq("de", "en", "es", "fr") // alphabetical = tie-break order
+    val best = greatest(langs.map(l => markerHits(toks, l)): _*)
+    val byMarker = langs.foldRight(lit("und")) { (l, acc) =>
+      when(markerHits(toks, l) === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4E00-\\u9FFF]"), lit("zh"))
+      .when(text.rlike("[\\uAC00-\\uD7A3]"), lit("ko"))
+      .otherwise(byMarker)
+  }
+
+  /** Predicted language distribution over the corpus. */
+  def langIdDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(langIdCol(col("text")).as("pred_lang"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Heuristic quality score in [0,1]: four 0.25-weight indicator components
+    * (token count band, mean token length band, stopword ratio, alphanumeric
+    * ratio). Indicators rather than smooth weights → integer-exact arithmetic
+    * that any oracle reproduces bit-for-bit.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val norm = normalized(text)
+    val toks = tokens(text, 1, 100)
+    val nToks = size(toks).cast("double")
+    val charsNoSpace = length(regexp_replace(norm, " ", "")).cast("double")
+    val avgTokLen = when(nToks > 0, charsNoSpace / nToks).otherwise(lit(0.0))
+    val stopHits = size(filter(toks, t => t.isin(allMarkers: _*))).cast("double")
+    val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
+    val alnumChars = length(regexp_replace(coalesce(text, lit("")), "[^a-zA-Z0-9가-힣]", "")).cast("double")
+    val totalChars = length(coalesce(text, lit(""))).cast("double")
+    val alnumRatio = when(totalChars > 0, alnumChars / totalChars).otherwise(lit(0.0))
+    val c1 = when(nToks >= 5 && nToks <= 1000, 0.25).otherwise(0.0)
+    val c2 = when(avgTokLen >= 2.0 && avgTokLen <= 12.0, 0.25).otherwise(0.0)
+    val c3 = when(stopRatio >= 0.01, 0.25).otherwise(0.0)
+    val c4 = when(alnumRatio >= 0.6, 0.25).otherwise(0.0)
+    c1 + c2 + c3 + c4
+  }
+
+  /** Per-source quality profile (count, mean score, high-quality count). */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), qualityScoreCol(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        sum(when(col("q") >= 0.75, 1).otherwise(0)).as("n_high_quality"))
+
+  /** Per-language token statistics: volume + vocabulary size. Two partial
+    * aggregates joined on the (tiny) language key — the distinct count is its
+    * own shuffle by design (exact vocabulary; approx_count_distinct is the
+    * cheaper 100 TB variant).
+    */
+  def tokenStatsByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+    val volume = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_tokens"),
+      round(avg(size(col("toks"))), 4).as("avg_tokens"))
+    val vocab = docs
+      .select(col("lang"), explode(col("toks")).as("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("word")).as("n_distinct_words"))
+    volume.join(vocab, Seq("lang"))
+  }
+
+  /** Document fingerprints: md5 of the normalized text (content-defined
+    * identity) + a 31-ary polynomial rolling hash over code points (cheap,
+    * incremental, oracle-reproducible). Partitioning/joining on the
+    * fingerprint instead of the full text is the 100 TB dedup path.
+    */
+  def withFingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    val norm = normalized(col(textCol))
+    val p = lit(1000000007L)
+    docs
+      .withColumn("fp_md5", md5(norm.cast("binary")))
+      .withColumn("fp_set",
+        md5(concat_ws(" ",
+          array_sort(array_distinct(tokens(col(textCol))))).cast("binary")))
+      .withColumn("fp_roll",
+        aggregate(
+          transform(filter(split(norm, ""), c => c =!= ""),
+            c => ascii(c).cast("long")),
+          lit(7L),
+          (acc, x) => (acc * 31L + x) % p))
+  }
+
+  /** Duplicate clusters by bag-of-words fingerprint (md5 of the sorted
+    * distinct token set): catches reordered/near-identical documents that
+    * byte-exact dedup misses, still one groupBy shuffle on a 32-byte key.
+    */
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
+    withFingerprints(Tables.documents(spark, dir), "text")
+      .groupBy(col("fp_set"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Rolling-hash fingerprint sample rows (oracle-checkable exact values). */
+  def fingerprintSample(spark: SparkSession, dir: String): DataFrame =
+    withFingerprints(Tables.documents(spark, dir), "text")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("fp_md5"), col("fp_roll"))
+}

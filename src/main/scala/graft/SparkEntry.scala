@@ -32,6 +32,47 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // --- DuckDB renderings of the HashKernels dedup primitives (bit-exact
+  //     mirrors of graft.functions.HashKernels; see DedupSpec cross-check) ---
+  private val MOD = "1000000007"
+  /** Code points of a string expression (spaces included). */
+  private def cps(s: String): String =
+    s"list_transform(list_filter(string_split($s, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))"
+  /** Seed-7 31-ary polynomial fold of a BIGINT list expression. */
+  private def polyFold(l: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), $l), (acc, x) -> (acc * 31 + x) % $MOD)"
+  /** Distinct polynomial hashes of all length-n windows of a BIGINT-list
+    * expression (mirror of HashKernels.windowHashSet / shingleHashSet). */
+  private def windowHashSql(l: String, n: Int): String =
+    s"""CASE WHEN len($l) < $n THEN []
+       |     ELSE list_distinct(list_transform(range(0, len($l) - ${n - 1}),
+       |            i -> ${polyFold(s"list_slice($l, i + 1, i + $n)")})) END"""
+      .stripMargin
+  /** Distinct rolling hashes of char 5-shingles of a codepoint-list expr. */
+  private def shingleHashes(cpsExpr: String): String = windowHashSql(cpsExpr, 5)
+  /** MinHash signature (k=32) of a hash-list expression. */
+  private def minhashSigSql(sh: String): String =
+    s"""list_transform(range(1, 33), i ->
+       |  coalesce(list_min(list_transform($sh, h -> (8191*i*h + 524287*i) % $MOD)), $MOD))"""
+      .stripMargin
+  /** LSH band hashes (8 bands × 4 rows) of a signature expression. */
+  private def lshBandsSql(sig: String): String =
+    s"list_transform(range(0, 8), j -> ${polyFold(s"list_slice($sig, j*4 + 1, j*4 + 4)")})"
+  /** Rolling hash of each token of a string-list expression. */
+  private def tokenHashes(toks: String): String =
+    s"list_transform($toks, t -> ${polyFold(cps("t"))})"
+  /** 32-bit SimHash of a BIGINT hash-list expression. */
+  private def simhashSql(hs: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 32), b ->
+       |  CASE WHEN list_sum(list_transform($hs, h ->
+       |         CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |       THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+      .stripMargin
+  /** Exact left-fold dot product of two DOUBLE-list expressions (same
+    * summation order as VectorFunctions.dot → bit-identical doubles). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational suite (SURVEY.md §2.2–2.7) ---
     "rel_pricing_summary" -> RelationalOps.pricingSummary,
@@ -68,6 +109,11 @@ object SparkEntry {
     "txt_quality" -> TextAnalysisOps.qualityBySource,
     "txt_dup_clusters" -> TextAnalysisOps.duplicateClusters,
     "txt_fingerprints" -> TextAnalysisOps.fingerprintSample,
+    // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
+    "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
+    "dedup_simhash" -> DedupOps.simhashDupPairs,
+    "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
+    "dedup_embed_cosine" -> DedupOps.embeddingDups,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -267,6 +313,89 @@ object SparkEntry {
          |FROM (SELECT md5(array_to_string(list_sort(list_distinct($TOKS)), ' ')) AS fp_set,
          |             doc_id FROM documents)
          |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |withbands AS (
+         |  SELECT doc_id, sh, sig, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |buckets AS (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, range(0, 8) t(j)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 32.0 AS est,
+         |    len(list_intersect(sa.sh, sb.sh)) * 1.0
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+         |  FROM cands
+         |  JOIN withbands sa ON sa.doc_id = doc_a
+         |  JOIN withbands sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(est, 4) AS est_jaccard, round(jac, 4) AS jaccard
+         |FROM scored WHERE est >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, ${simhashSql(tokenHashes("toks"))} AS simhash
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |buckets AS (
+         |  SELECT doc_id, simhash, j AS band,
+         |    (simhash % CAST(power(2, j*8 + 8) AS BIGINT))
+         |      - (simhash % CAST(power(2, j*8) AS BIGINT)) AS band_val
+         |  FROM fps, range(0, 4) t(j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, g AS grams FROM (
+         |    SELECT doc_id, ${windowHashSql(tokenHashes("toks"), 3)} AS g
+         |    FROM (SELECT doc_id, $TOKS AS toks FROM documents))
+         |  WHERE len(g) > 0),
+         |inverted AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+         |rare AS (SELECT gram FROM inverted GROUP BY 1
+         |         HAVING count(*) <= 20 AND count(*) >= 2),
+         |postings AS (SELECT i.doc_id, i.gram FROM inverted i JOIN rare USING (gram)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM postings a JOIN postings b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(ga.grams, gb.grams)) * 1.0
+         |      / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jac
+         |  FROM cands
+         |  JOIN grams ga ON ga.doc_id = doc_a
+         |  JOIN grams gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+         |FROM scored WHERE jac >= 0.5""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, label,
+         |    CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0
+         |         THEN list_transform(v, x -> 0.0)
+         |         ELSE list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) END AS nv
+         |  FROM e),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${dotSql("a.nv", "b.nv")} AS cos,
+         |    CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label
+         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
+         |FROM p WHERE cos >= 0.4""".stripMargin,
     "txt_fingerprints" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents WHERE doc_id < 50)
          |SELECT doc_id, md5(norm) AS fp_md5,

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop JVM kernels behind the custom dedup expressions
+  * (HashExpressions). Called from generated code via static forwarders, so
+  * the hashing stays inside whole-stage codegen with zero boxing — the
+  * HOF-composition equivalents in HashFunctions are ~50× slower because
+  * every lambda element evaluates interpreted.
+  *
+  * Semantics are identical to HashFunctions (seed-7, 31-ary polynomial
+  * rolling hash mod P over Unicode code points; affine MinHash family;
+  * sign-vote SimHash) and to the DuckDB oracle SQL — covered by a
+  * cross-check spec.
+  */
+object HashKernels {
+
+  val P = 1000000007L
+
+  private def codepoints(s: UTF8String): Array[Int] = s.toString.codePoints.toArray
+
+  /** Rolling polynomial hash over all code points of s. */
+  def rollingHash(s: UTF8String): Long = {
+    val cps = codepoints(s)
+    var acc = 7L
+    var i = 0
+    while (i < cps.length) { acc = (acc * 31L + cps(i)) % P; i += 1 }
+    acc
+  }
+
+  /** Rolling hash of each string element of arr. */
+  def rollingHashArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = rollingHash(arr.getUTF8String(i)); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Distinct rolling hashes of all char n-shingles (first-occurrence order);
+    * one pass over the code points, no shingle strings materialized.
+    */
+  def shingleHashSet(s: UTF8String, n: Int): ArrayData = {
+    val cps = codepoints(s)
+    if (cps.length < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= cps.length) {
+      var acc = 7L
+      var j = i
+      while (j < i + n) { acc = (acc * 31L + cps(j)) % P; j += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** MinHash signature: sig(i) = min over h of (8191·i·h + 524287·i) mod P
+    * for i in 1..k; empty input → all-P sentinels.
+    */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 8191L * (i + 1)
+      val b = 524287L * (i + 1)
+      var mn = P
+      var j = 0
+      while (j < n) {
+        val v = (a * hashes.getLong(j) + b) % P
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 32-bit SimHash (term-frequency weighted sign votes per bit). */
+  def simhash32(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](32)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Distinct polynomial hashes of all length-n windows of a BIGINT array —
+    * token n-grams as join keys without ever materializing the gram strings
+    * (feed it rollingHashArray(tokens)).
+    */
+  def windowHashSet(hashes: ArrayData, n: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= m) {
+      var acc = 7L
+      var j = i
+      while (j < i + n) { acc = (acc * 31L + hashes.getLong(j)) % P; j += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Left-to-right dot product of two double arrays (same fold order as
+    * VectorFunctions.dot and the DuckDB oracle's list_reduce → bit-identical
+    * doubles across engines).
+    */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** v / ‖v‖₂ (zero vector stays zero). Norm is the left-fold sum of squares
+    * then sqrt — same arithmetic as the oracle's CTE, so downstream dot
+    * products are bit-identical cross-engine.
+    */
+  def unitVector(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    if (norm != 0.0) {
+      i = 0
+      while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Polynomial hash of each length-`rows` band of a signature. */
+  def lshBands(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = 7L
+      var r = 0
+      while (r < rows) { acc = (acc * 31L + sig.getLong(j * rows + r)) % P; r += 1 }
+      out(j) = acc
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.functions.HashFunctions.{signatureSimilarity, simhashByteBands}
+import graft.functions.HashExpressions._
+
+/** Near-duplicate detection suite — the LLM-training-pipeline dedup family
+  * generalizing the reference's exact dedup
+  * (/root/reference/preprocessing.py:344-346, SURVEY.md §2.3 D1).
+  *
+  * Four independent detectors, each shaped for a 1000-executor cluster:
+  *   - MinHash + LSH:   shingle → signature → band bucket-join. Cost is
+  *     O(n·shingles) map-side + one shuffle on (band, hash); candidate pairs
+  *     only ever meet inside a bucket, never O(n²).
+  *   - SimHash:         32-bit fingerprint + byte-band blocking; Hamming ≤ 3
+  *     neighbors guaranteed found (pigeonhole over 4 bands).
+  *   - n-gram Jaccard:  inverted-index blocking on uncommon token 3-grams
+  *     (doc-frequency ≤ maxDf kills the quadratic hot-ngram buckets — the
+  *     "stop-ngram" trick), exact Jaccard on the survivors.
+  *   - Embedding cosine: exact all-pairs at fixture scale; the LSH-bucketed
+  *     scale path lives in SimilarityOps.
+  *
+  * All hashing is oracle-reproducible integer arithmetic (HashFunctions), so
+  * every stage — signatures, buckets, pair scores — hash-matches DuckDB.
+  */
+object DedupOps {
+
+  val MinhashK = 32
+  val LshBands = 8
+  val LshRows = 4
+  val ShingleN = 5
+
+  /** Per-doc MinHash signature + LSH band hashes over hashed char 5-shingles
+    * of the normalized text. Docs with no shingles (shorter than n after
+    * normalization) are dropped — they are trivial duplicates handled by
+    * exact dedup. Only hash *sets* flow through the plan; shingle strings are
+    * never materialized (one codepoint split per doc total).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("sh_hashes", shingleHashSet(normalized(col(textCol)), ShingleN))
+      .filter(size(col("sh_hashes")) > 0)
+      .withColumn("sig", minhashSig(col("sh_hashes"), MinhashK))
+      .withColumn("bands", lshBands(col("sig"), LshBands, LshRows))
+
+  /** MinHash/LSH candidate pairs with estimated + exact Jaccard.
+    * One explode + one self-equi-join on (band, band_hash): the shuffle keys
+    * are fixed-width longs, so this co-partitions cleanly at any scale.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    // persist: the signature subtree feeds the bucket explode AND both join
+    // sides; without the barrier Catalyst re-inlines (and re-evaluates) the
+    // interpreted HOF hashing once per consumer. At warehouse scale this
+    // intermediate would be a written signatures table instead.
+    val sigs = minhashSignatures(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("sh_hashes"), col("sig"), col("bands"))
+      .persist()
+    val buckets = sigs.select(
+      col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", signatureSimilarity(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+  }
+
+  /** Query: MinHash/LSH near-dup pairs over the documents fixture. */
+  def minhashDupPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Per-doc 32-bit SimHash fingerprints (term-frequency weighted). */
+  def simhashFingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", simhash32(rollingHashArray(col("toks"))))
+  }
+
+  /** SimHash near-dup pairs: byte-band blocking then exact Hamming ≤ maxDist.
+    * Finds ALL pairs at Hamming ≤ 3 (4 bands, pigeonhole); one shuffle on the
+    * (band, value) key.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("simhash"),
+        simhashByteBands(col("simhash")).as("bands"))
+      .persist()
+    val buckets = fps.select(
+      col("doc_id"), col("simhash"),
+      posexplode(col("bands")).as(Seq("band", "band_val")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Query: SimHash near-dup pairs over the documents fixture. */
+  def simhashDupPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Exact n-gram Jaccard near-dups with inverted-index blocking: candidate
+    * pairs share ≥1 token 3-gram whose doc-frequency ≤ maxDf (rare-feature
+    * blocking — common n-grams would create quadratic buckets and add no
+    * discrimination). Grams live only as polynomial hashes of the token-hash
+    * windows (WindowHashSet kernel) — the gram strings are never built, and
+    * the inverted index joins on fixed-width longs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, maxDf: Int = 20,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        windowHashSet(rollingHashArray(tokens(col(textCol))), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist()
+    val inverted = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = inverted.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val postings = inverted.join(rare, "gram")
+    val cands = postings.as("a")
+      .join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Query: token-3-gram Jaccard near-dup pairs over the documents fixture. */
+  def ngramDupPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Embedding-cosine near-duplicates: exact all-pairs cosine ≥ threshold.
+    * Quadratic by design — correct at fixture scale and the verification
+    * baseline for the LSH path (SimilarityOps.lshCosinePairs), which is the
+    * 100 TB route.
+    */
+  def embeddingDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double = 0.95): DataFrame = {
+    // Pre-normalize once per row so each of the O(n²) pairs costs exactly one
+    // codegen'd dot product (the HOF cosine would evaluate interpreted and
+    // recompute both norms per pair: ~50× slower at bench scale).
+    val e = embs.select(col(idCol).as("vec_id"),
+      unitVector(asDouble(col(vecCol))).as("nv"), col("label"))
+      .persist()
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dotK(col("a.nv"), col("b.nv")))
+      .filter(col("cos") >= minCosine)
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cos"),
+        (col("a.label") === col("b.label")).cast("int").as("same_label"))
+  }
+
+  /** Query: embedding near-dup pairs over the embeddings fixture. The
+    * fixture vectors are near-orthogonal (max pairwise cosine ≈ 0.55), so the
+    * fixture threshold is 0.4; real corpora use ≥ 0.9.
+    */
+  def embeddingDups(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      minCosine = 0.4)
+}

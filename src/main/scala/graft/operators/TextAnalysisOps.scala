@@ -47,12 +47,33 @@ object TextAnalysisOps {
       .otherwise(byMarker)
   }
 
-  /** Predicted language distribution over the corpus. */
-  def langIdDistribution(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(langIdCol(col("text")).as("pred_lang"))
+  /** Predicted language distribution over the corpus.
+    *
+    * Staged projections (toks, then one hit-count column per language) keep
+    * each interpreted HOF evaluated once per row; inlining everything into a
+    * single expression (langIdCol) re-evaluates the tokenizer per marker set
+    * — ~13× slower at bench scale. Columns referenced more than once are
+    * never collapsed by CollapseProject, which is what makes this safe.
+    */
+  def langIdDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr") // alphabetical = tie-break order
+    val withHits = langs.foldLeft(
+      Tables.documents(spark, dir)
+        .withColumn("toks", tokens(col("text"), 1, 100))) { (df, l) =>
+      df.withColumn(s"s_$l", markerHits(col("toks"), l))
+    }
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val byMarker = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withHits
+      .withColumn("pred_lang",
+        when(col("text").rlike("[\\u4E00-\\u9FFF]"), lit("zh"))
+          .when(col("text").rlike("[\\uAC00-\\uD7A3]"), lit("ko"))
+          .otherwise(byMarker))
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Heuristic quality score in [0,1]: four 0.25-weight indicator components
     * (token count band, mean token length band, stopword ratio, alphanumeric

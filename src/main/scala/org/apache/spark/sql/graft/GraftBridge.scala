@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` helpers — the standard spark-package technique
+  * for libraries that ship custom Catalyst expressions and need to wrap them
+  * into the public `Column` API (Spark 4 moved `Column(expr)` behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -72,6 +72,27 @@ object SparkEntry {
     * summation order as VectorFunctions.dot → bit-identical doubles). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+  /** Unit-vector CTE body over embeddings (mirror of HashKernels.unitVector). */
+  private val UNIT_CTE =
+    s"""e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN sqrt(${dotSql("v", "v")}) = 0.0
+       |         THEN list_transform(v, x -> 0.0)
+       |         ELSE list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) END AS nv
+       |  FROM e)""".stripMargin
+  /** 16-bit random-hyperplane sketch (mirror of HashKernels.lshSketch). */
+  private def sketchSql(nv: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 16), p ->
+       |  CASE WHEN list_reduce(list_prepend(0.0,
+       |         list_transform(range(1, len($nv) + 1), d ->
+       |           $nv[CAST(d AS INT)]
+       |             * (CAST((8191*(p*64 + d) + 524287) % $MOD AS DOUBLE) - 500000003.5))),
+       |         (acc, x) -> acc + x) > 0
+       |       THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational suite (SURVEY.md §2.2–2.7) ---
@@ -114,6 +135,9 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.simhashDupPairs,
     "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
+    // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
+    "sim_topk_brute" -> SimilarityOps.bruteTopK,
+    "sim_lsh_ann" -> SimilarityOps.lshAnn,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +420,42 @@ object SparkEntry {
          |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
          |FROM p WHERE cos >= 0.4""".stripMargin,
+    "sim_topk_brute" ->
+      s"""WITH $UNIT_CTE,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+         |FROM r WHERE rk <= 10""".stripMargin,
+    "sim_lsh_ann" ->
+      s"""WITH $UNIT_CTE,
+         |sk AS (SELECT vec_id, nv, ${sketchSql("nv")} AS sketch FROM u),
+         |b AS (
+         |  SELECT vec_id, sketch, j AS band,
+         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
+         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
+         |  FROM sk, range(0, 4) t(j)),
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM b q JOIN b c ON q.band = c.band AND q.band_val = c.band_val
+         |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |s AS (
+         |  SELECT query_id, cands.vec_id, ${dotSql("uq.nv", "uc.nv")} AS cos
+         |  FROM cands
+         |  JOIN sk uq ON uq.vec_id = query_id
+         |  JOIN sk uc ON uc.vec_id = cands.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+         |FROM r WHERE rk <= 3""".stripMargin,
     "txt_fingerprints" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents WHERE doc_id < 50)
          |SELECT doc_id, md5(norm) AS fp_md5,

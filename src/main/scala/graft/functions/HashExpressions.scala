@@ -107,6 +107,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class LshSketch(child: Expression, planes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(arr: Any): Any =
+      HashKernels.lshSketch(arr.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.lshSketch($c, $planes)")
+    override protected def withNewChildInternal(newChild: Expression): LshSketch =
+      copy(child = newChild)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -138,4 +149,6 @@ object HashExpressions {
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def unitVector(c: Column): Column =
     GraftBridge.column(UnitVector(GraftBridge.expression(c)))
+  def lshSketch(c: Column, planes: Int): Column =
+    GraftBridge.column(LshSketch(GraftBridge.expression(c), planes))
 }

@@ -157,6 +157,29 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Random-hyperplane LSH sketch: bit p = sign(v · plane_p), planes drawn
+    * from the deterministic LCG h(p,d) = (8191·(p·64+d+1) + 524287) mod P
+    * centered at P/2 — pure arithmetic, so the oracle regenerates identical
+    * planes. Dots accumulate in index order (bit-identical cross-engine).
+    */
+  def lshSketch(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val h = (8191L * (p * 64L + d + 1) + 524287L) % P
+        acc += v.getDouble(d) * (h.toDouble - 500000003.5)
+        d += 1
+      }
+      if (acc > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
   /** Polynomial hash of each length-`rows` band of a signature. */
   def lshBands(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val out = new Array[Long](bands)

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.asDouble
+import graft.functions.HashExpressions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding column —
+  * the generalization of the reference's "rank documents by similarity to a
+  * topic centroid" surface (/root/reference/BERTopic_Analysis.py:574-617,
+  * SURVEY.md §2.9 M14).
+  *
+  * Two tiers:
+  *   - bruteForceTopK: exact top-k cosine. The query side is tiny and
+  *     broadcast; the corpus streams through one codegen'd dot product per
+  *     (query, vector) pair. O(|Q|·n) — the correctness baseline, and the
+  *     right plan whenever |Q| is small (centroid scoring, eval probes).
+  *   - lshTopK: random-hyperplane LSH sketches, banded for recall; only
+  *     bucket-mates are scored. At 100 TB the sketch+band columns become a
+  *     pre-materialized index table and the bucket join is the only shuffle —
+  *     candidate sets stay ~constant per query as the corpus grows.
+  *
+  * All arithmetic (unit vectors, ordered-fold dots, LCG hyperplanes) is
+  * bit-reproducible in the DuckDB oracle.
+  */
+object SimilarityOps {
+
+  val SketchBits = 16
+  val SketchBands = 4 // 4 bands × 4 bits
+
+  /** Corpus with unit vectors (norm computed once per row). */
+  private def unitCorpus(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("nv"),
+      col("label"))
+
+  /** Exact cosine top-k for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      .join(corpus.select(col("vec_id"), col("nv")),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dotK(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Query: exact top-10 neighbors for the first 5 vectors. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = unitCorpus(Tables.embeddings(spark, dir)).persist()
+    bruteForceTopK(corpus, corpus.filter(col("vec_id") < 5), 10)
+  }
+
+  /** Sketch + band columns for the LSH index. 4-bit band values are kept
+    * scaled by 2^(4j) (equality-preserving, no division).
+    */
+  def withSketch(corpus: DataFrame): DataFrame = {
+    val bandExprs = transform(sequence(lit(0), lit(SketchBands - 1)), j => {
+      val lo = pow(lit(2.0), j * 4).cast("long")
+      val hi = pow(lit(2.0), j * 4 + 4).cast("long")
+      (col("sketch") % hi) - (col("sketch") % lo)
+    })
+    corpus
+      .withColumn("sketch", lshSketch(col("nv"), SketchBits))
+      .withColumn("bands", bandExprs)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share ≥1 of 4 sketch bands
+    * with the query; exact cosine re-rank on the (small) candidate set.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cbuckets = corpus.select(col("vec_id"), col("nv"),
+      posexplode(col("bands")).as(Seq("band", "band_val")))
+    val qbuckets = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"),
+      posexplode(col("bands")).as(Seq("band", "band_val")))
+    val cands = qbuckets.join(cbuckets, Seq("band", "band_val"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("nv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("cos", dotK(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Query: LSH ANN top-3 for the first 50 vectors. */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withSketch(unitCorpus(Tables.embeddings(spark, dir))).persist()
+    lshTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
+  }
+}

@@ -1,18 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch main for interactive probing during development (not part of the
   * driver contract).
   */
 object Probe {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(s"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -22,20 +16,22 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    import org.apache.spark.sql.functions._
+    import spark.implicits._
     import graft.operators._
     val docs = Tables.documents(spark, dir)
-    time("shingle count")(
-      docs.select(sum(size(graft.functions.TextFunctions.charShingles(col("text"), 5)))).first())
-    time("sig count")(DedupOps.minhashSignatures(docs, "text").count())
-    time("minhash pairs")(DedupOps.minhashDupPairs(spark, dir).count())
-    time("simhash pairs")(DedupOps.simhashDupPairs(spark, dir).count())
-    time("ngram pairs")(DedupOps.ngramDupPairs(spark, dir).count())
-    time("embed pairs")(DedupOps.embeddingDups(spark, dir).count())
-    DedupOps.minhashDupPairs(spark, dir).show(5, false)
-    DedupOps.simhashDupPairs(spark, dir).show(5, false)
-    DedupOps.ngramDupPairs(spark, dir).show(5, false)
-    DedupOps.embeddingDups(spark, dir).show(5, false)
+    val (vecs, vocab) = TopicModelOps.vectorize(docs, "text")
+    vecs.persist()
+    println(s"vocab size = ${vocab.length}, vecs = ${vecs.count()}")
+    val model = new org.apache.spark.ml.clustering.LDA()
+      .setK(2).setSeed(42L).setMaxIter(10).setFeaturesCol("features").fit(vecs)
+    val topWords = model.describeTopics(10)
+      .select(explode(col("termIndices")).as("termId"))
+      .distinct().collect().map(_.getInt(0)).map(vocab(_))
+    println("topWords = " + topWords.mkString(", "))
+    val tw = topWords.zipWithIndex.map { case (w, i) => (w, i + 1) }.toSeq
+      .toDF("word", "rank")
+    tw.show(30, false)
+    TopicMetricsOps.umassCoherence(docs, "text", tw).show(false)
     spark.stop()
   }
 }

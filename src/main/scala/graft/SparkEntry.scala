@@ -138,6 +138,18 @@ object SparkEntry {
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
+    // --- topic metrics, oracle-checked (SURVEY.md A6/A10/M4/D2) ---
+    "topic_ctfidf" -> TopicMetricsOps.ctfidfByLang,
+    "topic_diversity" -> TopicMetricsOps.diversityByLang,
+    "topic_keyword_dedup" -> TopicMetricsOps.dedupKeywordsByLang,
+    "topic_umass" -> TopicMetricsOps.umassTop10,
+    // --- MLlib topic models, rows-only checks (SURVEY.md §2.9) ---
+    "lda_topics" -> TopicModelOps.ldaTopicsQuery,
+    "lda_dominant" -> TopicModelOps.ldaDominantTopics,
+    "lda_top_docs" -> TopicModelOps.ldaTopDocs,
+    "lda_grid" -> TopicModelOps.ldaGridSearch,
+    "kmeans_profile" -> TopicModelOps.kmeansProfile,
+    "bertopic_keywords" -> TopicModelOps.bertopicKeywords,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +432,85 @@ object SparkEntry {
          |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
          |FROM p WHERE cos >= 0.4""".stripMargin,
+    "topic_ctfidf" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word, score,
+         |    CAST(row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS INT) AS rank
+         |  FROM scored)
+         |SELECT cls, rank, word, round(score, 4) AS score
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "topic_diversity" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS rank
+         |  FROM scored)
+         |SELECT CAST(count(DISTINCT cls) AS BIGINT) AS n_topics,
+         |  count(*) AS n_keywords,
+         |  round(count(DISTINCT word) * 1.0 / count(*), 4) AS diversity
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "topic_keyword_dedup" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word, score,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |claimed AS (
+         |  SELECT cls, word, rank,
+         |    row_number() OVER (PARTITION BY word ORDER BY cls, rank) AS claim
+         |  FROM r QUALIFY claim = 1),
+         |reranked AS (
+         |  SELECT cls, word,
+         |    CAST(row_number() OVER (PARTITION BY cls ORDER BY rank) AS INT) AS new_rank
+         |  FROM claimed QUALIFY new_rank <= 5)
+         |SELECT cls, new_rank, word FROM reranked""".stripMargin,
+    "topic_umass" ->
+      s"""WITH freq AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1),
+         |tw AS (
+         |  SELECT word, CAST(rank AS INT) AS rank FROM (
+         |    SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS rank
+         |    FROM freq) WHERE rank <= 10),
+         |presence AS (
+         |  SELECT doc_id, word, rank
+         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS word FROM documents)
+         |  JOIN tw USING (word)),
+         |dj AS (SELECT word, rank, count(*) AS d FROM presence GROUP BY 1, 2),
+         |dij AS (
+         |  SELECT a.word AS wi, b.word AS wj, count(*) AS dij
+         |  FROM presence a JOIN presence b
+         |    ON a.doc_id = b.doc_id AND a.rank > b.rank
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i.word AS wi, j.word AS wj
+         |  FROM tw i, tw j WHERE i.rank > j.rank),
+         |scored AS (
+         |  SELECT ln((coalesce(dij, 0) + 1.0) / d) AS ps
+         |  FROM pairs
+         |  LEFT JOIN dij USING (wi, wj)
+         |  JOIN (SELECT word AS wj, d FROM dj) USING (wj))
+         |SELECT count(*) AS n_pairs, round(avg(ps), 4) AS umass
+         |FROM scored""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $UNIT_CTE,
          |s AS (

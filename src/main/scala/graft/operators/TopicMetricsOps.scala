@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Topic-quality metrics as pure DataFrame programs — the deterministic,
+  * oracle-checkable half of the reference's topic-modeling suite:
+  *
+  *   - c-TF-IDF class keywords (BERTopic's topic-word scoring, consumed at
+  *     /root/reference/BERTopic_Analysis.py:396,440,552,698; SURVEY.md A10):
+  *     W(t,c) = tf(t,c) · ln(1 + A / f(t)), A = mean tokens per class.
+  *   - topic diversity (LDA_Analysis.py:310-338, BERTopic_Analysis.py:427-458;
+  *     A6): distinct / total over the per-topic top keywords.
+  *   - u_mass coherence (LDA_Analysis.py:286-308; M4): mean over ordered word
+  *     pairs of ln((D(wi,wj)+1)/D(wj)) on document co-occurrence counts.
+  *   - cross-topic keyword dedup (BERTopic_Analysis.py:693-717; D2): first
+  *     topic in rank order claims each keyword, survivors re-ranked.
+  *
+  * The fixture "classes" are the documents table's lang column — on a real
+  * corpus the same functions run over any cluster/topic assignment column.
+  * Shuffle profile: one explode+groupBy per metric, all joins on tiny keys;
+  * the per-class top-k is a Window over ≤ classes·vocab rows.
+  */
+object TopicMetricsOps {
+
+  /** Per-class term frequencies joined with corpus frequencies and the
+    * per-class average token count: the c-TF-IDF inputs, from ONE scan.
+    */
+  def classTermScores(docs: DataFrame, classCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("word"))
+      .groupBy("cls", "word")
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val ft = tf.groupBy("word").agg(sum("tf").as("ft"))
+    val scalars = tf.agg(
+      (sum("tf").cast("double") / countDistinct("cls")).as("avg_class_tokens"))
+    tf.join(ft, "word")
+      .crossJoin(broadcast(scalars))
+      .withColumn("score",
+        col("tf") * log(lit(1.0) + col("avg_class_tokens") / col("ft")))
+  }
+
+  /** Top-k c-TF-IDF keywords per class. */
+  def ctfidfKeywords(docs: DataFrame, classCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy("cls").orderBy(col("score").desc, col("word"))
+    classTermScores(docs, classCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("rank"), col("word"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Query: top-10 c-TF-IDF keywords per language class. */
+  def ctfidfByLang(spark: SparkSession, dir: String): DataFrame =
+    ctfidfKeywords(Tables.documents(spark, dir), "lang", "text", 10)
+
+  /** Topic diversity (distinct/total) over per-class top-k keywords. */
+  def topicDiversity(keywords: DataFrame): DataFrame =
+    keywords.agg(
+      countDistinct(col("cls")).as("n_topics"),
+      count(lit(1)).as("n_keywords"),
+      round(countDistinct(col("word")).cast("double") / count(lit(1)), 4)
+        .as("diversity"))
+
+  /** Query: diversity of the per-lang c-TF-IDF keyword sets. */
+  def diversityByLang(spark: SparkSession, dir: String): DataFrame =
+    topicDiversity(ctfidfByLang(spark, dir))
+
+  /** Cross-topic keyword dedup (D2): each word goes to the first class in
+    * (class, rank) precedence order; survivors re-ranked to top `keep`.
+    */
+  def dedupKeywords(keywords: DataFrame, keep: Int): DataFrame = {
+    val claim = Window.partitionBy("word").orderBy(col("cls"), col("rank"))
+    val rerank = Window.partitionBy("cls").orderBy(col("rank"))
+    keywords
+      .withColumn("claim", row_number().over(claim))
+      .filter(col("claim") === 1)
+      .withColumn("new_rank", row_number().over(rerank))
+      .filter(col("new_rank") <= keep)
+      .select(col("cls"), col("new_rank"), col("word"))
+  }
+
+  /** Query: deduped top-5 keywords per language class. */
+  def dedupKeywordsByLang(spark: SparkSession, dir: String): DataFrame =
+    dedupKeywords(ctfidfByLang(spark, dir), 5)
+
+  /** u_mass coherence of a ranked word list over a document corpus:
+    * mean over pairs (rank_i > rank_j) of ln((D(wi,wj)+1) / D(wj)), with
+    * D = document frequency on distinct-token sets. `topWords` must be small
+    * (it is broadcast); the corpus side is one explode + two tiny groupBys.
+    */
+  def umassCoherence(docs: DataFrame, textCol: String,
+                     topWords: DataFrame): DataFrame = {
+    val presence = docs
+      .select(monotonically_increasing_id().as("doc"),
+        array_distinct(tokens(col(textCol))).as("set"))
+      .select(col("doc"), explode(col("set")).as("word"))
+      .join(broadcast(topWords), "word") // keeps (doc, word, rank) hits only
+      .persist()
+    val dj = presence.groupBy(col("word"), col("rank"))
+      .agg(count(lit(1)).as("d"))
+    val dij = presence.as("a")
+      .join(presence.as("b"), col("a.doc") === col("b.doc") &&
+        col("a.rank") > col("b.rank"))
+      .groupBy(col("a.word").as("wi"), col("b.word").as("wj"))
+      .agg(count(lit(1)).as("dij"))
+    val pairs = topWords.as("i")
+      .crossJoin(topWords.as("j"))
+      .filter(col("i.rank") > col("j.rank"))
+      .select(col("i.word").as("wi"), col("i.rank").as("ri"),
+        col("j.word").as("wj"), col("j.rank").as("rj"))
+    pairs
+      .join(dij, Seq("wi", "wj"), "left")
+      .join(dj.select(col("word").as("wj"), col("d").as("dj")), Seq("wj"))
+      .withColumn("pair_score",
+        log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("pair_score")), 4).as("umass"))
+  }
+
+  /** The top-n corpus words by frequency with their rank — the "topic" whose
+    * coherence the fixture query measures.
+    */
+  def topFrequentWords(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("word"))
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("word"), col("rank"))
+  }
+
+  /** Query: u_mass coherence of the global top-10 words. */
+  def umassTop10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    umassCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+  }
+}

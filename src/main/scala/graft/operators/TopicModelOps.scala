@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.{KMeans, LDA}
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, PCA}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The MLlib half of the topic-modeling suite — the reference's LDA and
+  * BERTopic pipelines re-expressed as Spark ML stages (SURVEY.md §2.9):
+  *
+  *   - LDA path (M1-M3, A5, A7, A8, W2): tokens → CountVectorizer(minDF) →
+  *     LDA(seed 42, online optimizer ≈ gensim's variational Bayes;
+  *     /root/reference/LDA_Analysis.py:265-276) → describeTopics ⋈ vocab,
+  *     dominant-topic histogram (LDA_Analysis.py:645-657), top-k docs per
+  *     topic (LDA_Analysis.py:443-453).
+  *   - Cluster path (M7-M9, M11): precomputed embeddings (the Embedder
+  *     stand-in, SURVEY.md M6) → PCA(5) (UMAP stand-in, documented
+  *     divergence) → KMeans(seed 42) (the reference's own exact-k mode,
+  *     BERTopic_Analysis.py:277-297) → c-TF-IDF keywords per cluster (A10).
+  *   - Grid search (M5, LDA_Analysis.py:179-248): driver loop over k,
+  *     scored by u_mass coherence of each model's top words.
+  *
+  * Every estimator is seeded (42) — the reference's reproducibility contract
+  * (SURVEY.md §4). These queries carry no SQL oracle (iterative ML is not
+  * SQL-expressible); the driver records rows-only checks, and the ScalaTest
+  * specs assert shapes, determinism, and metric ranges.
+  */
+object TopicModelOps {
+
+  val Seed = 42L
+
+  /** Fitted-model registry: several queries consume the same (dir, k) LDA or
+    * KMeans fit, and estimators are seeded, so refitting would waste the
+    * dominant cost for an identical result. Keyed by fixture dir + params.
+    */
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
+  private def cached[T](key: String)(f: => T): T =
+    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+
+  /** Shared seeded LDA fit over the documents fixture. */
+  private def fittedLda(spark: SparkSession, dir: String, k: Int,
+                        maxIter: Int): (DataFrame, Array[String], org.apache.spark.ml.clustering.LDAModel) =
+    cached(s"lda:$dir:$k:$maxIter") {
+      val (vecs, vocab) = vectorize(Tables.documents(spark, dir), "text")
+      vecs.persist()
+      val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(vecs)
+      (vecs, vocab, model)
+    }
+
+  /** Documents with a bag-of-words `features` vector and kept vocabulary.
+    * maxDF (reference: no_above=0.7, LDA_Analysis.py:171) is optional — the
+    * synthetic fixture draws from a tiny vocabulary where every word appears
+    * in most documents, so a 0.7 cap would empty the vocab there.
+    */
+  def vectorize(docs: DataFrame, textCol: String,
+                vocabSize: Int = 2048, minDF: Double = 2.0,
+                maxDFRatio: Option[Double] = None): (DataFrame, Array[String]) = {
+    val toks = docs.withColumn("toks", tokens(col(textCol)))
+      .filter(size(col("toks")) >= 3) // reference keeps docs with ≥3 tokens
+    val cv = new CountVectorizer()
+      .setInputCol("toks").setOutputCol("features")
+      .setVocabSize(vocabSize).setMinDF(minDF)
+    maxDFRatio.foreach(cv.setMaxDF)
+    val model: CountVectorizerModel = cv.fit(toks)
+    (model.transform(toks), model.vocabulary)
+  }
+
+  /** Trained LDA topics: (topic, rank, term, weight) — M1+M3. */
+  def ldaTopics(spark: SparkSession, docs: DataFrame, textCol: String,
+                k: Int, maxIter: Int = 20, topN: Int = 10): DataFrame = {
+    val (vecs, vocab) = vectorize(docs, textCol)
+    val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(vecs)
+    describeJoined(spark, model, vocab, topN)
+  }
+
+  private def describeJoined(spark: SparkSession,
+                             model: org.apache.spark.ml.clustering.LDAModel,
+                             vocab: Array[String], topN: Int): DataFrame = {
+    val vocabDf = spark.createDataFrame(
+      vocab.zipWithIndex.map { case (t, i) => (i, t) }.toSeq)
+      .toDF("termId", "term")
+    model.describeTopics(topN)
+      .select(col("topic"),
+        posexplode(arrays_zip(col("termIndices"), col("termWeights")))
+          .as(Seq("pos", "tw")))
+      .select(col("topic"), (col("pos") + 1).as("rank"),
+        col("tw.termIndices").as("termId"), col("tw.termWeights").as("weight"))
+      .join(broadcast(vocabDf), "termId")
+      .select(col("topic"), col("rank").cast("int").as("rank"), col("term"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy(col("topic"), col("rank"))
+  }
+
+  /** Query: LDA k=5 topics over the documents fixture. */
+  def ldaTopicsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab, model) = fittedLda(spark, dir, 5, 20)
+    describeJoined(spark, model, vocab, 10)
+  }
+
+  /** Doc-topic inference + dominant-topic histogram (M2+A5): count docs per
+    * dominant topic where the max probability clears the reference's 0.3 bar.
+    */
+  def ldaDominantTopics(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, _, model) = fittedLda(spark, dir, 5, 20)
+    model.transform(vecs)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .withColumn("maxp", array_max(col("dist")))
+      .withColumn("topic",
+        (array_position(col("dist"), col("maxp")) - 1).cast("int"))
+      .filter(col("maxp") > 0.3)
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_docs"), round(avg("maxp"), 4).as("avg_prob"))
+      .orderBy("topic")
+  }
+
+  /** Top-k example docs per topic by dominant probability, text truncated to
+    * 200 chars (W2; LDA_Analysis.py:443-453).
+    */
+  def ldaTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, _, model) = fittedLda(spark, dir, 5, 20)
+    val w = Window.partitionBy("topic").orderBy(col("prob").desc, col("doc_id"))
+    model.transform(vecs)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .withColumn("prob", array_max(col("dist")))
+      .withColumn("topic",
+        (array_position(col("dist"), col("prob")) - 1).cast("int"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("topic"), col("rank"), col("doc_id"),
+        round(col("prob"), 4).as("prob"),
+        substring(col("text"), 1, 200).as("example"))
+      .orderBy("topic", "rank")
+  }
+
+  /** Embedding → PCA(5) → KMeans(k) cluster assignments (vec_id, cluster). */
+  def clusterEmbeddings(embs: DataFrame, k: Int, pcaDims: Int = 5): DataFrame = {
+    val vecs = embs.withColumn("vec", array_to_vector(col("embedding")))
+    val pca = new PCA().setInputCol("vec").setOutputCol("pca")
+      .setK(pcaDims).fit(vecs)
+    val km = new KMeans().setK(k).setSeed(Seed).setFeaturesCol("pca")
+      .setPredictionCol("cluster")
+    km.fit(pca.transform(vecs)).transform(pca.transform(vecs))
+  }
+
+  /** Query: KMeans cluster profile vs ground-truth labels — size, dominant
+    * label, purity (M8/M9 quality surface).
+    */
+  /** Shared PCA+KMeans assignment over the embeddings fixture. */
+  private def fittedClusters(spark: SparkSession, dir: String, k: Int): DataFrame =
+    cached(s"km:$dir:$k") {
+      clusterEmbeddings(Tables.embeddings(spark, dir), k)
+        .select("vec_id", "cluster", "label").persist()
+    }
+
+  def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = fittedClusters(spark, dir, 8)
+    val byLabel = assigned.groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))
+    val top = byLabel.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("label").as("top_label"), col("n").as("top_n"))
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(top, "cluster")
+      .withColumn("purity", round(col("top_n").cast("double") / col("n_vecs"), 4))
+      .select("cluster", "n_vecs", "top_label", "purity")
+      .orderBy("cluster")
+  }
+
+  /** The BERTopic-analog pipeline (M11): embeddings → PCA → KMeans clusters
+    * joined back to documents by id → c-TF-IDF keywords per cluster.
+    * The fixture's embeddings table is row-aligned with documents
+    * (vec_id = doc_id), standing in for the sentence-embedding stage.
+    */
+  def bertopicKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = fittedClusters(spark, dir, 8)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val docs = Tables.documents(spark, dir).join(clusters, "doc_id")
+    TopicMetricsOps.ctfidfKeywords(docs, "cluster", "text", 10)
+      .orderBy("cls", "rank")
+  }
+
+  /** LDA topic-count grid search scored by u_mass coherence (M5). Trains one
+    * model per k — each fit is its own set of Spark jobs, so the ks could run
+    * as parallel jobs from the driver; sequential keeps memory bounded.
+    */
+  def ldaGridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val rows = Seq(2, 3, 5, 8).map { k =>
+      val (vecs, vocab, model) = fittedLda(spark, dir, k, 10)
+      val topWords = model.describeTopics(10)
+        .select(explode(col("termIndices")).as("termId"))
+        .distinct()
+        .collect().map(_.getInt(0))
+        .map(vocab(_))
+      val tw = topWords.zipWithIndex
+        .map { case (wrd, i) => (wrd, i + 1) }.toSeq.toDF("word", "rank")
+      val um = TopicMetricsOps.umassCoherence(docs, "text", tw)
+        .collect()(0).getDouble(1)
+      (k, um)
+    }
+    rows.toDF("k", "umass").withColumn("best",
+      (col("umass") === max(col("umass")).over(Window.partitionBy())).cast("int"))
+  }
+}

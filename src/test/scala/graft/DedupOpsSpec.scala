@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.DedupOps
+
+/** Behavioral tests for the near-dup detectors on a tiny corpus with known
+  * duplicate structure.
+  */
+class DedupOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // docs 1/2 identical; 3 is a near-dup of 1 (one word changed);
+  // 4 is unrelated; 5 shares nothing.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the sleepy dog again and again"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "무관한 한국어 문서 내용 전혀 다른 주제")
+  ).toDF("doc_id", "text")
+
+  test("minhashPairs finds the identical pair with est=jaccard=1") {
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 1.0 && exact.get._4 == 1.0)
+    // near-dup 1-3 surfaces with high but sub-1 similarity
+    val near = pairs.filter(p => Set(p._1, p._2).subsetOf(Set(1L, 2L, 3L)) && p._2 == 3L)
+    assert(near.nonEmpty && near.forall(p => p._4 > 0.5 && p._4 < 1.0))
+    // unrelated docs never pair
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+  }
+
+  test("simhashPairs: identical docs at hamming 0, near-dups within 3 bits") {
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccardPairs: identical pair at jaccard 1, blocking keeps unrelated apart") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 20, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingDupPairs finds exact-duplicate vectors and respects threshold") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = DedupOps.embeddingDupPairs(embs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0 && p._4 == 1))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L)) // cos ≈ 0.994
+    assert(!pairs.exists(p => p._2 == 4L)) // orthogonal
+  }
+
+  test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
+    val dupIds = pairs.select("doc_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val deduped = docs.filter(!functionsCol("doc_id").isin(dupIds.toSeq: _*))
+    val again = DedupOps.minhashPairs(deduped, "doc_id", "text", 0.9)
+    assert(again.count() == 0)
+  }
+
+  private def functionsCol(name: String) = org.apache.spark.sql.functions.col(name)
+}

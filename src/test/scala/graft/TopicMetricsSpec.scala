@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TopicMetricsOps
+
+/** Hand-computed checks for the topic metrics (c-TF-IDF, diversity, keyword
+  * dedup, u_mass coherence).
+  */
+class TopicMetricsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Two classes; "shared" appears in both, "aa"/"bb" are class-exclusive.
+  private lazy val docs = Seq(
+    ("c1", "aa aa shared"),
+    ("c1", "aa shared"),
+    ("c2", "bb bb shared"),
+    ("c2", "bb shared")
+  ).toDF("cls", "text")
+
+  test("c-TF-IDF ranks class-exclusive terms above shared terms") {
+    val kw = TopicMetricsOps.ctfidfKeywords(docs, "cls", "text", 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // tf(aa,c1)=3, f(aa)=3, A=10/2=5 -> score = 3*ln(1+5/3) = 2.9417
+    val top1 = kw.find(k => k._1 == "c1" && k._2 == 1).get
+    assert(top1._3 == "aa")
+    assert(math.abs(top1._4 - 3.0 * math.log(1 + 5.0 / 3.0)) < 1e-3)
+    assert(kw.find(k => k._1 == "c2" && k._2 == 1).get._3 == "bb")
+    // shared ranks second in both classes
+    assert(kw.count(_._3 == "shared") == 2)
+  }
+
+  test("diversity = distinct/total over class keyword sets") {
+    val kw = TopicMetricsOps.ctfidfKeywords(docs, "cls", "text", 2)
+    val d = TopicMetricsOps.topicDiversity(kw).collect()(0)
+    assert(d.getLong(0) == 2 && d.getLong(1) == 4)
+    assert(d.getDouble(2) == 0.75) // {aa, bb, shared} / 4 keyword slots
+  }
+
+  test("keyword dedup: first class claims shared words, survivors reranked") {
+    val kw = TopicMetricsOps.ctfidfKeywords(docs, "cls", "text", 2)
+    val dd = TopicMetricsOps.dedupKeywords(kw, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // c1 keeps (1, aa), (2, shared); c2 keeps only (1, bb) — shared was claimed
+    assert(dd == Set(("c1", 1, "aa"), ("c1", 2, "shared"), ("c2", 1, "bb")))
+  }
+
+  test("umass coherence: hand-computed value on a 3-word topic") {
+    // docs (distinct sets): {a,b}, {a,b}, {a,c} -> D(a)=3, D(b)=2, D(c)=1
+    // freq ranks: a(3) > b(2) > c(1)
+    // pairs (ri>rj): (b,a): ln((2+1)/3); (c,a): ln((1+1)/3); (c,b): ln((0+1)/2)
+    val corpus = Seq("aa bb", "aa bb", "aa cc").toDF("text")
+    val top = TopicMetricsOps.topFrequentWords(corpus, "text", 3)
+    val r = TopicMetricsOps.umassCoherence(corpus, "text", top).collect()(0)
+    val expected = (math.log(3.0 / 3) + math.log(2.0 / 3) + math.log(1.0 / 2)) / 3
+    assert(r.getLong(0) == 3)
+    assert(math.abs(r.getDouble(1) - expected) < 1e-3)
+  }
+
+  test("umass is higher for co-occurring words than for disjoint words") {
+    // disjoint words need D(wj) > 1, else every pair scores ln(1/1) = 0
+    val co = Seq("aa bb", "aa bb", "aa bb cc").toDF("text")
+    val dis = Seq("aa xx", "aa xx", "bb yy", "bb yy", "cc zz", "cc zz").toDF("text")
+    def um(df: org.apache.spark.sql.DataFrame): Double =
+      TopicMetricsOps.umassCoherence(df, "text",
+        TopicMetricsOps.topFrequentWords(df, "text", 3)).collect()(0).getDouble(1)
+    assert(um(co) > um(dis))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TopicModelOps
+
+/** Seeded-determinism and shape checks for the MLlib topic models (these
+  * queries carry no SQL oracle, so the spec is their correctness gate).
+  */
+class TopicModelSpec extends SparkSuite {
+  private val dir = SparkSpec.FixtureDir
+
+  test("ldaTopics: k topics x topN ranked terms, weights descending per topic") {
+    val rows = TopicModelOps.ldaTopicsQuery(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length == 5)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length == 10)
+      val w = g.sortBy(_._2).map(_._4)
+      assert(w.zip(w.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("lda runs are deterministic under the fixed seed") {
+    val a = TopicModelOps.ldaTopics(spark,
+      Tables.documents(spark, dir), "text", k = 3, maxIter = 5)
+      .collect().map(_.toSeq)
+    val b = TopicModelOps.ldaTopics(spark,
+      Tables.documents(spark, dir), "text", k = 3, maxIter = 5)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("dominant-topic histogram: counts bounded by corpus size, probs in (0.3, 1]") {
+    val rows = TopicModelOps.ldaDominantTopics(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total > 0 && total <= 500)
+    assert(rows.forall { r => val p = r.getDouble(2); p > 0.3 && p <= 1.0 })
+  }
+
+  test("kmeans profile: 8 clusters partition all 500 vectors, purity in (0,1]") {
+    val rows = TopicModelOps.kmeansProfile(spark, dir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 500)
+    assert(rows.forall { r => val p = r.getDouble(3); p > 0.0 && p <= 1.0 })
+  }
+
+  test("bertopic keywords: every cluster gets ranked keywords") {
+    val rows = TopicModelOps.bertopicKeywords(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.map(_._1).distinct.length == 8)
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 10))
+  }
+
+  test("lda grid search marks exactly one best k") {
+    val rows = TopicModelOps.ldaGridSearch(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(2)).sum == 1)
+    assert(rows.forall(_.getDouble(1) <= 0.0)) // u_mass is non-positive
+  }
+}

@@ -150,6 +150,14 @@ object SparkEntry {
     "lda_grid" -> TopicModelOps.ldaGridSearch,
     "kmeans_profile" -> TopicModelOps.kmeansProfile,
     "bertopic_keywords" -> TopicModelOps.bertopicKeywords,
+    // --- streaming transform, batch-applied (SURVEY.md §2.10) ---
+    "stream_hourly" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.StreamOps.windowedCounts(Tables.events(s, d))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,6 +272,11 @@ object SparkEntry {
         | max(upper(p_name)) AS max_name
         |FROM part GROUP BY 1,2""".stripMargin,
     "rel_hourly_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    // window(ts, '1 hour') tumbling windows are epoch-aligned == date_trunc
+    "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (SURVEY.md §2.10 — the
+  * reference lists "온라인 토픽 모델링: 실시간 데이터 스트림 처리" as future
+  * work, /root/reference/BERTopic_guideline.md:175; the driver fixtures ship
+  * an events stream table).
+  *
+  * Design: every aggregation is a plain `DataFrame => DataFrame` transform,
+  * so the SAME code runs in batch (`spark.read` — see the `stream_hourly`
+  * SparkEntry query, oracle-checked) and streaming (`spark.readStream` +
+  * watermark). That unification is the Spark-native answer to "online"
+  * processing: no second engine, no reimplemented semantics.
+  */
+object StreamOps {
+
+  /** Events schema (ts pre-truncated to micros — see Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts per event type. In streaming, pair with
+    * `withLateData` so state is bounded by the watermark.
+    */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked variant for unbounded sources: events later than `delay`
+    * behind the max seen ts are dropped and window state is evicted.
+    */
+  def windowedCountsStream(events: DataFrame, windowDur: String = "1 hour",
+                           delay: String = "30 minutes"): DataFrame =
+    windowedCounts(events.withWatermark("ts", delay), windowDur)
+
+  case class Event(event_id: Long, user_id: Long, ts: Timestamp,
+                   event_type: String, value: Double, props: String)
+  case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization (gap-based, 1 hour) — the streaming
+    * twin of RelationalOps.userSessions, via mapGroupsWithState. State per
+    * user is three longs; with event-time timeout it is evicted for idle
+    * users, so state size tracks ACTIVE users, not corpus size.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 60)
+                (implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val next = sorted.foldLeft(init) { (s, e) =>
+            val tsMicros = e.ts.getTime * 1000L
+            val newSession = s.lastTsMicros == Long.MinValue ||
+              tsMicros - s.lastTsMicros > gapMicros
+            SessionState(tsMicros,
+              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(next)
+          UserSessions(userId, next.nSessions, next.nEvents)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Streaming semantics under MemoryStream: windowed aggregation with
+  * watermark-based late-data handling, and stateful sessionization.
+  */
+class StreamOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  private def ev(id: Long, user: Long, t: Timestamp, typ: String = "click",
+                 v: Double = 1.0): Event =
+    Event(id, user, t, typ, v, "{}")
+
+  test("windowed counts aggregate per tumbling hour; late data beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.windowedCountsStream(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, ts(10, 5)), ev(2, 1, ts(10, 40)), ev(3, 2, ts(11, 10)))
+      query.processAllAvailable()
+      // watermark now 11:10 - 30min = 10:40 — this event is within it
+      input.addData(ev(4, 2, ts(12, 0)))
+      query.processAllAvailable()
+      // watermark now 11:30 — an event at 10:00 is late and must be dropped
+      input.addData(ev(5, 3, ts(10, 0)))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .groupBy("window_start").sum("n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(rows(ts(10, 0)) == 2L) // late event 5 NOT counted
+      assert(rows(ts(11, 0)) == 1L)
+      assert(rows(ts(12, 0)) == 1L)
+    } finally query.stop()
+  }
+
+  test("stateful sessionize counts gap-separated sessions per user across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionize(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      // user 1: two events 10min apart (1 session); user 2: one event
+      input.addData(ev(1, 1, ts(9, 0)), ev(2, 1, ts(9, 10)), ev(3, 2, ts(9, 30)))
+      query.processAllAvailable()
+      // batch 2: user 1 comes back 3h later -> second session
+      input.addData(ev(4, 1, ts(12, 30)))
+      query.processAllAvailable()
+      val rows = spark.table("sessions")
+        .groupBy("user_id").max("n_sessions", "n_events")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(rows(1L) == (2L, 3L))
+      assert(rows(2L) == (1L, 1L))
+    } finally query.stop()
+  }
+
+  test("the same windowedCounts transform runs in batch mode (unified semantics)") {
+    val batch = Seq(ev(1, 1, ts(10, 5)), ev(2, 1, ts(10, 55)), ev(3, 2, ts(11, 5)))
+      .toDF()
+    val rows = StreamOps.windowedCounts(batch)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(rows(ts(10, 0)) == 2L && rows(ts(11, 0)) == 1L)
+  }
+}

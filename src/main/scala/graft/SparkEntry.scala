@@ -150,6 +150,9 @@ object SparkEntry {
     "lda_grid" -> TopicModelOps.ldaGridSearch,
     "kmeans_profile" -> TopicModelOps.kmeansProfile,
     "bertopic_keywords" -> TopicModelOps.bertopicKeywords,
+    // --- multimodal binary columns (stubbed codec, real plumbing) ---
+    "media_features" -> graft.multimodal.MediaOps.mediaFeatureProfile,
+    "media_frames" -> graft.multimodal.MediaOps.mediaFrameProfile,
     // --- streaming transform, batch-applied (SURVEY.md §2.10) ---
     "stream_hourly" -> ((s, d) => {
       import org.apache.spark.sql.functions._

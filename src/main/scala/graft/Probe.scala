@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * driver contract).
   */
 object Probe {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -15,23 +22,30 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    import spark.implicits._
-    import graft.operators._
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    import graft.functions.TextFunctions._
+    import graft.functions.HashExpressions._
     val docs = Tables.documents(spark, dir)
-    val (vecs, vocab) = TopicModelOps.vectorize(docs, "text")
-    vecs.persist()
-    println(s"vocab size = ${vocab.length}, vecs = ${vecs.count()}")
-    val model = new org.apache.spark.ml.clustering.LDA()
-      .setK(2).setSeed(42L).setMaxIter(10).setFeaturesCol("features").fit(vecs)
-    val topWords = model.describeTopics(10)
-      .select(explode(col("termIndices")).as("termId"))
-      .distinct().collect().map(_.getInt(0)).map(vocab(_))
-    println("topWords = " + topWords.mkString(", "))
-    val tw = topWords.zipWithIndex.map { case (w, i) => (w, i + 1) }.toSeq
-      .toDF("word", "rank")
-    tw.show(30, false)
-    TopicMetricsOps.umassCoherence(docs, "text", tw).show(false)
+    val grams = docs
+      .select(col("doc_id"),
+        windowHashSet(rollingHashArray(tokens(col("text"))), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist()
+    time("grams")(grams.count())
+    val inverted = grams.select(col("doc_id"), explode(col("grams")).as("gram")).persist()
+    time("inverted")(inverted.count())
+    val rare = inverted.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10 && col("df") >= 2).persist()
+    time("rare")(rare.count())
+    val postings = inverted.join(rare, "gram").persist()
+    time("postings")(postings.count())
+    val cands = postings.as("a")
+      .join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().persist()
+    time("cands")(cands.count())
+    time("full")(graft.operators.DedupOps.ngramDupPairs(spark, dir).count())
     spark.stop()
   }
 }

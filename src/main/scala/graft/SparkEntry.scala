@@ -415,12 +415,13 @@ object SparkEntry {
          |  WHERE len(g) > 0),
          |inverted AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
          |rare AS (SELECT gram FROM inverted GROUP BY 1
-         |         HAVING count(*) <= 20 AND count(*) >= 2),
+         |         HAVING count(*) <= 10 AND count(*) >= 2),
          |postings AS (SELECT i.doc_id, i.gram FROM inverted i JOIN rare USING (gram)),
          |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM postings a JOIN postings b
-         |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |scored AS (
          |  SELECT doc_a, doc_b,
          |    len(list_intersect(ga.grams, gb.grams)) * 1.0

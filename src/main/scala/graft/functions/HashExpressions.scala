@@ -85,6 +85,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class TokenHashes(child: Expression, minLen: Int, maxLen: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      HashKernels.tokenHashes(s.asInstanceOf[UTF8String], minLen, maxLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenHashes($c, $minLen, $maxLen)")
+    override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+      copy(child = newChild)
+  }
+
   case class WindowHashSet(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -143,6 +154,8 @@ object HashExpressions {
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))
   def lshBands(c: Column, bands: Int, rows: Int): Column =
     GraftBridge.column(LshBands(GraftBridge.expression(c), bands, rows))
+  def tokenHashesK(c: Column, minLen: Int = 2, maxLen: Int = 15): Column =
+    GraftBridge.column(TokenHashes(GraftBridge.expression(c), minLen, maxLen))
   def windowHashSet(c: Column, n: Int): Column =
     GraftBridge.column(WindowHashSet(GraftBridge.expression(c), n))
   def dotK(a: Column, b: Column): Column =

@@ -104,6 +104,30 @@ object HashKernels {
     out
   }
 
+  /** Rolling hash of every whitespace token of a NORMALIZED string (single
+    * spaces, no leading/trailing) whose codepoint length lies in
+    * [minLen, maxLen] — tokenize + hash fused into one pass, no token
+    * strings. Equivalent to rollingHashArray(tokens(s, minLen, maxLen)).
+    */
+  def tokenHashes(s: UTF8String, minLen: Int, maxLen: Int): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val it = s.toString.codePoints.iterator()
+    var acc = 7L
+    var len = 0
+    while (it.hasNext) {
+      val cp = it.nextInt()
+      if (cp == ' ') {
+        if (len >= minLen && len <= maxLen) out += acc
+        acc = 7L; len = 0
+      } else {
+        acc = (acc * 31L + cp) % P
+        len += 1
+      }
+    }
+    if (len >= minLen && len <= maxLen) out += acc
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
   /** Distinct polynomial hashes of all length-n windows of a BIGINT array —
     * token n-grams as join keys without ever materializing the gram strings
     * (feed it rollingHashArray(tokens)).

@@ -88,14 +88,14 @@ object DedupOps {
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** Per-doc 32-bit SimHash fingerprints (term-frequency weighted). */
-  def simhashFingerprints(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** Per-doc 32-bit SimHash fingerprints (term-frequency weighted). Token
+    * hashing is the fused one-pass kernel — no token strings materialize.
+    */
+  def simhashFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) > 0)
-      .withColumn("simhash", simhash32(rollingHashArray(col("toks"))))
-  }
+      .withColumn("tok_hashes", tokenHashesK(normalized(col(textCol))))
+      .filter(size(col("tok_hashes")) > 0)
+      .withColumn("simhash", simhash32(col("tok_hashes")))
 
   /** SimHash near-dup pairs: byte-band blocking then exact Hamming ≤ maxDist.
     * Finds ALL pairs at Hamming ≤ 3 (4 bands, pigeonhole); one shuffle on the
@@ -134,11 +134,11 @@ object DedupOps {
     * the inverted index joins on fixed-width longs.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, maxDf: Int = 20,
+                        n: Int = 3, maxDf: Int = 10,
                         minJaccard: Double = 0.5): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        windowHashSet(rollingHashArray(tokens(col(textCol))), n).as("grams"))
+        windowHashSet(tokenHashesK(normalized(col(textCol))), n).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist()
     val inverted = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -146,11 +146,15 @@ object DedupOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val postings = inverted.join(rare, "gram")
+    // candidacy needs ≥2 shared rare grams: one shared rare gram is mostly
+    // coincidence and exploding those pairs dominated the runtime (the
+    // aggregate also replaces a distinct — same shuffle, more pruning)
     val cands = postings.as("a")
       .join(postings.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
     cands
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")

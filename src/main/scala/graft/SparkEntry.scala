@@ -143,6 +143,7 @@ object SparkEntry {
     "topic_diversity" -> TopicMetricsOps.diversityByLang,
     "topic_keyword_dedup" -> TopicMetricsOps.dedupKeywordsByLang,
     "topic_umass" -> TopicMetricsOps.umassTop10,
+    "topic_cnpmi" -> TopicMetricsOps.npmiTop10,
     // --- MLlib topic models, rows-only checks (SURVEY.md §2.9) ---
     "lda_topics" -> TopicModelOps.ldaTopicsQuery,
     "lda_dominant" -> TopicModelOps.ldaDominantTopics,
@@ -527,6 +528,48 @@ object SparkEntry {
          |  LEFT JOIN dij USING (wi, wj)
          |  JOIN (SELECT word AS wj, d FROM dj) USING (wj))
          |SELECT count(*) AS n_pairs, round(avg(ps), 4) AS umass
+         |FROM scored""".stripMargin,
+    "topic_cnpmi" ->
+      s"""WITH freq AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1),
+         |tw AS (
+         |  SELECT word, CAST(rank AS INT) AS rank FROM (
+         |    SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS rank
+         |    FROM freq) WHERE rank <= 10),
+         |toks AS (
+         |  SELECT doc_id, toks FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |tot AS (
+         |  SELECT CAST(sum(greatest(len(toks) - 9, 1)) AS BIGINT) AS n_windows
+         |  FROM toks),
+         |hits AS (
+         |  SELECT h.doc_id, h.t, h.word, h.p, tw.rank
+         |  FROM (SELECT doc_id, len(toks) AS t, unnest(toks) AS word,
+         |          generate_subscripts(toks, 1) AS p
+         |        FROM toks) h JOIN tw USING (word)),
+         |presence AS (
+         |  SELECT DISTINCT doc_id, word, rank,
+         |    unnest(range(greatest(1, p - 9),
+         |                 least(p, greatest(t - 9, 1)) + 1)) AS ws
+         |  FROM hits),
+         |pw AS (SELECT word, rank, count(*) AS cw FROM presence GROUP BY 1, 2),
+         |pij AS (
+         |  SELECT a.word AS wi, b.word AS wj, count(*) AS cij
+         |  FROM presence a JOIN presence b
+         |    ON a.doc_id = b.doc_id AND a.ws = b.ws AND a.rank > b.rank
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i.word AS wi, j.word AS wj FROM tw i, tw j WHERE i.rank > j.rank),
+         |scored AS (
+         |  SELECT ln((coalesce(cij, 0) * 1.0 / n_windows + 1e-12)
+         |            / ((ci * 1.0 / n_windows) * (cj * 1.0 / n_windows)))
+         |         / (-ln(coalesce(cij, 0) * 1.0 / n_windows + 1e-12)) AS npmi
+         |  FROM pairs
+         |  LEFT JOIN pij USING (wi, wj)
+         |  JOIN (SELECT word AS wi, cw AS ci FROM pw) USING (wi)
+         |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)
+         |SELECT count(*) AS n_pairs, round(avg(npmi), 4) AS c_npmi
          |FROM scored""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $UNIT_CTE,

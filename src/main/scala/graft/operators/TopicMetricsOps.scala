@@ -124,6 +124,75 @@ object TopicMetricsOps {
         round(avg(col("pair_score")), 4).as("umass"))
   }
 
+  /** C_NPMI coherence (Röder et al. 2015's boolean-sliding-window family,
+    * the c_npmi the reference computes via gensim, LDA_Analysis.py:286-308):
+    * virtual documents are all token windows of `windowSize` (step 1; short
+    * docs contribute one window), P(w) and P(wi,wj) are window-containment
+    * probabilities, and the topic score is the mean over unordered pairs of
+    *   NPMI = ln((P(ij)+ε) / (P(i)·P(j))) / -ln(P(ij)+ε),  ε = 1e-12.
+    *
+    * Shape at scale: one posexplode of topic-word HITS only (broadcast
+    * semi-join against the topic words first, so corpus size × window size
+    * never materializes — only hit count × window size), then two tiny
+    * groupBys and a K² pair join.
+    */
+  def npmiCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
+                    windowSize: Int = 10): DataFrame = {
+    val eps = 1e-12
+    val toks = docs
+      .select(monotonically_increasing_id().as("doc"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist()
+    // N = Σ_docs max(T - w + 1, 1) windows
+    val totals = toks.agg(
+      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
+    // (doc, 1-based pos, word) hits of topic words only
+    val hits = toks
+      .select(col("doc"), size(col("toks")).as("t"),
+        posexplode(col("toks")).as(Seq("pos0", "word")))
+      .join(broadcast(topWords), "word")
+      .withColumn("p", col("pos0") + 1)
+    // window starts covering position p: [max(1, p-w+1), min(p, max(T-w+1, 1))]
+    val presence = hits
+      .select(col("doc"), col("word"), col("rank"),
+        explode(sequence(
+          greatest(lit(1), col("p") - (windowSize - 1)),
+          least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))
+          .as("ws"))
+      .distinct()
+      .persist()
+    val pw = presence.groupBy(col("word"), col("rank"))
+      .agg(count(lit(1)).as("cw"))
+    val pij = presence.as("a")
+      .join(presence.as("b"),
+        col("a.doc") === col("b.doc") && col("a.ws") === col("b.ws") &&
+          col("a.rank") > col("b.rank"))
+      .groupBy(col("a.word").as("wi"), col("b.word").as("wj"))
+      .agg(count(lit(1)).as("cij"))
+    val pairs = topWords.as("i").crossJoin(topWords.as("j"))
+      .filter(col("i.rank") > col("j.rank"))
+      .select(col("i.word").as("wi"), col("j.word").as("wj"))
+    pairs
+      .join(pij, Seq("wi", "wj"), "left")
+      .join(pw.select(col("word").as("wi"), col("cw").as("ci")), "wi")
+      .join(pw.select(col("word").as("wj"), col("cw").as("cj")), "wj")
+      .crossJoin(broadcast(totals))
+      .withColumn("p_ij",
+        coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
+      .withColumn("p_i", col("ci").cast("double") / col("n_windows"))
+      .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
+      .withColumn("npmi",
+        log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
+          / -log(col("p_ij") + eps))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("npmi")), 4).as("c_npmi"))
+  }
+
+  /** Query: C_NPMI coherence of the global top-10 words (window 10). */
+  def npmiTop10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    npmiCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+  }
+
   /** The top-n corpus words by frequency with their rank — the "topic" whose
     * coherence the fixture query measures.
     */

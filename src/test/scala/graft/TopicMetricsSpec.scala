@@ -56,6 +56,29 @@ class TopicMetricsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) - expected) < 1e-3)
   }
 
+  test("c_npmi: hand-computed windows on a single doc") {
+    // "aa bb aa cc", window 3 -> windows {aa,bb}, {bb,aa,cc}; N=2
+    // ranks by freq: aa(1), bb(2), cc(3)
+    // (bb,aa): P=1 -> eps artifact gives -1 (gensim behaves identically)
+    // (cc,aa), (cc,bb): P_ij=.5, P_i=.5, P_j=1 -> NPMI ~ 0
+    val corpus = Seq("aa bb aa cc").toDF("text")
+    val top = TopicMetricsOps.topFrequentWords(corpus, "text", 3)
+    val r = TopicMetricsOps.npmiCoherence(corpus, "text", top, windowSize = 3)
+      .collect()(0)
+    assert(r.getLong(0) == 3)
+    assert(math.abs(r.getDouble(1) - (-1.0 / 3)) < 1e-3)
+  }
+
+  test("c_npmi is higher for co-occurring than for disjoint words") {
+    def cn(df: org.apache.spark.sql.DataFrame): Double =
+      TopicMetricsOps.npmiCoherence(df, "text",
+        TopicMetricsOps.topFrequentWords(df, "text", 2), windowSize = 2)
+        .collect()(0).getDouble(1)
+    val co = Seq("aa bb cc aa bb", "aa bb").toDF("text")
+    val dis = Seq("aa xx aa yy", "bb zz bb ww").toDF("text")
+    assert(cn(co) > cn(dis))
+  }
+
   test("umass is higher for co-occurring words than for disjoint words") {
     // disjoint words need D(wj) > 1, else every pair scores ln(1/1) = 0
     val co = Seq("aa bb", "aa bb", "aa bb cc").toDF("text")

@@ -144,6 +144,9 @@ object SparkEntry {
     "topic_keyword_dedup" -> TopicMetricsOps.dedupKeywordsByLang,
     "topic_umass" -> TopicMetricsOps.umassTop10,
     "topic_cnpmi" -> TopicMetricsOps.npmiTop10,
+    "topic_interpret" -> TopicExtrasOps.interpretByLang,
+    "topic_examples" -> TopicExtrasOps.examplesByLang,
+    "txt_tfidf" -> TopicExtrasOps.tfidfQuery,
     // --- MLlib topic models, rows-only checks (SURVEY.md §2.9) ---
     "lda_topics" -> TopicModelOps.ldaTopicsQuery,
     "lda_dominant" -> TopicModelOps.ldaDominantTopics,
@@ -151,6 +154,8 @@ object SparkEntry {
     "lda_grid" -> TopicModelOps.ldaGridSearch,
     "kmeans_profile" -> TopicModelOps.kmeansProfile,
     "bertopic_keywords" -> TopicModelOps.bertopicKeywords,
+    "topic_reduce" -> TopicExtrasOps.reducedTopicSizes,
+    "topic_examples_embed" -> TopicExtrasOps.centroidExamples,
     // --- multimodal binary columns (stubbed codec, real plumbing) ---
     "media_features" -> graft.multimodal.MediaOps.mediaFeatureProfile,
     "media_frames" -> graft.multimodal.MediaOps.mediaFrameProfile,
@@ -571,6 +576,81 @@ object SparkEntry {
          |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)
          |SELECT count(*) AS n_pairs, round(avg(npmi), 4) AS c_npmi
          |FROM scored""".stripMargin,
+    "topic_interpret" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |kw AS (SELECT cls, list(word) AS words FROM r GROUP BY 1),
+         |m AS (
+         |  SELECT cls,
+         |    len(list_intersect(words, ['join','filter','scan','agg','sort'])) > 0 AS m_rel,
+         |    len(list_intersect(words, ['fast','slow','big','small'])) > 0 AS m_perf,
+         |    len(list_intersect(words, ['spark','batch','hash','merge'])) > 0 AS m_inf
+         |  FROM kw),
+         |lbl AS (
+         |  SELECT cls,
+         |    concat_ws('+', CASE WHEN m_rel THEN 'relational' END,
+         |                   CASE WHEN m_perf THEN 'performance' END,
+         |                   CASE WHEN m_inf THEN 'infra' END) AS l,
+         |    CAST(m_rel AS INT) + CAST(m_perf AS INT) + CAST(m_inf AS INT) AS n_matched
+         |  FROM m)
+         |SELECT cls, CASE WHEN length(l) > 0 THEN l ELSE 'general' END AS label,
+         |  n_matched
+         |FROM lbl""".stripMargin,
+    "topic_examples" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |kw AS (SELECT cls, list(DISTINCT word) AS kw FROM r GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id, lang AS cls, list_distinct($TOKS) AS s,
+         |    substring(text, 1, 200) AS example
+         |  FROM documents),
+         |s AS (
+         |  SELECT cls, doc_id, example,
+         |    CASE WHEN len(list_distinct(list_concat(s, kw))) = 0 THEN 0.0
+         |         ELSE len(list_intersect(s, kw)) * 1.0
+         |              / len(list_distinct(list_concat(s, kw))) END AS score
+         |  FROM d JOIN kw USING (cls)),
+         |rr AS (
+         |  SELECT cls, doc_id, example, score,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, doc_id) AS rk
+         |  FROM s)
+         |SELECT cls, CAST(rk AS INT) AS rank, doc_id, round(score, 4) AS score,
+         |  example
+         |FROM rr WHERE rk <= 3""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 20),
+         |tf AS (SELECT doc_id, word, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS word FROM d) GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |s AS (
+         |  SELECT doc_id, word,
+         |    tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+         |  FROM tf JOIN dfreq USING (word), n),
+         |r AS (
+         |  SELECT doc_id, word, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+         |  FROM s)
+         |SELECT doc_id, CAST(rk AS INT) AS rank, word, round(tfidf, 4) AS tfidf
+         |FROM r WHERE rk <= 5""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $UNIT_CTE,
          |s AS (

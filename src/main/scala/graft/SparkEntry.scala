@@ -130,6 +130,7 @@ object SparkEntry {
     "txt_quality" -> TextAnalysisOps.qualityBySource,
     "txt_dup_clusters" -> TextAnalysisOps.duplicateClusters,
     "txt_fingerprints" -> TextAnalysisOps.fingerprintSample,
+    "txt_token_budget" -> TextAnalysisOps.tokenBudgetBySource,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
     "dedup_simhash" -> DedupOps.simhashDupPairs,
@@ -371,6 +372,22 @@ object SparkEntry {
          |FROM (SELECT md5(array_to_string(list_sort(list_distinct($TOKS)), ' ')) AS fp_set,
          |             doc_id FROM documents)
          |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "txt_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    len($TOKS_ALL) AS ws,
+         |    CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        regexp_extract_all(lower(coalesce(text, '')),
+         |          '[0-9]+|[a-z]+|[가-힣]+|[^a-z0-9가-힣\\s]+'),
+         |        r -> CAST(ceil(length(r) / 8.0) AS BIGINT)))) AS BIGINT) AS bpe,
+         |    CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS est
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS bpeish_tokens,
+         |  CAST(sum(est) AS BIGINT) AS est_tokens
+         |FROM d GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig

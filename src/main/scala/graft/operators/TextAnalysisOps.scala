@@ -127,6 +127,38 @@ object TextAnalysisOps {
     volume.join(vocab, Seq("lang"))
   }
 
+  /** BPE-ish subword counting: runs of one character class (digits, Latin,
+    * Hangul, other-symbol runs) over the lowercased text, each run costing
+    * ceil(len/8) tokens — the bounded-piece behavior of a real BPE vocab
+    * without shipping one. The pattern is deliberately RE2-safe (no
+    * lookarounds) so any engine reproduces it. chars/4 is the usual quick
+    * estimate, kept alongside for calibration.
+    */
+  val BpeishPattern = "[0-9]+|[a-z]+|[가-힣]+|[^a-z0-9가-힣\\s]+"
+
+  def bpeishTokenCount(text: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(lower(coalesce(text, lit(""))), lit(BpeishPattern), lit(0)),
+        r => ceil(length(r) / 8.0)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-source token-budget profile: whitespace tokens vs BPE-ish subword
+    * count vs the chars/4 estimate.
+    */
+  def tokenBudgetBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"), 1, 100)).as("ws"),
+        bpeishTokenCount(col("text")).as("bpe"),
+        ceil(length(coalesce(col("text"), lit(""))) / 4.0).as("est"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpeish_tokens"),
+        sum(col("est")).as("est_tokens"))
+
   /** Document fingerprints: md5 of the normalized text (content-defined
     * identity) + a 31-ary polynomial rolling hash over code points (cheap,
     * incremental, oracle-reproducible). Partitioning/joining on the

@@ -50,6 +50,27 @@ class TopicModelSpec extends SparkSuite {
     assert(rows.forall(r => r._2 >= 1 && r._2 <= 10))
   }
 
+  test("model save/load roundtrip preserves LDA topics and KMeans centers (S7/S8)") {
+    import org.apache.spark.ml.clustering.{KMeans, LocalLDAModel, LDA}
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-models").toString
+    val (vecs, _) = TopicModelOps.vectorize(Tables.documents(spark, dir), "text")
+    val lda = new LDA().setK(3).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(vecs)
+    lda.write.overwrite().save(s"$tmp/lda")
+    val ldaBack = LocalLDAModel.load(s"$tmp/lda")
+    assert(ldaBack.describeTopics(5).collect().map(_.toSeq).toSeq ==
+      lda.describeTopics(5).collect().map(_.toSeq).toSeq)
+
+    val evecs = Tables.embeddings(spark, dir)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(4).setSeed(42L).setFeaturesCol("vec").fit(evecs)
+    km.write.overwrite().save(s"$tmp/km")
+    val kmBack = org.apache.spark.ml.clustering.KMeansModel.load(s"$tmp/km")
+    assert(kmBack.clusterCenters.toSeq == km.clusterCenters.toSeq)
+  }
+
   test("lda grid search marks exactly one best k") {
     val rows = TopicModelOps.ldaGridSearch(spark, dir).collect()
     assert(rows.length == 4)

@@ -111,6 +111,9 @@ object SparkEntry {
     "rel_json_props" -> RelationalOps.eventPropsStats,
     "rel_sessionize" -> RelationalOps.userSessions,
     "rel_rollup" -> RelationalOps.lineStatusRollup,
+    "rel_cube" -> RelationalOps.lineCube,
+    "rel_asof_join" -> RelationalOps.purchaseAsofClick,
+    "rel_salted_join" -> RelationalOps.saltedOrderJoin,
     "rel_string_funcs" -> RelationalOps.partTypeStats,
     "rel_hourly_counts" -> RelationalOps.hourlyEventCounts,
     // --- text suite (SURVEY.md §2.1–2.8 text path + LLM-pipeline text ops) ---
@@ -145,6 +148,9 @@ object SparkEntry {
     "topic_keyword_dedup" -> TopicMetricsOps.dedupKeywordsByLang,
     "topic_umass" -> TopicMetricsOps.umassTop10,
     "topic_cnpmi" -> TopicMetricsOps.npmiTop10,
+    "topic_cuci" -> TopicMetricsOps.uciTop10,
+    "topic_overlap" -> TopicMetricsOps.overlapByLang,
+    "topic_similarity" -> TopicMetricsOps.similarityByLang,
     "topic_interpret" -> TopicExtrasOps.interpretByLang,
     "topic_examples" -> TopicExtrasOps.examplesByLang,
     "txt_tfidf" -> TopicExtrasOps.tfidfQuery,
@@ -275,6 +281,33 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
         | round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS lid0,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS lts0
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(lid0 IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS left_id,
+        |    last_value(lts0 IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lts
+        |  FROM e)
+        |SELECT user_id, event_id AS right_id, left_id,
+        |  epoch_us(ts) - lts AS micros_since
+        |FROM w WHERE event_type = 'purchase' AND left_id IS NOT NULL""".stripMargin,
+    "rel_salted_join" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS sum_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "rel_string_funcs" ->
       """SELECT split_part(p_type, ' ', 1) AS type_head, p_brand,
         | count(*) AS n_parts,
@@ -593,6 +626,86 @@ object SparkEntry {
          |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)
          |SELECT count(*) AS n_pairs, round(avg(npmi), 4) AS c_npmi
          |FROM scored""".stripMargin,
+    "topic_cuci" ->
+      s"""WITH freq AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1),
+         |tw AS (
+         |  SELECT word, CAST(rank AS INT) AS rank FROM (
+         |    SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS rank
+         |    FROM freq) WHERE rank <= 10),
+         |toks AS (
+         |  SELECT doc_id, toks FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |tot AS (
+         |  SELECT CAST(sum(greatest(len(toks) - 9, 1)) AS BIGINT) AS n_windows
+         |  FROM toks),
+         |hits AS (
+         |  SELECT h.doc_id, h.t, h.word, h.p, tw.rank
+         |  FROM (SELECT doc_id, len(toks) AS t, unnest(toks) AS word,
+         |          generate_subscripts(toks, 1) AS p
+         |        FROM toks) h JOIN tw USING (word)),
+         |presence AS (
+         |  SELECT DISTINCT doc_id, word, rank,
+         |    unnest(range(greatest(1, p - 9),
+         |                 least(p, greatest(t - 9, 1)) + 1)) AS ws
+         |  FROM hits),
+         |pw AS (SELECT word, rank, count(*) AS cw FROM presence GROUP BY 1, 2),
+         |pij AS (
+         |  SELECT a.word AS wi, b.word AS wj, count(*) AS cij
+         |  FROM presence a JOIN presence b
+         |    ON a.doc_id = b.doc_id AND a.ws = b.ws AND a.rank > b.rank
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i.word AS wi, j.word AS wj FROM tw i, tw j WHERE i.rank > j.rank),
+         |scored AS (
+         |  SELECT ln((coalesce(cij, 0) * 1.0 / n_windows + 1e-12)
+         |            / ((ci * 1.0 / n_windows) * (cj * 1.0 / n_windows))) AS pmi
+         |  FROM pairs
+         |  LEFT JOIN pij USING (wi, wj)
+         |  JOIN (SELECT word AS wi, cw AS ci FROM pw) USING (wi)
+         |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)
+         |SELECT count(*) AS n_pairs, round(avg(pmi), 4) AS c_uci
+         |FROM scored""".stripMargin,
+    "topic_overlap" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |sets AS (SELECT cls, list(DISTINCT word) AS words FROM r GROUP BY 1)
+         |SELECT a.cls AS cls_a, b.cls AS cls_b,
+         |  round(CASE WHEN len(list_distinct(list_concat(a.words, b.words))) = 0
+         |             THEN 0.0
+         |             ELSE len(list_intersect(a.words, b.words)) * 1.0
+         |                  / len(list_distinct(list_concat(a.words, b.words))) END,
+         |        4) AS overlap
+         |FROM sets a JOIN sets b ON a.cls < b.cls""".stripMargin,
+    "topic_similarity" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |norms AS (SELECT cls, sum(score * score) AS n2 FROM scored GROUP BY 1),
+         |dots AS (
+         |  SELECT a.cls AS cls_a, b.cls AS cls_b, sum(a.score * b.score) AS dot
+         |  FROM scored a JOIN scored b
+         |    ON a.word = b.word AND a.cls < b.cls
+         |  GROUP BY 1, 2)
+         |SELECT cls_a, cls_b,
+         |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+         |FROM dots
+         |JOIN norms na ON na.cls = cls_a
+         |JOIN norms nb ON nb.cls = cls_b""".stripMargin,
     "topic_interpret" ->
       s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
          |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),

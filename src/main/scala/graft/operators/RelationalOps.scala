@@ -213,6 +213,69 @@ object RelationalOps {
   /** Batch analogue of the streaming tumbling-window count (§2.10): the same
     * groupBy(window) shape Structured Streaming runs incrementally.
     */
+  /** As-of join, window-formulated: for each `right`-type event, attach the
+    * most recent `left`-type event at or before it (per user, ties broken by
+    * event_id). A join-based as-of is O(n·m) per key; the union+window form
+    * is one sort per user partition — the scalable shape, and what AQE can't
+    * fix about a naive range join.
+    */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("left_mark",
+        when(col("event_type") === leftType,
+          struct(col("ts").as("lts"), col("event_id").as("lid"))))
+      .withColumn("last_left", last(col("left_mark"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === rightType && col("last_left").isNotNull)
+      .select(
+        col("user_id"), col("event_id").as("right_id"),
+        col("last_left.lid").as("left_id"),
+        (unix_micros(col("ts")) - unix_micros(col("last_left.lts")))
+          .as("micros_since"))
+  }
+
+  /** Query: for every purchase, the most recent click at or before it. */
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(Tables.events(spark, dir), "click", "purchase")
+
+  /** Skew-resistant equi-join: salt the (potentially skewed) fact side into
+    * `salts` buckets and replicate the dimension side across them, so one
+    * hot key spreads over `salts` tasks instead of one straggler. Result is
+    * identical to a plain join — only the shuffle layout changes. (AQE skew
+    * handling covers sort-merge joins; explicit salting is the pattern for
+    * aggregations-after-join and for engines/plans AQE can't rewrite.)
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Query: orders ⋈ customer via the salted path — result must equal the
+    * plain join (the oracle compares against an ordinary SQL join).
+    */
+  def saltedOrderJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables.orders(spark, dir).withColumnRenamed("o_custkey", "c_custkey"),
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+      "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_totalprice"))
+
+  /** CUBE over two dimensions (grouping-set family; ROLLUP's sibling). */
+  def lineCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
   def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(

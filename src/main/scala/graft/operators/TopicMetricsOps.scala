@@ -139,28 +139,42 @@ object TopicMetricsOps {
   def npmiCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
                     windowSize: Int = 10): DataFrame = {
     val eps = 1e-12
-    val toks = docs
-      .select(monotonically_increasing_id().as("doc"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .persist()
-    // N = Σ_docs max(T - w + 1, 1) windows
-    val totals = toks.agg(
-      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
-    // (doc, 1-based pos, word) hits of topic words only
-    val hits = toks
-      .select(col("doc"), size(col("toks")).as("t"),
-        posexplode(col("toks")).as(Seq("pos0", "word")))
-      .join(broadcast(topWords), "word")
-      .withColumn("p", col("pos0") + 1)
-    // window starts covering position p: [max(1, p-w+1), min(p, max(T-w+1, 1))]
-    val presence = hits
-      .select(col("doc"), col("word"), col("rank"),
-        explode(sequence(
-          greatest(lit(1), col("p") - (windowSize - 1)),
-          least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))
-          .as("ws"))
-      .distinct()
-      .persist()
+    pairProbabilities(docs, textCol, topWords, windowSize)
+      .withColumn("npmi",
+        log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
+          / -log(col("p_ij") + eps))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("npmi")), 4).as("c_npmi"))
+  }
+
+  /** Query: C_NPMI coherence of the global top-10 words (window 10). */
+  def npmiTop10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    npmiCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+  }
+
+  /** C_UCI coherence: mean PMI (not normalized) over pairs, same boolean
+    * sliding window (Röder's C_UCI; gensim c_uci, LDA_Analysis.py:286-308).
+    * Shares all machinery with npmiCoherence except the pair score.
+    */
+  def uciCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
+                   windowSize: Int = 10): DataFrame =
+    pairProbabilities(docs, textCol, topWords, windowSize)
+      .withColumn("pmi",
+        log((col("p_ij") + 1e-12) / (col("p_i") * col("p_j"))))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("pmi")), 4).as("c_uci"))
+
+  /** Query: C_UCI coherence of the global top-10 words. */
+  def uciTop10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    uciCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+  }
+
+  /** Window-containment probabilities for every unordered pair of topic
+    * words (shared core of the sliding-window coherence family).
+    */
+  def pairProbabilities(docs: DataFrame, textCol: String, topWords: DataFrame,
+                        windowSize: Int): DataFrame = {
+    val (presence, totals) = windowPresence(docs, textCol, topWords, windowSize)
     val pw = presence.groupBy(col("word"), col("rank"))
       .agg(count(lit(1)).as("cw"))
     val pij = presence.as("a")
@@ -181,17 +195,76 @@ object TopicMetricsOps {
         coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
       .withColumn("p_i", col("ci").cast("double") / col("n_windows"))
       .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
-      .withColumn("npmi",
-        log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
-          / -log(col("p_ij") + eps))
-      .agg(count(lit(1)).as("n_pairs"), round(avg(col("npmi")), 4).as("c_npmi"))
   }
 
-  /** Query: C_NPMI coherence of the global top-10 words (window 10). */
-  def npmiTop10(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    npmiCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+  /** (presence of topic words in sliding windows, total window count). */
+  private def windowPresence(docs: DataFrame, textCol: String,
+                             topWords: DataFrame,
+                             windowSize: Int): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(monotonically_increasing_id().as("doc"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist()
+    val totals = toks.agg(
+      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
+    val presence = toks
+      .select(col("doc"), size(col("toks")).as("t"),
+        posexplode(col("toks")).as(Seq("pos0", "word")))
+      .join(broadcast(topWords), "word")
+      .withColumn("p", col("pos0") + 1)
+      .select(col("doc"), col("word"), col("rank"),
+        explode(sequence(
+          greatest(lit(1), col("p") - (windowSize - 1)),
+          least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))
+          .as("ws"))
+      .distinct()
+      .persist()
+    (presence, totals)
   }
+
+  /** SO1 — pairwise Jaccard overlap of per-class keyword sets (the topic
+    * overlap matrix, LDA_Analysis.py:341-348). K×K output, K tiny.
+    */
+  def keywordOverlapMatrix(keywords: DataFrame): DataFrame = {
+    val sets = keywords.groupBy(col("cls"))
+      .agg(collect_set(col("word")).as("words"))
+    sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.cls") < col("b.cls"))
+      .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"),
+        round(graft.functions.VectorFunctions.jaccard(
+          col("a.words"), col("b.words")), 4).as("overlap"))
+  }
+
+  /** Query: keyword-overlap matrix across language classes. */
+  def overlapByLang(spark: SparkSession, dir: String): DataFrame =
+    keywordOverlapMatrix(ctfidfByLang(spark, dir))
+
+  /** F9/J3 — topic similarity matrix: cosine between the classes' full
+    * term-score vectors (sparse, joined on the shared term dimension;
+    * LDA_Analysis.py:367-411's topic×topic cosine).
+    */
+  def classSimilarityMatrix(docs: DataFrame, classCol: String,
+                            textCol: String): DataFrame = {
+    val scores = classTermScores(docs, classCol, textCol)
+      .select(col("cls"), col("word"), col("score"))
+      .persist()
+    val norms = scores.groupBy("cls")
+      .agg(sum(col("score") * col("score")).as("n2"))
+    val dots = scores.as("a")
+      .join(scores.as("b"), col("a.word") === col("b.word") &&
+        col("a.cls") < col("b.cls"))
+      .groupBy(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"))
+      .agg(sum(col("a.score") * col("b.score")).as("dot"))
+    dots
+      .join(norms.select(col("cls").as("cls_a"), col("n2").as("na")), "cls_a")
+      .join(norms.select(col("cls").as("cls_b"), col("n2").as("nb")), "cls_b")
+      .select(col("cls_a"), col("cls_b"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4).as("cos"))
+  }
+
+  /** Query: cosine similarity matrix across language classes. */
+  def similarityByLang(spark: SparkSession, dir: String): DataFrame =
+    classSimilarityMatrix(Tables.documents(spark, dir), "lang", "text")
 
   /** The top-n corpus words by frequency with their rank — the "topic" whose
     * coherence the fixture query measures.

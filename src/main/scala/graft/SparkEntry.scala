@@ -84,6 +84,52 @@ object SparkEntry {
        |         THEN list_transform(v, x -> 0.0)
        |         ELSE list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) END AS nv
        |  FROM e)""".stripMargin
+  /** Shared sliding-window coherence CTE chain (mirror of
+    * TopicMetricsOps.windowPresence/pairProbabilities) for window size w:
+    * yields tw / tot / pw / pij / pairs CTEs over the global top-10 words. */
+  private def coherenceCtes(w: Int): String = {
+    val k = w - 1
+    s"""freq AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1),
+       |tw AS (
+       |  SELECT word, CAST(rank AS INT) AS rank FROM (
+       |    SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS rank
+       |    FROM freq) WHERE rank <= 10),
+       |toks AS (
+       |  SELECT doc_id, toks FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |tot AS (
+       |  SELECT CAST(sum(greatest(len(toks) - $k, 1)) AS BIGINT) AS n_windows
+       |  FROM toks),
+       |hits AS (
+       |  SELECT h.doc_id, h.t, h.word, h.p, tw.rank
+       |  FROM (SELECT doc_id, len(toks) AS t, unnest(toks) AS word,
+       |          generate_subscripts(toks, 1) AS p
+       |        FROM toks) h JOIN tw USING (word)),
+       |presence AS (
+       |  SELECT DISTINCT doc_id, word, rank,
+       |    unnest(range(greatest(1, p - $k),
+       |                 least(p, greatest(t - $k, 1)) + 1)) AS ws
+       |  FROM hits),
+       |pw AS (SELECT word, rank, count(*) AS cw FROM presence GROUP BY 1, 2),
+       |pij AS (
+       |  SELECT a.word AS wi, b.word AS wj, count(*) AS cij
+       |  FROM presence a JOIN presence b
+       |    ON a.doc_id = b.doc_id AND a.ws = b.ws AND a.rank > b.rank
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.word AS wi, j.word AS wj FROM tw i, tw j WHERE i.rank > j.rank),
+       |probs AS (
+       |  SELECT wi, wj,
+       |    coalesce(cij, 0) * 1.0 / n_windows AS pij,
+       |    ci * 1.0 / n_windows AS pi, cj * 1.0 / n_windows AS pj
+       |  FROM pairs
+       |  LEFT JOIN pij USING (wi, wj)
+       |  JOIN (SELECT word AS wi, cw AS ci FROM pw) USING (wi)
+       |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)""".stripMargin
+  }
+
   /** 16-bit random-hyperplane sketch (mirror of HashKernels.lshSketch). */
   private def sketchSql(nv: String): String =
     s"""CAST(list_sum(list_transform(range(0, 16), p ->
@@ -149,6 +195,7 @@ object SparkEntry {
     "topic_umass" -> TopicMetricsOps.umassTop10,
     "topic_cnpmi" -> TopicMetricsOps.npmiTop10,
     "topic_cuci" -> TopicMetricsOps.uciTop10,
+    "topic_cv" -> TopicMetricsOps.cvTop10,
     "topic_overlap" -> TopicMetricsOps.overlapByLang,
     "topic_similarity" -> TopicMetricsOps.similarityByLang,
     "topic_interpret" -> TopicExtrasOps.interpretByLang,
@@ -585,88 +632,41 @@ object SparkEntry {
          |SELECT count(*) AS n_pairs, round(avg(ps), 4) AS umass
          |FROM scored""".stripMargin,
     "topic_cnpmi" ->
-      s"""WITH freq AS (
-         |  SELECT word, count(*) AS freq
-         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1),
-         |tw AS (
-         |  SELECT word, CAST(rank AS INT) AS rank FROM (
-         |    SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS rank
-         |    FROM freq) WHERE rank <= 10),
-         |toks AS (
-         |  SELECT doc_id, toks FROM (SELECT doc_id, $TOKS AS toks FROM documents)
-         |  WHERE len(toks) > 0),
-         |tot AS (
-         |  SELECT CAST(sum(greatest(len(toks) - 9, 1)) AS BIGINT) AS n_windows
-         |  FROM toks),
-         |hits AS (
-         |  SELECT h.doc_id, h.t, h.word, h.p, tw.rank
-         |  FROM (SELECT doc_id, len(toks) AS t, unnest(toks) AS word,
-         |          generate_subscripts(toks, 1) AS p
-         |        FROM toks) h JOIN tw USING (word)),
-         |presence AS (
-         |  SELECT DISTINCT doc_id, word, rank,
-         |    unnest(range(greatest(1, p - 9),
-         |                 least(p, greatest(t - 9, 1)) + 1)) AS ws
-         |  FROM hits),
-         |pw AS (SELECT word, rank, count(*) AS cw FROM presence GROUP BY 1, 2),
-         |pij AS (
-         |  SELECT a.word AS wi, b.word AS wj, count(*) AS cij
-         |  FROM presence a JOIN presence b
-         |    ON a.doc_id = b.doc_id AND a.ws = b.ws AND a.rank > b.rank
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT i.word AS wi, j.word AS wj FROM tw i, tw j WHERE i.rank > j.rank),
+      s"""WITH ${coherenceCtes(10)},
          |scored AS (
-         |  SELECT ln((coalesce(cij, 0) * 1.0 / n_windows + 1e-12)
-         |            / ((ci * 1.0 / n_windows) * (cj * 1.0 / n_windows)))
-         |         / (-ln(coalesce(cij, 0) * 1.0 / n_windows + 1e-12)) AS npmi
-         |  FROM pairs
-         |  LEFT JOIN pij USING (wi, wj)
-         |  JOIN (SELECT word AS wi, cw AS ci FROM pw) USING (wi)
-         |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)
+         |  SELECT ln((pij + 1e-12) / (pi * pj)) / (-ln(pij + 1e-12)) AS npmi
+         |  FROM probs)
          |SELECT count(*) AS n_pairs, round(avg(npmi), 4) AS c_npmi
          |FROM scored""".stripMargin,
     "topic_cuci" ->
-      s"""WITH freq AS (
-         |  SELECT word, count(*) AS freq
-         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1),
-         |tw AS (
-         |  SELECT word, CAST(rank AS INT) AS rank FROM (
-         |    SELECT word, row_number() OVER (ORDER BY freq DESC, word) AS rank
-         |    FROM freq) WHERE rank <= 10),
-         |toks AS (
-         |  SELECT doc_id, toks FROM (SELECT doc_id, $TOKS AS toks FROM documents)
-         |  WHERE len(toks) > 0),
-         |tot AS (
-         |  SELECT CAST(sum(greatest(len(toks) - 9, 1)) AS BIGINT) AS n_windows
-         |  FROM toks),
-         |hits AS (
-         |  SELECT h.doc_id, h.t, h.word, h.p, tw.rank
-         |  FROM (SELECT doc_id, len(toks) AS t, unnest(toks) AS word,
-         |          generate_subscripts(toks, 1) AS p
-         |        FROM toks) h JOIN tw USING (word)),
-         |presence AS (
-         |  SELECT DISTINCT doc_id, word, rank,
-         |    unnest(range(greatest(1, p - 9),
-         |                 least(p, greatest(t - 9, 1)) + 1)) AS ws
-         |  FROM hits),
-         |pw AS (SELECT word, rank, count(*) AS cw FROM presence GROUP BY 1, 2),
-         |pij AS (
-         |  SELECT a.word AS wi, b.word AS wj, count(*) AS cij
-         |  FROM presence a JOIN presence b
-         |    ON a.doc_id = b.doc_id AND a.ws = b.ws AND a.rank > b.rank
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT i.word AS wi, j.word AS wj FROM tw i, tw j WHERE i.rank > j.rank),
+      s"""WITH ${coherenceCtes(10)},
          |scored AS (
-         |  SELECT ln((coalesce(cij, 0) * 1.0 / n_windows + 1e-12)
-         |            / ((ci * 1.0 / n_windows) * (cj * 1.0 / n_windows))) AS pmi
-         |  FROM pairs
-         |  LEFT JOIN pij USING (wi, wj)
-         |  JOIN (SELECT word AS wi, cw AS ci FROM pw) USING (wi)
-         |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)
+         |  SELECT ln((pij + 1e-12) / (pi * pj)) AS pmi FROM probs)
          |SELECT count(*) AS n_pairs, round(avg(pmi), 4) AS c_uci
          |FROM scored""".stripMargin,
+    "topic_cv" ->
+      s"""WITH ${coherenceCtes(110)},
+         |npmis AS (
+         |  SELECT wi, wj,
+         |    ln((pij + 1e-12) / (pi * pj)) / (-ln(pij + 1e-12)) AS s
+         |  FROM probs),
+         |marg AS (SELECT word, cw * 1.0 / n_windows AS p FROM pw, tot),
+         |diag AS (
+         |  SELECT word AS wi, word AS wj,
+         |    ln((p + 1e-12) / (p * p)) / (-ln(p + 1e-12)) AS s
+         |  FROM marg),
+         |allscores AS (
+         |  SELECT wi, wj, s FROM npmis
+         |  UNION ALL SELECT wj, wi, s FROM npmis
+         |  UNION ALL SELECT wi, wj, s FROM diag),
+         |v AS (SELECT wj, sum(s) AS vj FROM allscores GROUP BY 1),
+         |di AS (
+         |  SELECT wi, sum(s * vj) AS dot, sum(s * s) AS ni2
+         |  FROM allscores JOIN v USING (wj) GROUP BY 1),
+         |vn AS (SELECT sum(vj * vj) AS vn2 FROM v)
+         |SELECT count(*) AS n_words,
+         |  round(avg(dot / (sqrt(ni2) * sqrt(vn2))), 4) AS c_v
+         |FROM di, vn""".stripMargin,
     "topic_overlap" ->
       s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
          |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),

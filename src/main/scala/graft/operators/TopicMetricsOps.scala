@@ -169,6 +169,44 @@ object TopicMetricsOps {
     uciCoherence(docs, "text", topFrequentWords(docs, "text", 10))
   }
 
+  /** C_V coherence (Röder's best-performing measure; gensim c_v): NPMI
+    * context vectors from a 110-token boolean sliding window, s_one_set
+    * segmentation — each word's vector v_i = (NPMI(i,j))_j (diagonal uses
+    * P_ii = P_i) against the topic vector V = Σ v_i; score = mean cosine.
+    * Entirely DataFrame-expressed: the K×K matrix lives as (wi, wj, s) rows.
+    */
+  def cvCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
+                  windowSize: Int = 110): DataFrame = {
+    val eps = 1e-12
+    def npmiOf(pij: org.apache.spark.sql.Column, pi: org.apache.spark.sql.Column,
+               pj: org.apache.spark.sql.Column) =
+      log((pij + eps) / (pi * pj)) / -log(pij + eps)
+    val probs = pairProbabilities(docs, textCol, topWords, windowSize).persist()
+    val tri = probs.select(col("wi"), col("wj"),
+      npmiOf(col("p_ij"), col("p_i"), col("p_j")).as("s"))
+    val sym = tri.union(tri.select(col("wj"), col("wi"), col("s")))
+    val marg = probs.select(col("wi").as("word"), col("p_i").as("p"))
+      .union(probs.select(col("wj"), col("p_j")))
+      .distinct()
+    val diag = marg.select(col("word").as("wi"), col("word").as("wj"),
+      npmiOf(col("p"), col("p"), col("p")).as("s"))
+    val all = sym.union(diag).persist()
+    val v = all.groupBy("wj").agg(sum("s").as("vj"))
+    val di = all.join(v, "wj")
+      .groupBy("wi")
+      .agg(sum(col("s") * col("vj")).as("dot"), sum(col("s") * col("s")).as("ni2"))
+    val vn = v.agg(sum(col("vj") * col("vj")).as("vn2"))
+    di.crossJoin(broadcast(vn))
+      .withColumn("cos", col("dot") / (sqrt(col("ni2")) * sqrt(col("vn2"))))
+      .agg(count(lit(1)).as("n_words"), round(avg(col("cos")), 4).as("c_v"))
+  }
+
+  /** Query: C_V coherence of the global top-10 words (window 110). */
+  def cvTop10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    cvCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+  }
+
   /** Window-containment probabilities for every unordered pair of topic
     * words (shared core of the sliding-window coherence family).
     */

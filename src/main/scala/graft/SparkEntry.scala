@@ -158,6 +158,7 @@ object SparkEntry {
     "rel_sessionize" -> RelationalOps.userSessions,
     "rel_rollup" -> RelationalOps.lineStatusRollup,
     "rel_cube" -> RelationalOps.lineCube,
+    "rel_daily_stats" -> RelationalOps.dailyOrderStats,
     "rel_asof_join" -> RelationalOps.purchaseAsofClick,
     "rel_salted_join" -> RelationalOps.saltedOrderJoin,
     "rel_string_funcs" -> RelationalOps.partTypeStats,
@@ -200,6 +201,7 @@ object SparkEntry {
     "topic_similarity" -> TopicMetricsOps.similarityByLang,
     "topic_interpret" -> TopicExtrasOps.interpretByLang,
     "topic_examples" -> TopicExtrasOps.examplesByLang,
+    "topic_examples_tfidf" -> TopicExtrasOps.tfidfExamplesByLang,
     "txt_tfidf" -> TopicExtrasOps.tfidfQuery,
     // --- MLlib topic models, rows-only checks (SURVEY.md §2.9) ---
     "lda_topics" -> TopicModelOps.ldaTopicsQuery,
@@ -328,6 +330,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
         | round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_daily_stats" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_days, round(avg(n),4) AS mean_daily,
+        | max(n) AS max_daily, min(n) AS min_daily,
+        | CAST(date_diff('day', min(day), max(day)) AS INT) AS span_days
+        |FROM daily""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
         | round(sum(l_quantity),2) AS sum_qty
@@ -765,6 +775,32 @@ object SparkEntry {
          |SELECT cls, CAST(rk AS INT) AS rank, doc_id, round(score, 4) AS score,
          |  example
          |FROM rr WHERE rk <= 3""".stripMargin,
+    "topic_examples_tfidf" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |dtf AS (
+         |  SELECT doc_id, cls, word, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, lang AS cls, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |dn AS (SELECT doc_id, sqrt(sum(tf * tf)) AS dn FROM dtf GROUP BY 1),
+         |cn AS (SELECT cls, sqrt(sum(score * score)) AS cn FROM scored GROUP BY 1),
+         |dots AS (
+         |  SELECT doc_id, cls, sum(tf * score) AS dot
+         |  FROM dtf JOIN scored USING (cls, word) GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT cls, doc_id, dot / (dn.dn * cn.cn) AS score01
+         |  FROM dots JOIN dn USING (doc_id) JOIN cn USING (cls)),
+         |rk AS (
+         |  SELECT cls, doc_id, score01,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score01 DESC, doc_id) AS rk
+         |  FROM rr)
+         |SELECT cls, CAST(rk AS INT) AS rank, doc_id, round(score01, 4) AS score01
+         |FROM rk WHERE rk <= 3""".stripMargin,
     "txt_tfidf" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 20),
          |tf AS (SELECT doc_id, word, count(*) AS tf

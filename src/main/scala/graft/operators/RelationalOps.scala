@@ -276,6 +276,22 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** A3 — daily counts, then scalar stats over the daily series plus the
+    * covered period in days (the reference's date-distribution block,
+    * preprocessing.py:630-637): a two-level aggregation.
+    */
+  def dailyOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      round(avg(col("n")), 4).as("mean_daily"),
+      max(col("n")).as("max_daily"),
+      min(col("n")).as("min_daily"),
+      datediff(max(col("day")), min(col("day"))).as("span_days"))
+  }
+
   def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(

@@ -170,6 +170,49 @@ object TopicExtrasOps {
       .orderBy("cluster", "rank")
   }
 
+  /** Strategy (c): rank docs per class by cosine between the document's
+    * TF vector and the class's c-TF-IDF score vector, joined sparsely on
+    * the shared term dimension (no dense vectors materialize).
+    */
+  def tfidfCosineExamples(docs: DataFrame, classScores: DataFrame, idCol: String,
+                          textCol: String, classCol: String, k: Int): DataFrame = {
+    val docTf = docs
+      .select(col(idCol).as("doc_id"), col(classCol).as("cls"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "cls", "word")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    val docNorm = docTf.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("dn"))
+    val clsNorm = classScores.groupBy("cls")
+      .agg(sqrt(sum(col("score") * col("score"))).as("cn"))
+    val dots = docTf
+      .join(classScores.select(col("cls"), col("word"), col("score")),
+        Seq("cls", "word"))
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("tf") * col("score")).as("dot"))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("score01").desc, col("doc_id"))
+    dots
+      .join(docNorm, "doc_id")
+      .join(clsNorm, "cls")
+      .withColumn("score01", col("dot") / (col("dn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("rank"), col("doc_id"),
+        round(col("score01"), 4).as("score01"))
+  }
+
+  /** Query: top-3 example docs per lang by TF-IDF-cosine to the class's
+    * c-TF-IDF vector.
+    */
+  def tfidfExamplesByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scores = TopicMetricsOps.classTermScores(docs, "lang", "text")
+      .select(col("cls"), col("word"), col("score"))
+    tfidfCosineExamples(docs, scores, "doc_id", "text", "lang", 3)
+  }
+
   // ---------------------------------------------------------------- A9
 
   /** Smooth TF-IDF as a DataFrame program: tfidf = tf · (ln((N+1)/(df+1))+1).

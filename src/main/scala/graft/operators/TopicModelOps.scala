@@ -80,9 +80,10 @@ object TopicModelOps {
     describeJoined(spark, model, vocab, topN)
   }
 
-  private def describeJoined(spark: SparkSession,
-                             model: org.apache.spark.ml.clustering.LDAModel,
-                             vocab: Array[String], topN: Int): DataFrame = {
+  /** describeTopics ⋈ vocabulary → (topic, rank, term, weight). */
+  def describeJoined(spark: SparkSession,
+                     model: org.apache.spark.ml.clustering.LDAModel,
+                     vocab: Array[String], topN: Int): DataFrame = {
     val vocabDf = spark.createDataFrame(
       vocab.zipWithIndex.map { case (t, i) => (i, t) }.toSeq)
       .toDF("termId", "term")

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** EP2/EP3 parity: the reference's end-to-end analysis entry points
+  * (`LDAAnalyzer.run_complete_analysis`, /root/reference/LDA_Analysis.py:679-728;
+  * `BERTopicAnalyzer.run_full_analysis`, BERTopic_Analysis.py:873-926) as
+  * library runners that compose the operator suite and leave ONE report
+  * directory (ReportSink) — the workbook the reference writes, re-expressed
+  * as named parquet sheets.
+  *
+  * Everything heavy is the operators' existing distributed plans; the runner
+  * only sequences them and collects K-sized summaries.
+  */
+object AnalysisRunner {
+
+  /** EP3 — LDA analysis over a document DataFrame: topics, dominant-topic
+    * histogram, per-topic coherence (u_mass + c_npmi), diversity,
+    * keyword-overlap matrix, interpretation, summary.
+    */
+  def runLdaAnalysis(spark: SparkSession, docs: DataFrame, textCol: String,
+                     outDir: String, k: Int = 5, maxIter: Int = 20,
+                     topN: Int = 10): Unit = {
+    import spark.implicits._
+    val (vecs, vocab) = TopicModelOps.vectorize(docs, textCol)
+    vecs.persist()
+    val model = new org.apache.spark.ml.clustering.LDA()
+      .setK(k).setSeed(TopicModelOps.Seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(vecs)
+    val topics = TopicModelOps.describeJoined(spark, model, vocab, topN)
+      .persist()
+    // (cls=topic, rank, word) shape reused by every keyword-family operator
+    val kw = topics.select(col("topic").cast("string").as("cls"),
+      col("rank"), col("term").as("word")).persist()
+
+    val perTopicCoherence = topics
+      .select(col("topic"), col("rank").as("rank"), col("term").as("word"))
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (topic, rows) =>
+        val tw = rows.map(r => (r.getString(2), r.getInt(1))).toSeq
+          .toDF("word", "rank")
+        val um = TopicMetricsOps.umassCoherence(docs, textCol, tw)
+          .collect()(0).getDouble(1)
+        val np = TopicMetricsOps.npmiCoherence(docs, textCol, tw)
+          .collect()(0).getDouble(1)
+        (topic, um, np)
+      }.toDF("topic", "umass", "c_npmi")
+
+    ReportSink.write(outDir, Seq(
+      "topics" -> topics,
+      "dominant" ->
+        model.transform(vecs)
+          .withColumn("dist",
+            org.apache.spark.ml.functions.vector_to_array(col("topicDistribution")))
+          .withColumn("maxp", array_max(col("dist")))
+          .withColumn("topic",
+            (array_position(col("dist"), col("maxp")) - 1).cast("int"))
+          .filter(col("maxp") > 0.3)
+          .groupBy("topic").agg(count(lit(1)).as("n_docs")),
+      "coherence" -> perTopicCoherence,
+      "diversity" -> TopicMetricsOps.topicDiversity(kw),
+      "overlap" -> TopicMetricsOps.keywordOverlapMatrix(kw),
+      "interpretation" -> TopicExtrasOps.interpretKeywords(kw),
+      "summary" -> docs.agg(
+        count(lit(1)).as("n_docs"),
+        lit(k).as("n_topics"),
+        round(avg(length(col(textCol))), 2).as("avg_len"))))
+  }
+
+  /** EP2 — cluster (BERTopic-analog) analysis: embeddings → PCA → KMeans →
+    * c-TF-IDF keywords → deduped keywords, diversity, similarity matrix,
+    * examples, interpretation, summary.
+    */
+  def runClusterAnalysis(spark: SparkSession, docs: DataFrame,
+                         embeddings: DataFrame, idCol: String, textCol: String,
+                         outDir: String, k: Int = 8): Unit = {
+    val clusters = TopicModelOps.clusterEmbeddings(embeddings, k)
+      .select(col("vec_id").as(idCol), col("cluster"))
+    val clustered = docs.join(clusters, idCol).persist()
+    val kw = TopicMetricsOps.ctfidfKeywords(clustered, "cluster", textCol, 10)
+      .persist()
+    ReportSink.write(outDir, Seq(
+      "keywords" -> kw,
+      "keywords_dedup" -> TopicMetricsOps.dedupKeywords(kw, 5),
+      "sizes" -> clustered.groupBy("cluster").agg(count(lit(1)).as("n_docs")),
+      "diversity" -> TopicMetricsOps.topicDiversity(kw),
+      "similarity" -> TopicMetricsOps.classSimilarityMatrix(
+        clustered, "cluster", textCol),
+      "examples" -> TopicExtrasOps.jaccardExamples(
+        clustered, kw, idCol, textCol, "cluster", 3),
+      "interpretation" -> TopicExtrasOps.interpretKeywords(kw),
+      "summary" -> clustered.agg(
+        count(lit(1)).as("n_docs"), lit(k).as("n_clusters"))))
+  }
+}

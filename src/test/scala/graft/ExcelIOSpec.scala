@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.pipeline.ExcelIO
+
+/** xlsx adapter: roundtrip, Korean text, sparse cells, inline strings,
+  * column-reference arithmetic.
+  */
+class ExcelIOSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("column reference arithmetic") {
+    assert(ExcelIO.colRef(0) == "A" && ExcelIO.colRef(25) == "Z" &&
+      ExcelIO.colRef(26) == "AA" && ExcelIO.colRef(27) == "AB")
+    assert(ExcelIO.colIndex("A1") == 0 && ExcelIO.colIndex("Z9") == 25 &&
+      ExcelIO.colIndex("AA3") == 26 && ExcelIO.colIndex("AB12") == 27)
+  }
+
+  test("write/read roundtrip preserves header, Korean text, nulls, XML specials") {
+    val tmp = Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
+    val df = Seq(
+      ("인공지능 광고", "2023-06-01", "a<b&c>\"d\""),
+      (null, "2023-06-02", "plain")
+    ).toDF("제목", "일자", "본문")
+    ExcelIO.writeXlsx(df, tmp)
+    val back = ExcelIO.readXlsx(spark, tmp)
+    assert(back.columns.toSeq == Seq("제목", "일자", "본문"))
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("xlsx feeds the preprocessing pipeline (the reference's EP1 entry)") {
+    val tmp = Files.createTempDirectory("graft-xlsx2").toString + "/crawl.xlsx"
+    val raw = Seq(
+      ("2023-06-01 09:00:00", "제목1", "본문 데이터"),
+      ("bogus", "제목2", "날짜 없는 본문")
+    ).toDF("시작 날짜", "제목", "정제데이터")
+    ExcelIO.writeXlsx(raw, tmp)
+    val prepped = graft.pipeline.PreprocessPipeline.prepareCrawl(
+      ExcelIO.readXlsx(spark, tmp))
+    assert(prepped.count() == 1) // bad date dropped via coerce-null
+  }
+
+  test("reader handles sparse rows and inlineStr cells from foreign writers") {
+    val dir = Files.createTempDirectory("graft-xlsx3")
+    val path = dir.resolve("foreign.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // worksheet with a skipped cell (B missing in row 2) and inline strings
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c>""" +
+        """<c r="B1" t="inlineStr"><is><t>h2</t></is></c>""" +
+        """<c r="C1" t="inlineStr"><is><t>h3</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1.5</v></c>""" +
+        """<c r="C2" t="inlineStr"><is><t>말단</t></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    val back = ExcelIO.readXlsx(spark, path).collect()(0)
+    assert(back.getString(0) == "1.5")
+    assert(back.getString(1) == null) // skipped cell -> null
+    assert(back.getString(2) == "말단")
+  }
+
+  test("missing worksheet fails with an entry listing") {
+    val tmp = Files.createTempDirectory("graft-xlsx4").toString + "/x.xlsx"
+    ExcelIO.writeXlsx(Seq(("a")).toDF("c"), tmp)
+    val e = intercept[IllegalArgumentException] {
+      ExcelIO.readXlsx(spark, tmp, sheet = "nope")
+    }
+    assert(e.getMessage.contains("sheet1"))
+  }
+}

@@ -212,6 +212,8 @@ object SparkEntry {
     "bertopic_keywords" -> TopicModelOps.bertopicKeywords,
     "topic_reduce" -> TopicExtrasOps.reducedTopicSizes,
     "topic_examples_embed" -> TopicExtrasOps.centroidExamples,
+    "w2v_neighbors" -> Embedders.word2vecNeighbors,
+    "embedder_compare" -> Embedders.embedderComparison,
     // --- multimodal binary columns (stubbed codec, real plumbing) ---
     "media_features" -> graft.multimodal.MediaOps.mediaFeatureProfile,
     "media_frames" -> graft.multimodal.MediaOps.mediaFrameProfile,

@@ -129,6 +129,18 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class JaccardLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashKernels.jaccardLong($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardLong =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -164,4 +176,6 @@ object HashExpressions {
     GraftBridge.column(UnitVector(GraftBridge.expression(c)))
   def lshSketch(c: Column, planes: Int): Column =
     GraftBridge.column(LshSketch(GraftBridge.expression(c), planes))
+  def jaccardLongK(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -151,6 +151,29 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Jaccard similarity of two BIGINT arrays treated as sets (hash-set
+    * membership count; same value as size(intersect)/size(union) of the
+    * distinct inputs).
+    */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val setA = new java.util.HashSet[java.lang.Long](na * 2)
+    var i = 0
+    while (i < na) { setA.add(a.getLong(i)); i += 1 }
+    val seenB = new java.util.HashSet[java.lang.Long](nb * 2)
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (seenB.add(v) && setA.contains(v)) inter += 1
+      i += 1
+    }
+    val union = setA.size + seenB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Left-to-right dot product of two double arrays (same fold order as
     * VectorFunctions.dot and the DuckDB oracle's list_reduce → bit-identical
     * doubles across engines).

@@ -81,7 +81,7 @@ object DedupOps {
       .select(
         col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 4).as("est_jaccard"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(jaccardLongK(col("sh_a"), col("sh_b")), 4).as("jaccard"))
   }
 
   /** Query: MinHash/LSH near-dup pairs over the documents fixture. */
@@ -158,7 +158,7 @@ object DedupOps {
     cands
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .withColumn("jaccard", jaccardLongK(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

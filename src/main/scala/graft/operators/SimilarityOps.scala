@@ -79,13 +79,20 @@ object SimilarityOps {
       posexplode(col("bands")).as(Seq("band", "band_val")))
     val qbuckets = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"),
       posexplode(col("bands")).as(Seq("band", "band_val")))
-    val cands = qbuckets.join(cbuckets, Seq("band", "band_val"))
+    // distinct over ids only — deduping rows that carry the 64-dim vectors
+    // would hash the arrays themselves; vectors re-attach after the dedup
+    val cands = qbuckets.select(col("query_id"), col("band"), col("band_val"))
+      .join(cbuckets.select(col("vec_id"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("nv"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cands
+      .join(queries.select(col("vec_id").as("query_id"), col("nv").as("qv")),
+        "query_id")
+      .join(corpus.select(col("vec_id"), col("nv")), "vec_id")
       .withColumn("cos", dotK(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

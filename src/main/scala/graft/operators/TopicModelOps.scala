@@ -188,14 +188,26 @@ object TopicModelOps {
       .orderBy("cls", "rank")
   }
 
-  /** LDA topic-count grid search scored by u_mass coherence (M5). Trains one
-    * model per k — each fit is its own set of Spark jobs, so the ks could run
-    * as parallel jobs from the driver; sequential keeps memory bounded.
-    */
+  /** LDA topic-count grid search scored by u_mass coherence (M5). */
   def ldaGridSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
-    val rows = Seq(2, 3, 5, 8).map { k =>
+    // the k's are independent seeded fits — run them as concurrent Spark
+    // job groups from the driver (the reference's grid loop is sequential;
+    // LDA_Analysis.py:179-248)
+    val futures = Seq(2, 3, 5, 8).map { k => Future { gridPoint(spark, dir, docs, k) } }
+    val rows = futures.map(Await.result(_, Duration.Inf))
+    rows.toDF("k", "umass").withColumn("best",
+      (col("umass") === max(col("umass")).over(Window.partitionBy())).cast("int"))
+  }
+
+  private def gridPoint(spark: SparkSession, dir: String,
+                        docs: DataFrame, k: Int): (Int, Double) = {
+    import spark.implicits._
+    {
       val (vecs, vocab, model) = fittedLda(spark, dir, k, 10)
       val topWords = model.describeTopics(10)
         .select(explode(col("termIndices")).as("termId"))
@@ -208,7 +220,5 @@ object TopicModelOps {
         .collect()(0).getDouble(1)
       (k, um)
     }
-    rows.toDF("k", "umass").withColumn("best",
-      (col("umass") === max(col("umass")).over(Window.partitionBy())).cast("int"))
   }
 }

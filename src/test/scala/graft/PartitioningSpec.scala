@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-layout behaviors the 100 TB posture depends on: partitioned
+  * writes with partition-pruned reads, and predicate pushdown reaching the
+  * parquet scan.
+  */
+class PartitioningSpec extends SparkSuite {
+  private val dir = SparkSpec.FixtureDir
+
+  test("partitionBy write + partition-pruned read") {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(s"$tmp/orders")
+    val someYear = orders.select(min("o_year")).collect()(0).getInt(0)
+    val pruned = spark.read.parquet(s"$tmp/orders")
+      .filter(col("o_year") === someYear)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(s"o_year#") || plan.contains("isnotnull(o_year"))
+    assert(pruned.count() ==
+      orders.filter(col("o_year") === someYear).count())
+    // pruned scan must touch only the one partition directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scanned.contains(s"o_year=${someYear + 1}"))
+  }
+
+  test("predicate pushdown reaches the parquet scan on fixture tables") {
+    val q = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") < 10 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("LessThan(l_quantity,10.0)"))
+    assert(plan.contains("GreaterThan(l_discount")) // toString truncates args
+    // column pruning: scan schema carries only what the query needs
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
+  }
+
+  test("broadcast join is chosen for dimension-sized tables") {
+    val joined = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+}

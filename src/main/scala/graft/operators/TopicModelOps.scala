@@ -61,8 +61,16 @@ object TopicModelOps {
   def vectorize(docs: DataFrame, textCol: String,
                 vocabSize: Int = 2048, minDF: Double = 2.0,
                 maxDFRatio: Option[Double] = None): (DataFrame, Array[String]) = {
-    val toks = docs.withColumn("toks", tokens(col(textCol)))
+    val raw = docs.withColumn("toks", tokens(col(textCol)))
       .filter(size(col("toks")) >= 3) // reference keeps docs with ≥3 tokens
+    // Right-size partitions for ITERATIVE training: online LDA launches a
+    // job per iteration, so partition count is per-iteration task overhead.
+    // ~2k docs per partition keeps small corpora snappy and large corpora
+    // parallel (a 100 TB corpus still gets its tens of thousands of tasks).
+    val n = raw.count()
+    val parts = math.max(1, math.min(
+      raw.rdd.getNumPartitions, (n / 2000L).toInt + 1))
+    val toks = raw.coalesce(parts)
     val cv = new CountVectorizer()
       .setInputCol("toks").setOutputCol("features")
       .setVocabSize(vocabSize).setMinDF(minDF)

@@ -19,8 +19,11 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // tools/run_verify.sh always passes an outDir second arg — only treat
+    // args that actually name queries as a selection
+    val selected = args.drop(1).filter(SparkEntry.queries.contains).toSeq
     val names =
-      if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+      if (selected.nonEmpty) selected else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { q =>
       println(s"===== $q =====")
       try println(SparkEntry.queries(q)(spark, dir)

@@ -116,8 +116,8 @@ object TopicMetricsOps {
       .select(col("i.word").as("wi"), col("i.rank").as("ri"),
         col("j.word").as("wj"), col("j.rank").as("rj"))
     pairs
-      .join(dij, Seq("wi", "wj"), "left")
-      .join(dj.select(col("word").as("wj"), col("d").as("dj")), Seq("wj"))
+      .join(broadcast(dij), Seq("wi", "wj"), "left")
+      .join(broadcast(dj.select(col("word").as("wj"), col("d").as("dj"))), Seq("wj"))
       .withColumn("pair_score",
         log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
       .agg(count(lit(1)).as("n_pairs"),
@@ -192,7 +192,7 @@ object TopicMetricsOps {
       npmiOf(col("p"), col("p"), col("p")).as("s"))
     val all = sym.union(diag).persist()
     val v = all.groupBy("wj").agg(sum("s").as("vj"))
-    val di = all.join(v, "wj")
+    val di = all.join(broadcast(v), "wj")
       .groupBy("wi")
       .agg(sum(col("s") * col("vj")).as("dot"), sum(col("s") * col("s")).as("ni2"))
     val vn = v.agg(sum(col("vj") * col("vj")).as("vn2"))
@@ -225,9 +225,9 @@ object TopicMetricsOps {
       .filter(col("i.rank") > col("j.rank"))
       .select(col("i.word").as("wi"), col("j.word").as("wj"))
     pairs
-      .join(pij, Seq("wi", "wj"), "left")
-      .join(pw.select(col("word").as("wi"), col("cw").as("ci")), "wi")
-      .join(pw.select(col("word").as("wj"), col("cw").as("cj")), "wj")
+      .join(broadcast(pij), Seq("wi", "wj"), "left")
+      .join(broadcast(pw.select(col("word").as("wi"), col("cw").as("ci"))), "wi")
+      .join(broadcast(pw.select(col("word").as("wj"), col("cw").as("cj"))), "wj")
       .crossJoin(broadcast(totals))
       .withColumn("p_ij",
         coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: replicates the documents/embeddings fixtures N× (with
+  * shifted ids and a deterministic per-copy token perturbation so copies are
+  * NEAR-duplicates, not byte-duplicates) and times the dedup/similarity
+  * suite on the enlarged corpus. Answers "does the blocking hold at 10×?"
+  * without touching the read-only fixtures.
+  *
+  *   MAIN=graft.ScaleProbe tools/run_verify.sh /root/testdata/sf0.1 10
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+
+    val docs = Tables.documents(spark, dir)
+    val copies = spark.range(factor).select(col("id").as("copy"))
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        // per-copy suffix: copies are near-dups (distinct shingle sets)
+        concat(col("text"), lit(" copymark"), col("copy")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    Tables.embeddings(spark, dir).crossJoin(copies)
+      .select(
+        (col("vec_id") * factor + col("copy")).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/embeddings.parquet")
+
+    val n = spark.read.parquet(s"$tmp/documents.parquet").count()
+    println(s"[scale] corpus ${n} docs (${factor}x of $dir)")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
+    }
+    import graft.operators._
+    time("minhash_clusters")(DedupOps.minhashClusterProfile(spark, tmp).count())
+    time("minhash_lsh")(DedupOps.minhashDupPairs(spark, tmp).count())
+    time("simhash")(DedupOps.simhashDupPairs(spark, tmp).count())
+    time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())
+    time("lsh_ann")(SimilarityOps.lshAnn(spark, tmp).count())
+    time("ctfidf")(TopicMetricsOps.ctfidfByLang(spark, tmp).count())
+    time("cnpmi")(TopicMetricsOps.npmiTop10(spark, tmp).count())
+    spark.stop()
+  }
+}

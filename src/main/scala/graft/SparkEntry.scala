@@ -186,6 +186,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.simhashDupPairs,
     "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
+    "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
@@ -530,7 +531,8 @@ object SparkEntry {
          |  WHERE len(g) > 0),
          |inverted AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
          |rare AS (SELECT gram FROM inverted GROUP BY 1
-         |         HAVING count(*) <= 10 AND count(*) >= 2),
+         |         HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) // 500)
+         |            AND count(*) >= 2),
          |postings AS (SELECT i.doc_id, i.gram FROM inverted i JOIN rare USING (gram)),
          |cands AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

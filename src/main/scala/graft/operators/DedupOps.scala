@@ -163,9 +163,54 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Query: token-3-gram Jaccard near-dup pairs over the documents fixture. */
-  def ngramDupPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+  /** Query: token-3-gram Jaccard near-dup pairs over the documents fixture.
+    * The df cap scales with corpus size (max(10, n/500)): a FIXED cap stops
+    * finding anything once duplicate multiplicity exceeds it — every gram of
+    * a 20×-duplicated doc has df ≥ 20 (found by the 10× scale probe).
+    */
+  def ngramDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxDf = math.max(10L, docs.count() / 500L).toInt
+    ngramJaccardPairs(docs, "doc_id", "text", maxDf = maxDf)
+  }
+
+  /** Near-duplicate CLUSTERS via bounded-round single-linkage label
+    * propagation over the LSH buckets: each doc starts labeled with its own
+    * id; each round every bucket takes the min label of its members and
+    * members adopt the min over their buckets. Pair OUTPUT is quadratic in
+    * duplicate multiplicity (the 10× scale probe produced 12M pairs from 50k
+    * docs); the cluster view is linear and is what a dedup ACTION consumes
+    * (keep = one representative per cluster).
+    */
+  def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      rounds: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("bands"))
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .persist()
+    var labels = buckets.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to rounds) {
+      val bucketMin = buckets.join(labels, "doc_id")
+        .groupBy("band", "band_hash")
+        .agg(min(col("label")).as("bucket_label"))
+      labels = buckets.join(bucketMin, Seq("band", "band_hash"))
+        .groupBy("doc_id")
+        .agg(min(col("bucket_label")).as("label"))
+      labels.persist()
+    }
+    labels
+  }
+
+  /** Query: duplicate-cluster profile — clusters with >1 member, their size
+    * and representative (min id), over the documents fixture.
+    */
+  def minhashClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    minhashClusters(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+      .filter(col("n_docs") > 1)
 
   /** Embedding-cosine near-duplicates: exact all-pairs cosine ≥ threshold.
     * Quadratic by design — correct at fixture scale and the verification

@@ -58,6 +58,15 @@ class DedupOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._2 == 4L)) // orthogonal
   }
 
+  test("minhashClusters groups transitively-linked near-dups under one label") {
+    val clusters = DedupOps.minhashClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1, 2, 3 are one near-dup family; 4 and 5 are singletons
+    assert(clusters(1L) == clusters(2L) && clusters(2L) == clusters(3L))
+    assert(clusters(1L) == 1L) // representative = min id
+    assert(clusters(4L) == 4L && clusters(5L) == 5L)
+  }
+
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
     val dupIds = pairs.select("doc_b").distinct()

@@ -184,11 +184,27 @@ object DedupOps {
     */
   def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       rounds: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol)
-      .select(col(idCol).as("doc_id"), col("bands"))
-    val buckets = sigs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
-      .persist()
+    val buckets = minhashSignatures(docs, textCol)
+      .select(col(idCol).as("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
+    propagateLabels(buckets, rounds)
+  }
+
+  /** SimHash sibling of minhashClusters: clusters over byte-band buckets. */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      rounds: Int = 3): DataFrame = {
+    val buckets = simhashFingerprints(docs, textCol)
+      .select(col(idCol).as("doc_id"),
+        posexplode(simhashByteBands(col("simhash"))).as(Seq("band", "band_hash")))
+    propagateLabels(buckets, rounds)
+  }
+
+  /** Bounded-round single-linkage: min-label flows bucket→member→bucket.
+    * `rounds` bounds the transitive-chain length collapsed per run; each
+    * round is two shuffles on fixed-width keys.
+    */
+  private def propagateLabels(bucketsIn: DataFrame, rounds: Int): DataFrame = {
+    val buckets = bucketsIn.persist()
     var labels = buckets.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to rounds) {

@@ -49,6 +49,7 @@ object TopicModelOps {
       val (vecs, vocab) = vectorize(Tables.documents(spark, dir), "text")
       vecs.persist()
       val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
+        .setOptimizeDocConcentration(true) // reference alpha='auto' (LDA_Analysis.py:273)
         .setFeaturesCol("features").fit(vecs)
       (vecs, vocab, model)
     }
@@ -84,6 +85,7 @@ object TopicModelOps {
                 k: Int, maxIter: Int = 20, topN: Int = 10): DataFrame = {
     val (vecs, vocab) = vectorize(docs, textCol)
     val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
+      .setOptimizeDocConcentration(true) // reference alpha='auto' (LDA_Analysis.py:273)
       .setFeaturesCol("features").fit(vecs)
     describeJoined(spark, model, vocab, topN)
   }

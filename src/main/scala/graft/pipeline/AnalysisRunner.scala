@@ -29,6 +29,7 @@ object AnalysisRunner {
     vecs.persist()
     val model = new org.apache.spark.ml.clustering.LDA()
       .setK(k).setSeed(TopicModelOps.Seed).setMaxIter(maxIter)
+      .setOptimizeDocConcentration(true) // reference alpha='auto'
       .setFeaturesCol("features").fit(vecs)
     val topics = TopicModelOps.describeJoined(spark, model, vocab, topN)
       .persist()

@@ -50,8 +50,20 @@ object AnalysisRunner {
         (topic, um, np)
       }.toDF("topic", "umass", "c_npmi")
 
+    // F7 — the reference's "keyword1, keyword2, …" report strings with
+    // 4-decimal weights (LDA_Analysis.py:482,523-524)
+    val topicsFormatted = topics
+      .groupBy(col("topic"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("term"), col("weight"))))
+        .as("kw")) // sort by rank — collect_list order is not deterministic
+      .select(col("topic"),
+        array_join(transform(col("kw"), s => s.getField("term")), ", ")
+          .as("keywords"),
+        array_join(transform(col("kw"), s => format_number(s.getField("weight"), 4)), ", ")
+          .as("weights"))
     ReportSink.write(outDir, Seq(
       "topics" -> topics,
+      "topics_formatted" -> topicsFormatted,
       "dominant" ->
         model.transform(vecs)
           .withColumn("dist",

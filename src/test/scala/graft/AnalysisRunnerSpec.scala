@@ -14,8 +14,8 @@ class AnalysisRunnerSpec extends SparkSuite {
     val out = Files.createTempDirectory("graft-lda-report").toString
     AnalysisRunner.runLdaAnalysis(spark, Tables.documents(spark, dir), "text",
       out, k = 3, maxIter = 5)
-    val sheets = Seq("topics", "dominant", "coherence", "diversity",
-      "overlap", "interpretation", "summary")
+    val sheets = Seq("topics", "topics_formatted", "dominant", "coherence",
+      "diversity", "overlap", "interpretation", "summary")
     sheets.foreach { s =>
       val n = ReportSink.readSheet(spark, out, s).count()
       assert(n > 0, s"sheet $s is empty")

@@ -186,6 +186,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.simhashDupPairs,
     "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
+    "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
@@ -564,6 +565,27 @@ object SparkEntry {
          |    ${dotSql("a.nv", "b.nv")} AS cos,
          |    CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label
          |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
+         |FROM p WHERE cos >= 0.4""".stripMargin,
+    "dedup_embed_lsh" ->
+      s"""WITH $UNIT_CTE,
+         |sk AS (SELECT vec_id, label, nv, ${sketchSql("nv")} AS sketch FROM u),
+         |b AS (
+         |  SELECT vec_id, j AS band,
+         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
+         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
+         |  FROM sk, range(0, 4) t(j)),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM b a JOIN b b2
+         |    ON a.band = b2.band AND a.band_val = b2.band_val
+         |   AND a.vec_id < b2.vec_id),
+         |p AS (
+         |  SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb.nv")} AS cos,
+         |    CASE WHEN sa.label = sb.label THEN 1 ELSE 0 END AS same_label
+         |  FROM cands
+         |  JOIN sk sa ON sa.vec_id = vec_a
+         |  JOIN sk sb ON sb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
          |FROM p WHERE cos >= 0.4""".stripMargin,
     "topic_ctfidf" ->

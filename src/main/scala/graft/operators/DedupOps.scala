@@ -23,7 +23,7 @@ import graft.functions.HashExpressions._
   *     (doc-frequency ≤ maxDf kills the quadratic hot-ngram buckets — the
   *     "stop-ngram" trick), exact Jaccard on the survivors.
   *   - Embedding cosine: exact all-pairs at fixture scale; the LSH-bucketed
-  *     scale path lives in SimilarityOps.
+  *     scale path is SimilarityOps.lshCosinePairs (query dedup_embed_lsh).
   *
   * All hashing is oracle-reproducible integer arithmetic (HashFunctions), so
   * every stage — signatures, buckets, pair scores — hash-matches DuckDB.
@@ -58,9 +58,8 @@ object DedupOps {
     // sides; without the barrier Catalyst re-inlines (and re-evaluates) the
     // interpreted HOF hashing once per consumer. At warehouse scale this
     // intermediate would be a written signatures table instead.
-    val sigs = minhashSignatures(docs, textCol)
-      .select(col(idCol).as("doc_id"), col("sh_hashes"), col("sig"), col("bands"))
-      .persist()
+    val sigs = graft.Caching.track(minhashSignatures(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("sh_hashes"), col("sig"), col("bands")))
     val buckets = sigs.select(
       col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "band_hash")))
@@ -103,10 +102,9 @@ object DedupOps {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(docs, textCol)
+    val fps = graft.Caching.track(simhashFingerprints(docs, textCol)
       .select(col(idCol).as("doc_id"), col("simhash"),
-        simhashByteBands(col("simhash")).as("bands"))
-      .persist()
+        simhashByteBands(col("simhash")).as("bands")))
     val buckets = fps.select(
       col("doc_id"), col("simhash"),
       posexplode(col("bands")).as(Seq("band", "band_val")))
@@ -136,11 +134,10 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, maxDf: Int = 10,
                         minJaccard: Double = 0.5): DataFrame = {
-    val grams = docs
+    val grams = graft.Caching.track(docs
       .select(col(idCol).as("doc_id"),
         windowHashSet(tokenHashesK(normalized(col(textCol))), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .persist()
+      .filter(size(col("grams")) > 0))
     val inverted = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
     val rare = inverted.groupBy("gram")
       .agg(count(lit(1)).as("df"))
@@ -201,21 +198,30 @@ object DedupOps {
 
   /** Bounded-round single-linkage: min-label flows bucket→member→bucket.
     * `rounds` bounds the transitive-chain length collapsed per run; each
-    * round is two shuffles on fixed-width keys.
+    * round is two shuffles on fixed-width keys. Each round's labels are
+    * materialized and the SUPERSEDED round's cache released immediately —
+    * executor storage holds at most two label frames at any time, not one
+    * per round.
     */
   private def propagateLabels(bucketsIn: DataFrame, rounds: Int): DataFrame = {
-    val buckets = bucketsIn.persist()
+    val buckets = graft.Caching.track(bucketsIn)
     var labels = buckets.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+    var prevPersisted: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val bucketMin = buckets.join(labels, "doc_id")
         .groupBy("band", "band_hash")
         .agg(min(col("label")).as("bucket_label"))
-      labels = buckets.join(bucketMin, Seq("band", "band_hash"))
+      val next = buckets.join(bucketMin, Seq("band", "band_hash"))
         .groupBy("doc_id")
         .agg(min(col("bucket_label")).as("label"))
-      labels.persist()
+      next.persist()
+      next.count() // materialize before dropping the parent round's cache
+      prevPersisted.foreach(_.unpersist(false))
+      prevPersisted = Some(next)
+      labels = next
     }
+    prevPersisted.foreach(graft.Caching.register)
     labels
   }
 
@@ -238,9 +244,8 @@ object DedupOps {
     // Pre-normalize once per row so each of the O(n²) pairs costs exactly one
     // codegen'd dot product (the HOF cosine would evaluate interpreted and
     // recompute both norms per pair: ~50× slower at bench scale).
-    val e = embs.select(col(idCol).as("vec_id"),
-      unitVector(asDouble(col(vecCol))).as("nv"), col("label"))
-      .persist()
+    val e = graft.Caching.track(embs.select(col(idCol).as("vec_id"),
+      unitVector(asDouble(col(vecCol))).as("nv"), col("label")))
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dotK(col("a.nv"), col("b.nv")))

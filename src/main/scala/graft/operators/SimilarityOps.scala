@@ -53,7 +53,7 @@ object SimilarityOps {
 
   /** Query: exact top-10 neighbors for the first 5 vectors. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = unitCorpus(Tables.embeddings(spark, dir)).persist()
+    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
     bruteForceTopK(corpus, corpus.filter(col("vec_id") < 5), 10)
   }
 
@@ -102,7 +102,49 @@ object SimilarityOps {
 
   /** Query: LSH ANN top-3 for the first 50 vectors. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = withSketch(unitCorpus(Tables.embeddings(spark, dir))).persist()
+    val corpus = graft.Caching.track(
+      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
     lshTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidates share ≥1 sketch band,
+    * survivors keep exact cosine ≥ minCosine. The scale path for embedding
+    * dedup (DedupOps.embeddingDupPairs is the quadratic verification
+    * baseline): the only shuffle is the (band, band_val) self-equi-join on
+    * fixed-width keys, so candidate volume tracks bucket occupancy — not n² —
+    * and at 100 TB the sketch+band columns are a pre-materialized index.
+    * `corpus` needs (vec_id, nv, label, bands) — see withSketch.
+    */
+  def lshCosinePairs(corpus: DataFrame, minCosine: Double): DataFrame = {
+    val buckets = corpus.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band", "band_val")))
+    // dedup candidate ids before re-attaching vectors (hashing 64-dim arrays
+    // through the distinct would dominate the exchange)
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(corpus.select(col("vec_id").as("vec_a"), col("nv").as("nv_a"),
+        col("label").as("label_a")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("nv").as("nv_b"),
+        col("label").as("label_b")), "vec_b")
+      .withColumn("cos", dotK(col("nv_a"), col("nv_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"),
+        (col("label_a") === col("label_b")).cast("int").as("same_label"))
+  }
+
+  /** Query: LSH-bucketed embedding near-dup pairs (threshold matches
+    * dedup_embed_cosine so the two views are directly comparable; the LSH
+    * view trades recall on sub-band-collision pairs for linear scaling).
+    */
+  def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(
+      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+    lshCosinePairs(corpus, minCosine = 0.4)
   }
 }

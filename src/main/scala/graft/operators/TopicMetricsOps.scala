@@ -31,11 +31,10 @@ object TopicMetricsOps {
     * per-class average token count: the c-TF-IDF inputs, from ONE scan.
     */
   def classTermScores(docs: DataFrame, classCol: String, textCol: String): DataFrame = {
-    val tf = docs
+    val tf = graft.Caching.track(docs
       .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("word"))
       .groupBy("cls", "word")
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+      .agg(count(lit(1)).as("tf")))
     val ft = tf.groupBy("word").agg(sum("tf").as("ft"))
     val scalars = tf.agg(
       (sum("tf").cast("double") / countDistinct("cls")).as("avg_class_tokens"))
@@ -97,12 +96,11 @@ object TopicMetricsOps {
     */
   def umassCoherence(docs: DataFrame, textCol: String,
                      topWords: DataFrame): DataFrame = {
-    val presence = docs
+    val presence = graft.Caching.track(docs
       .select(monotonically_increasing_id().as("doc"),
         array_distinct(tokens(col(textCol))).as("set"))
       .select(col("doc"), explode(col("set")).as("word"))
-      .join(broadcast(topWords), "word") // keeps (doc, word, rank) hits only
-      .persist()
+      .join(broadcast(topWords), "word")) // keeps (doc, word, rank) hits only
     val dj = presence.groupBy(col("word"), col("rank"))
       .agg(count(lit(1)).as("d"))
     val dij = presence.as("a")
@@ -181,7 +179,8 @@ object TopicMetricsOps {
     def npmiOf(pij: org.apache.spark.sql.Column, pi: org.apache.spark.sql.Column,
                pj: org.apache.spark.sql.Column) =
       log((pij + eps) / (pi * pj)) / -log(pij + eps)
-    val probs = pairProbabilities(docs, textCol, topWords, windowSize).persist()
+    val probs = graft.Caching.track(
+      pairProbabilities(docs, textCol, topWords, windowSize))
     val tri = probs.select(col("wi"), col("wj"),
       npmiOf(col("p_ij"), col("p_i"), col("p_j")).as("s"))
     val sym = tri.union(tri.select(col("wj"), col("wi"), col("s")))
@@ -190,7 +189,7 @@ object TopicMetricsOps {
       .distinct()
     val diag = marg.select(col("word").as("wi"), col("word").as("wj"),
       npmiOf(col("p"), col("p"), col("p")).as("s"))
-    val all = sym.union(diag).persist()
+    val all = graft.Caching.track(sym.union(diag))
     val v = all.groupBy("wj").agg(sum("s").as("vj"))
     val di = all.join(broadcast(v), "wj")
       .groupBy("wi")
@@ -239,10 +238,9 @@ object TopicMetricsOps {
   private def windowPresence(docs: DataFrame, textCol: String,
                              topWords: DataFrame,
                              windowSize: Int): (DataFrame, DataFrame) = {
-    val toks = docs
+    val toks = graft.Caching.track(docs
       .select(monotonically_increasing_id().as("doc"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .persist()
+      .filter(size(col("toks")) > 0))
     val totals = toks.agg(
       sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
     val presence = toks
@@ -256,8 +254,7 @@ object TopicMetricsOps {
           least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))
           .as("ws"))
       .distinct()
-      .persist()
-    (presence, totals)
+    (graft.Caching.track(presence), totals)
   }
 
   /** SO1 — pairwise Jaccard overlap of per-class keyword sets (the topic
@@ -283,9 +280,8 @@ object TopicMetricsOps {
     */
   def classSimilarityMatrix(docs: DataFrame, classCol: String,
                             textCol: String): DataFrame = {
-    val scores = classTermScores(docs, classCol, textCol)
-      .select(col("cls"), col("word"), col("score"))
-      .persist()
+    val scores = graft.Caching.track(classTermScores(docs, classCol, textCol)
+      .select(col("cls"), col("word"), col("score")))
     val norms = scores.groupBy("cls")
       .agg(sum(col("score") * col("score")).as("n2"))
     val dots = scores.as("a")
@@ -308,11 +304,17 @@ object TopicMetricsOps {
     * coherence the fixture query measures.
     */
   def topFrequentWords(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val w = Window.orderBy(col("freq").desc, col("word"))
-    docs.select(explode(tokens(col(textCol))).as("word"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-n, then
+    // a driver merge of n·partitions rows) — the full vocabulary never lands
+    // in one task. The row_number window below runs over the n-row result
+    // only, so its single partition holds exactly n rows at any corpus size.
+    val top = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= n)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(n)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
       .select(col("word"), col("rank"))
   }
 

@@ -69,7 +69,11 @@ object PreprocessPipeline {
           coalesce(col("title"), lit("")), coalesce(col("contents"), lit("")))))
       .withColumn("year", year(col("date")))
       .withColumn("month", month(col("date")))
-      .withColumn("cleaned_text", cleanText(normalizeAi(col("title_contents"))))
+      // clean FIRST, then normalize — the reference strips specials and
+      // collapses whitespace before normalize_ai (preprocessing.py:206-217),
+      // so punctuated forms like "A.I." clean to "AI" and then normalize to
+      // 인공지능.
+      .withColumn("cleaned_text", normalizeAi(cleanText(col("title_contents"))))
       .drop("__ord")
 
   /** Full EP1 pipeline for a crawl-schema source. */

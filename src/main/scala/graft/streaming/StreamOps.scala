@@ -46,6 +46,14 @@ object StreamOps {
                            delay: String = "30 minutes"): DataFrame =
     windowedCounts(events.withWatermark("ts", delay), windowDur)
 
+  /** True microsecond epoch of a Timestamp — getTime truncates to millis, so
+    * sub-millisecond gaps need the nanos field (keeps this sessionizer in
+    * exact agreement with the batch twin's unix_micros,
+    * RelationalOps.userSessions).
+    */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   case class Event(event_id: Long, user_id: Long, ts: Timestamp,
                    event_type: String, value: Double, props: String)
   case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
@@ -64,10 +72,10 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           val next = sorted.foldLeft(init) { (s, e) =>
-            val tsMicros = e.ts.getTime * 1000L
+            val tsMicros = micros(e.ts)
             val newSession = s.lastTsMicros == Long.MinValue ||
               tsMicros - s.lastTsMicros > gapMicros
             SessionState(tsMicros,

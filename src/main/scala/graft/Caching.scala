@@ -12,34 +12,61 @@ import org.apache.spark.sql.DataFrame
   * storage grows monotonically.
   *
   * Contract: operators register query-scoped caches via `track`; harnesses
-  * (Bench, Verify, AnalysisRunner callers) call `releaseAll()` AFTER
-  * materializing each query's result. Long-lived cross-query caches (the
-  * fitted-model registry in TopicModelOps) intentionally do NOT go through
-  * this registry.
+  * (Bench, Verify, AnalysisRunner callers) wrap each query in `scoped { … }`
+  * — frames tracked on the calling thread inside the block are unpersisted
+  * when the block exits, so one query's release can never evict another
+  * in-flight query's caches in a concurrent service. Frames tracked from
+  * OTHER threads spawned inside a scope (e.g. the grid-search driver
+  * futures) fall back to the process-global scope; sequential harnesses
+  * drain that with `releaseAll()` after each query. Long-lived cross-query
+  * caches (the fitted-model registry in TopicModelOps) intentionally do NOT
+  * go through this registry.
   */
 object Caching {
 
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private final class Scope {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def add(df: DataFrame): Unit = synchronized { frames += df }
+    def release(): Unit = synchronized {
+      frames.foreach(_.unpersist(false))
+      frames.clear()
+    }
+    def size: Int = synchronized(frames.size)
+  }
 
-  /** Persist `df` and register it for the next releaseAll(). */
-  def track(df: DataFrame): DataFrame = synchronized {
+  private val global = new Scope
+  // DynamicVariable = per-thread scope stack; threads the pool created before
+  // a scope opened (shared ExecutionContext workers) resolve to `global`.
+  private val current = new scala.util.DynamicVariable[Scope](global)
+
+  /** Persist `df` and register it with the active scope. */
+  def track(df: DataFrame): DataFrame = {
     df.persist()
-    tracked += df
+    current.value.add(df)
     df
   }
 
-  /** Register an already-persisted frame for the next releaseAll(). */
-  def register(df: DataFrame): DataFrame = synchronized {
-    tracked += df
+  /** Register an already-persisted frame with the active scope. */
+  def register(df: DataFrame): DataFrame = {
+    current.value.add(df)
     df
   }
 
-  /** Unpersist every tracked frame (non-blocking) and clear the registry. */
-  def releaseAll(): Unit = synchronized {
-    tracked.foreach(_.unpersist(false))
-    tracked.clear()
+  /** Run `body` in a fresh cache scope; everything tracked on this thread
+    * inside it is unpersisted (non-blocking) when the block exits.
+    */
+  def scoped[T](body: => T): T = {
+    val s = new Scope
+    try current.withValue(s)(body)
+    finally s.release()
   }
 
-  /** Number of currently tracked frames (spec surface). */
-  def trackedCount: Int = synchronized(tracked.size)
+  /** Unpersist every frame in the process-global scope — the catch-all for
+    * frames tracked outside any `scoped` block (or from pre-existing pool
+    * threads inside one). Sequential harnesses call this between queries.
+    */
+  def releaseAll(): Unit = global.release()
+
+  /** Frames currently tracked in the active scope (spec surface). */
+  def trackedCount: Int = current.value.size
 }

@@ -150,9 +150,9 @@ object TopicExtrasOps {
     * (BERTopic_Analysis.py:589). Rows-only (KMeans-derived clusters).
     */
   def centroidExamples(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = TopicModelOps.clusterEmbeddings(Tables.embeddings(spark, dir), k = 8)
-      .select(col("vec_id"), col("cluster"), unitVector(asDouble(col("embedding"))).as("nv"))
-      .persist()
+    val assigned = graft.Caching.track(
+      TopicModelOps.clusterEmbeddings(Tables.embeddings(spark, dir), k = 8)
+        .select(col("vec_id"), col("cluster"), unitVector(asDouble(col("embedding"))).as("nv")))
     val centroids = assigned.groupBy(col("cluster"))
       .agg(collect_list(col("nv")).as("vs"))
       .select(col("cluster"), expr(
@@ -176,12 +176,11 @@ object TopicExtrasOps {
     */
   def tfidfCosineExamples(docs: DataFrame, classScores: DataFrame, idCol: String,
                           textCol: String, classCol: String, k: Int): DataFrame = {
-    val docTf = docs
+    val docTf = graft.Caching.track(docs
       .select(col(idCol).as("doc_id"), col(classCol).as("cls"),
         explode(tokens(col(textCol))).as("word"))
       .groupBy("doc_id", "cls", "word")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .persist()
+      .agg(count(lit(1)).cast("double").as("tf")))
     val docNorm = docTf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("dn"))
     val clsNorm = classScores.groupBy("cls")
@@ -220,10 +219,9 @@ object TopicExtrasOps {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val tf = docs
+    val tf = graft.Caching.track(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .persist()
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -23,19 +23,19 @@ object AnalysisRunner {
     */
   def runLdaAnalysis(spark: SparkSession, docs: DataFrame, textCol: String,
                      outDir: String, k: Int = 5, maxIter: Int = 20,
-                     topN: Int = 10): Unit = {
+                     topN: Int = 10): Unit = graft.Caching.scoped {
     import spark.implicits._
-    val (vecs, vocab) = TopicModelOps.vectorize(docs, textCol)
-    vecs.persist()
+    val (vecs0, vocab) = TopicModelOps.vectorize(docs, textCol)
+    val vecs = graft.Caching.track(vecs0)
     val model = new org.apache.spark.ml.clustering.LDA()
       .setK(k).setSeed(TopicModelOps.Seed).setMaxIter(maxIter)
       .setOptimizeDocConcentration(true) // reference alpha='auto'
       .setFeaturesCol("features").fit(vecs)
-    val topics = TopicModelOps.describeJoined(spark, model, vocab, topN)
-      .persist()
+    val topics = graft.Caching.track(
+      TopicModelOps.describeJoined(spark, model, vocab, topN))
     // (cls=topic, rank, word) shape reused by every keyword-family operator
-    val kw = topics.select(col("topic").cast("string").as("cls"),
-      col("rank"), col("term").as("word")).persist()
+    val kw = graft.Caching.track(topics.select(col("topic").cast("string").as("cls"),
+      col("rank"), col("term").as("word")))
 
     val perTopicCoherence = topics
       .select(col("topic"), col("rank").as("rank"), col("term").as("word"))
@@ -89,12 +89,12 @@ object AnalysisRunner {
     */
   def runClusterAnalysis(spark: SparkSession, docs: DataFrame,
                          embeddings: DataFrame, idCol: String, textCol: String,
-                         outDir: String, k: Int = 8): Unit = {
+                         outDir: String, k: Int = 8): Unit = graft.Caching.scoped {
     val clusters = TopicModelOps.clusterEmbeddings(embeddings, k)
       .select(col("vec_id").as(idCol), col("cluster"))
-    val clustered = docs.join(clusters, idCol).persist()
-    val kw = TopicMetricsOps.ctfidfKeywords(clustered, "cluster", textCol, 10)
-      .persist()
+    val clustered = graft.Caching.track(docs.join(clusters, idCol))
+    val kw = graft.Caching.track(
+      TopicMetricsOps.ctfidfKeywords(clustered, "cluster", textCol, 10))
     ReportSink.write(outDir, Seq(
       "keywords" -> kw,
       "keywords_dedup" -> TopicMetricsOps.dedupKeywords(kw, 5),

@@ -196,6 +196,7 @@ object SparkEntry {
     "topic_diversity" -> TopicMetricsOps.diversityByLang,
     "topic_keyword_dedup" -> TopicMetricsOps.dedupKeywordsByLang,
     "topic_umass" -> TopicMetricsOps.umassTop10,
+    "topic_umass_by_class" -> TopicMetricsOps.umassByLang,
     "topic_cnpmi" -> TopicMetricsOps.npmiTop10,
     "topic_cuci" -> TopicMetricsOps.uciTop10,
     "topic_cv" -> TopicMetricsOps.cvTop10,
@@ -667,6 +668,39 @@ object SparkEntry {
          |  JOIN (SELECT word AS wj, d FROM dj) USING (wj))
          |SELECT count(*) AS n_pairs, round(avg(ps), 4) AS umass
          |FROM scored""".stripMargin,
+    "topic_umass_by_class" ->
+      s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |tw AS (
+         |  SELECT cls, word, CAST(rank AS INT) AS rank FROM (
+         |    SELECT cls, word,
+         |      row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS rank
+         |    FROM scored) WHERE rank <= 10),
+         |presence AS (
+         |  SELECT doc_id, cls, word, rank
+         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS word FROM documents)
+         |  JOIN tw USING (word)),
+         |dj AS (SELECT cls, word, rank, count(*) AS d FROM presence GROUP BY 1, 2, 3),
+         |dij AS (
+         |  SELECT a.cls AS cls, a.word AS wi, b.word AS wj, count(*) AS dij
+         |  FROM presence a JOIN presence b
+         |    ON a.doc_id = b.doc_id AND a.cls = b.cls AND a.rank > b.rank
+         |  GROUP BY 1, 2, 3),
+         |pairs AS (
+         |  SELECT i.cls AS cls, i.word AS wi, j.word AS wj
+         |  FROM tw i JOIN tw j ON i.cls = j.cls AND i.rank > j.rank),
+         |ps AS (
+         |  SELECT cls, ln((coalesce(dij, 0) + 1.0) / d) AS ps
+         |  FROM pairs
+         |  LEFT JOIN dij USING (cls, wi, wj)
+         |  JOIN (SELECT cls, word AS wj, d FROM dj) USING (cls, wj))
+         |SELECT cls, count(*) AS n_pairs, round(avg(ps), 4) AS umass
+         |FROM ps GROUP BY 1""".stripMargin,
     "topic_cnpmi" ->
       s"""WITH ${coherenceCtes(10)},
          |scored AS (

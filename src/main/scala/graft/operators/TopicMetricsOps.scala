@@ -95,32 +95,52 @@ object TopicMetricsOps {
     * (it is broadcast); the corpus side is one explode + two tiny groupBys.
     */
   def umassCoherence(docs: DataFrame, textCol: String,
-                     topWords: DataFrame): DataFrame = {
+                     topWords: DataFrame): DataFrame =
+    umassByClass(docs, textCol, topWords.withColumn("cls", lit(0)))
+      .select(col("n_pairs"), col("umass"))
+
+  /** Per-class u_mass over (cls, word, rank) topic-word lists — every class
+    * scored from ONE corpus scan (the reference scores K topics with K
+    * sequential gensim passes, LDA_Analysis.py:286-308; here the class key
+    * rides the presence join so K never multiplies the scan count).
+    * Returns (cls, n_pairs, umass) ordered by cls.
+    */
+  def umassByClass(docs: DataFrame, textCol: String,
+                   topicWords: DataFrame): DataFrame = {
     val presence = graft.Caching.track(docs
       .select(monotonically_increasing_id().as("doc"),
         array_distinct(tokens(col(textCol))).as("set"))
       .select(col("doc"), explode(col("set")).as("word"))
-      .join(broadcast(topWords), "word")) // keeps (doc, word, rank) hits only
-    val dj = presence.groupBy(col("word"), col("rank"))
+      .join(broadcast(topicWords), "word")) // (doc, cls, word, rank) hits only
+    val dj = presence.groupBy(col("cls"), col("word"), col("rank"))
       .agg(count(lit(1)).as("d"))
     val dij = presence.as("a")
       .join(presence.as("b"), col("a.doc") === col("b.doc") &&
-        col("a.rank") > col("b.rank"))
-      .groupBy(col("a.word").as("wi"), col("b.word").as("wj"))
+        col("a.cls") === col("b.cls") && col("a.rank") > col("b.rank"))
+      .groupBy(col("a.cls").as("cls"), col("a.word").as("wi"), col("b.word").as("wj"))
       .agg(count(lit(1)).as("dij"))
-    val pairs = topWords.as("i")
-      .crossJoin(topWords.as("j"))
-      .filter(col("i.rank") > col("j.rank"))
-      .select(col("i.word").as("wi"), col("i.rank").as("ri"),
-        col("j.word").as("wj"), col("j.rank").as("rj"))
+    val pairs = topicWords.as("i")
+      .join(topicWords.as("j"),
+        col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
+      .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
     pairs
-      .join(broadcast(dij), Seq("wi", "wj"), "left")
-      .join(broadcast(dj.select(col("word").as("wj"), col("d").as("dj"))), Seq("wj"))
+      .join(broadcast(dij), Seq("cls", "wi", "wj"), "left")
+      .join(broadcast(dj.select(col("cls"), col("word").as("wj"), col("d").as("dj"))),
+        Seq("cls", "wj"))
       .withColumn("pair_score",
         log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
+      .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("pair_score")), 4).as("umass"))
+      .orderBy("cls")
   }
+
+  /** Query: per-language u_mass of each class's top-10 c-TF-IDF keywords —
+    * the grouped-coherence path under an exact SQL oracle.
+    */
+  def umassByLang(spark: SparkSession, dir: String): DataFrame =
+    umassByClass(Tables.documents(spark, dir), "text",
+      ctfidfByLang(spark, dir).select(col("cls"), col("word"), col("rank")))
 
   /** C_NPMI coherence (Röder et al. 2015's boolean-sliding-window family,
     * the c_npmi the reference computes via gensim, LDA_Analysis.py:286-308):
@@ -135,13 +155,24 @@ object TopicMetricsOps {
     * groupBys and a K² pair join.
     */
   def npmiCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
-                    windowSize: Int = 10): DataFrame = {
+                    windowSize: Int = 10): DataFrame =
+    npmiByClass(docs, textCol, topWords.withColumn("cls", lit(0)), windowSize)
+      .select(col("n_pairs"), col("c_npmi"))
+
+  /** Per-class C_NPMI over (cls, word, rank) topic-word lists — all classes
+    * from one corpus scan (window presence carries the class key).
+    * Returns (cls, n_pairs, c_npmi) ordered by cls.
+    */
+  def npmiByClass(docs: DataFrame, textCol: String, topicWords: DataFrame,
+                  windowSize: Int = 10): DataFrame = {
     val eps = 1e-12
-    pairProbabilities(docs, textCol, topWords, windowSize)
+    pairProbabilitiesByClass(docs, textCol, topicWords, windowSize)
       .withColumn("npmi",
         log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
           / -log(col("p_ij") + eps))
+      .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_pairs"), round(avg(col("npmi")), 4).as("c_npmi"))
+      .orderBy("cls")
   }
 
   /** Query: C_NPMI coherence of the global top-10 words (window 10). */
@@ -210,23 +241,36 @@ object TopicMetricsOps {
     * words (shared core of the sliding-window coherence family).
     */
   def pairProbabilities(docs: DataFrame, textCol: String, topWords: DataFrame,
-                        windowSize: Int): DataFrame = {
-    val (presence, totals) = windowPresence(docs, textCol, topWords, windowSize)
-    val pw = presence.groupBy(col("word"), col("rank"))
+                        windowSize: Int): DataFrame =
+    pairProbabilitiesByClass(docs, textCol,
+      topWords.withColumn("cls", lit(0)), windowSize).drop("cls")
+
+  /** Grouped core: window-containment probabilities per (cls, pair). The
+    * class key rides the presence join, so scoring K topics costs the same
+    * corpus scan as scoring one.
+    */
+  def pairProbabilitiesByClass(docs: DataFrame, textCol: String,
+                               topicWords: DataFrame,
+                               windowSize: Int): DataFrame = {
+    val (presence, totals) = windowPresence(docs, textCol, topicWords, windowSize)
+    val pw = presence.groupBy(col("cls"), col("word"), col("rank"))
       .agg(count(lit(1)).as("cw"))
     val pij = presence.as("a")
       .join(presence.as("b"),
         col("a.doc") === col("b.doc") && col("a.ws") === col("b.ws") &&
-          col("a.rank") > col("b.rank"))
-      .groupBy(col("a.word").as("wi"), col("b.word").as("wj"))
+          col("a.cls") === col("b.cls") && col("a.rank") > col("b.rank"))
+      .groupBy(col("a.cls").as("cls"), col("a.word").as("wi"), col("b.word").as("wj"))
       .agg(count(lit(1)).as("cij"))
-    val pairs = topWords.as("i").crossJoin(topWords.as("j"))
-      .filter(col("i.rank") > col("j.rank"))
-      .select(col("i.word").as("wi"), col("j.word").as("wj"))
+    val pairs = topicWords.as("i")
+      .join(topicWords.as("j"),
+        col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
+      .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
     pairs
-      .join(broadcast(pij), Seq("wi", "wj"), "left")
-      .join(broadcast(pw.select(col("word").as("wi"), col("cw").as("ci"))), "wi")
-      .join(broadcast(pw.select(col("word").as("wj"), col("cw").as("cj"))), "wj")
+      .join(broadcast(pij), Seq("cls", "wi", "wj"), "left")
+      .join(broadcast(pw.select(col("cls"), col("word").as("wi"), col("cw").as("ci"))),
+        Seq("cls", "wi"))
+      .join(broadcast(pw.select(col("cls"), col("word").as("wj"), col("cw").as("cj"))),
+        Seq("cls", "wj"))
       .crossJoin(broadcast(totals))
       .withColumn("p_ij",
         coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
@@ -236,7 +280,7 @@ object TopicMetricsOps {
 
   /** (presence of topic words in sliding windows, total window count). */
   private def windowPresence(docs: DataFrame, textCol: String,
-                             topWords: DataFrame,
+                             topicWords: DataFrame,
                              windowSize: Int): (DataFrame, DataFrame) = {
     val toks = graft.Caching.track(docs
       .select(monotonically_increasing_id().as("doc"), tokens(col(textCol)).as("toks"))
@@ -246,9 +290,9 @@ object TopicMetricsOps {
     val presence = toks
       .select(col("doc"), size(col("toks")).as("t"),
         posexplode(col("toks")).as(Seq("pos0", "word")))
-      .join(broadcast(topWords), "word")
+      .join(broadcast(topicWords), "word")
       .withColumn("p", col("pos0") + 1)
-      .select(col("doc"), col("word"), col("rank"),
+      .select(col("doc"), col("cls"), col("word"), col("rank"),
         explode(sequence(
           greatest(lit(1), col("p") - (windowSize - 1)),
           least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))

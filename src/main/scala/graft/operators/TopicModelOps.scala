@@ -218,16 +218,21 @@ object TopicModelOps {
                         docs: DataFrame, k: Int): (Int, Double) = {
     import spark.implicits._
     {
-      val (vecs, vocab, model) = fittedLda(spark, dir, k, 10)
-      val topWords = model.describeTopics(10)
-        .select(explode(col("termIndices")).as("termId"))
-        .distinct()
-        .collect().map(_.getInt(0))
-        .map(vocab(_))
-      val tw = topWords.zipWithIndex
-        .map { case (wrd, i) => (wrd, i + 1) }.toSeq.toDF("word", "rank")
-      val um = TopicMetricsOps.umassCoherence(docs, "text", tw)
-        .collect()(0).getDouble(1)
+      val (_, vocab, model) = fittedLda(spark, dir, k, 10)
+      // Per-topic ranked words in describeTopics order — deterministic for a
+      // seeded fit (the old pooled distinct() assigned ranks in shuffle
+      // order, so scores varied run-to-run). Scored per topic in ONE corpus
+      // scan, then averaged — gensim's per-topic aggregation
+      // (LDA_Analysis.py:286-308).
+      val topicWords = model.describeTopics(10).collect().flatMap { r =>
+        val topic = r.getInt(0)
+        r.getSeq[Int](1).zipWithIndex.map { case (tid, i) =>
+          (topic, vocab(tid), i + 1)
+        }
+      }.toSeq.toDF("cls", "word", "rank")
+      val um = TopicMetricsOps.umassByClass(docs, "text", topicWords)
+        .agg(round(avg(col("umass")), 4))
+        .collect()(0).getDouble(0)
       (k, um)
     }
   }

@@ -37,18 +37,15 @@ object AnalysisRunner {
     val kw = graft.Caching.track(topics.select(col("topic").cast("string").as("cls"),
       col("rank"), col("term").as("word")))
 
-    val perTopicCoherence = topics
-      .select(col("topic"), col("rank").as("rank"), col("term").as("word"))
-      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (topic, rows) =>
-        val tw = rows.map(r => (r.getString(2), r.getInt(1))).toSeq
-          .toDF("word", "rank")
-        val um = TopicMetricsOps.umassCoherence(docs, textCol, tw)
-          .collect()(0).getDouble(1)
-        val np = TopicMetricsOps.npmiCoherence(docs, textCol, tw)
-          .collect()(0).getDouble(1)
-        (topic, um, np)
-      }.toDF("topic", "umass", "c_npmi")
+    // all K topics scored in ONE corpus scan per measure (the old driver
+    // loop re-scanned the corpus 2·K times, once per topic per measure)
+    val topicWords = topics
+      .select(col("topic").as("cls"), col("term").as("word"), col("rank"))
+    val perTopicCoherence = TopicMetricsOps.umassByClass(docs, textCol, topicWords)
+      .select(col("cls").as("topic"), col("umass"))
+      .join(TopicMetricsOps.npmiByClass(docs, textCol, topicWords)
+        .select(col("cls").as("topic"), col("c_npmi")), "topic")
+      .orderBy("topic")
 
     // F7 — the reference's "keyword1, keyword2, …" report strings with
     // 4-decimal weights (LDA_Analysis.py:482,523-524)

@@ -77,4 +77,10 @@ class TopicModelSpec extends SparkSuite {
     assert(rows.map(_.getInt(2)).sum == 1)
     assert(rows.forall(_.getDouble(1) <= 0.0)) // u_mass is non-positive
   }
+
+  test("lda grid search is reproducible run-to-run (seed-42 contract)") {
+    def run() = TopicModelOps.ldaGridSearch(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(run() === run())
+  }
 }

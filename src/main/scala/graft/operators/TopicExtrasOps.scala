@@ -74,7 +74,7 @@ object TopicExtrasOps {
     * (rows-only: trains KMeans).
     */
   def reducedTopicSizes(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = TopicModelOps.clusterEmbeddings(Tables.embeddings(spark, dir), k = 8)
+    val assigned = TopicModelOps.fittedClusters(spark, dir, k = 8)
       .select(col("vec_id").as("id"), col("cluster"),
         asDouble(col("embedding")).as("vector"))
     reduceTopics(assigned, target = 4)
@@ -150,9 +150,10 @@ object TopicExtrasOps {
     * (BERTopic_Analysis.py:589). Rows-only (KMeans-derived clusters).
     */
   def centroidExamples(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = graft.Caching.track(
-      TopicModelOps.clusterEmbeddings(Tables.embeddings(spark, dir), k = 8)
-        .select(col("vec_id"), col("cluster"), unitVector(asDouble(col("embedding"))).as("nv")))
+    // projection over the shared persisted k=8 assignment — no refit, and the
+    // derived frame is cheap enough to evaluate twice (centroids + join)
+    val assigned = TopicModelOps.fittedClusters(spark, dir, k = 8)
+      .select(col("vec_id"), col("cluster"), unitVector(asDouble(col("embedding"))).as("nv"))
     val centroids = assigned.groupBy(col("cluster"))
       .agg(collect_list(col("nv")).as("vs"))
       .select(col("cluster"), expr(

@@ -115,33 +115,40 @@ object TopicModelOps {
     describeJoined(spark, model, vocab, 10)
   }
 
+  /** Shared LDA inference frame: doc rows + (dist, maxp, topic) — persisted
+    * once so `lda_dominant` and `lda_top_docs` don't each re-run
+    * model.transform over the corpus.
+    */
+  private def ldaInferred(spark: SparkSession, dir: String, k: Int,
+                          maxIter: Int): DataFrame =
+    cached(s"ldaT:$dir:$k:$maxIter") {
+      val (vecs, _, model) = fittedLda(spark, dir, k, maxIter)
+      model.transform(vecs)
+        .withColumn("dist", vector_to_array(col("topicDistribution")))
+        .withColumn("maxp", array_max(col("dist")))
+        .withColumn("topic",
+          (array_position(col("dist"), col("maxp")) - 1).cast("int"))
+        .select("doc_id", "text", "topic", "maxp")
+        .persist()
+    }
+
   /** Doc-topic inference + dominant-topic histogram (M2+A5): count docs per
     * dominant topic where the max probability clears the reference's 0.3 bar.
     */
-  def ldaDominantTopics(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, _, model) = fittedLda(spark, dir, 5, 20)
-    model.transform(vecs)
-      .withColumn("dist", vector_to_array(col("topicDistribution")))
-      .withColumn("maxp", array_max(col("dist")))
-      .withColumn("topic",
-        (array_position(col("dist"), col("maxp")) - 1).cast("int"))
+  def ldaDominantTopics(spark: SparkSession, dir: String): DataFrame =
+    ldaInferred(spark, dir, 5, 20)
       .filter(col("maxp") > 0.3)
       .groupBy("topic")
       .agg(count(lit(1)).as("n_docs"), round(avg("maxp"), 4).as("avg_prob"))
       .orderBy("topic")
-  }
 
   /** Top-k example docs per topic by dominant probability, text truncated to
     * 200 chars (W2; LDA_Analysis.py:443-453).
     */
   def ldaTopDocs(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, _, model) = fittedLda(spark, dir, 5, 20)
     val w = Window.partitionBy("topic").orderBy(col("prob").desc, col("doc_id"))
-    model.transform(vecs)
-      .withColumn("dist", vector_to_array(col("topicDistribution")))
-      .withColumn("prob", array_max(col("dist")))
-      .withColumn("topic",
-        (array_position(col("dist"), col("prob")) - 1).cast("int"))
+    ldaInferred(spark, dir, 5, 20)
+      .withColumn("prob", col("maxp"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("topic"), col("rank"), col("doc_id"),
@@ -155,19 +162,25 @@ object TopicModelOps {
     val vecs = embs.withColumn("vec", array_to_vector(col("embedding")))
     val pca = new PCA().setInputCol("vec").setOutputCol("pca")
       .setK(pcaDims).fit(vecs)
+    // one PCA evaluation feeds both the KMeans fit and the assignment scan
+    val feat = graft.Caching.track(pca.transform(vecs))
     val km = new KMeans().setK(k).setSeed(Seed).setFeaturesCol("pca")
       .setPredictionCol("cluster")
-    km.fit(pca.transform(vecs)).transform(pca.transform(vecs))
+    km.fit(feat).transform(feat)
   }
 
   /** Query: KMeans cluster profile vs ground-truth labels — size, dominant
     * label, purity (M8/M9 quality surface).
     */
-  /** Shared PCA+KMeans assignment over the embeddings fixture. */
-  private def fittedClusters(spark: SparkSession, dir: String, k: Int): DataFrame =
+  /** Shared PCA+KMeans assignment over the embeddings fixture — keeps the
+    * raw embedding so every k=8 consumer (profile, keywords, reduction,
+    * centroid examples) reads this one persisted frame instead of refitting.
+    */
+  private[operators] def fittedClusters(spark: SparkSession, dir: String,
+                                        k: Int): DataFrame =
     cached(s"km:$dir:$k") {
       clusterEmbeddings(Tables.embeddings(spark, dir), k)
-        .select("vec_id", "cluster", "label").persist()
+        .select("vec_id", "cluster", "label", "embedding").persist()
     }
 
   def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {

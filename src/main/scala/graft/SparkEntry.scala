@@ -212,6 +212,7 @@ object SparkEntry {
     "lda_top_docs" -> TopicModelOps.ldaTopDocs,
     "lda_grid" -> TopicModelOps.ldaGridSearch,
     "kmeans_profile" -> TopicModelOps.kmeansProfile,
+    "cluster_noise" -> TopicModelOps.clusterNoiseProfile,
     "bertopic_keywords" -> TopicModelOps.bertopicKeywords,
     "topic_reduce" -> TopicExtrasOps.reducedTopicSizes,
     "topic_examples_embed" -> TopicExtrasOps.centroidExamples,

@@ -169,6 +169,61 @@ object TopicModelOps {
     km.fit(feat).transform(feat)
   }
 
+  /** M8 noise semantics: HDBSCAN labels outliers cluster −1, and the
+    * reference filters that label before keywords/diversity/examples
+    * (/root/reference/BERTopic_Analysis.py:395,438-439,474-475,549-550,
+    * 695-697). The KMeans stand-in has no noise concept, so emulate it:
+    * points farther from their cluster's empirical PCA-space centroid than
+    * mean + `noiseSigmas`·σ of their cluster's distance distribution are
+    * relabeled −1. Fully distributed: per-dim centroid means via one
+    * explode+groupBy (k·dims rows), thresholds via one more agg, both
+    * broadcast back.
+    */
+  def clusterEmbeddingsWithNoise(embs: DataFrame, k: Int, pcaDims: Int = 5,
+                                 noiseSigmas: Double = 2.0): DataFrame = {
+    val assigned = graft.Caching.track(
+      clusterEmbeddings(embs, k, pcaDims)
+        .withColumn("p", vector_to_array(col("pca"))))
+    val cents = assigned
+      .select(col("cluster"), posexplode(col("p")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg("x").as("m"))
+      .groupBy("cluster")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val withDist = graft.Caching.track(assigned
+      .join(broadcast(cents), "cluster")
+      .withColumn("d", expr(
+        "sqrt(aggregate(zip_with(p, centroid, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))")))
+    val thr = withDist.groupBy("cluster")
+      .agg((avg("d") + stddev_pop(col("d")) * noiseSigmas).as("thr"))
+    withDist
+      .join(broadcast(thr), "cluster")
+      .withColumn("cluster",
+        when(col("d") > col("thr"), lit(-1)).otherwise(col("cluster")))
+      .select("vec_id", "cluster", "label", "embedding")
+  }
+
+  /** Shared noise-labeled assignment (the cluster path's default — the pure
+    * exact-k assignment stays available via fittedClusters/kmeansProfile).
+    */
+  private[operators] def fittedNoisyClusters(spark: SparkSession, dir: String,
+                                             k: Int): DataFrame =
+    cached(s"kmNoise:$dir:$k") {
+      clusterEmbeddingsWithNoise(Tables.embeddings(spark, dir), k).persist()
+    }
+
+  /** Query: cluster sizes including the emulated noise cluster −1 (P9/M8
+    * surface — the share column is the reference's outlier-rate report).
+    */
+  def clusterNoiseProfile(spark: SparkSession, dir: String): DataFrame = {
+    val a = fittedNoisyClusters(spark, dir, 8)
+    a.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("n_total"))))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 4).as("share"))
+      .orderBy("cluster")
+  }
+
   /** Query: KMeans cluster profile vs ground-truth labels — size, dominant
     * label, purity (M8/M9 quality surface).
     */
@@ -204,7 +259,10 @@ object TopicModelOps {
     * (vec_id = doc_id), standing in for the sentence-embedding stage.
     */
   def bertopicKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = fittedClusters(spark, dir, 8)
+    // noise docs (cluster −1) are excluded from keyword extraction, matching
+    // the reference's filter (BERTopic_Analysis.py:395) — P9
+    val clusters = fittedNoisyClusters(spark, dir, 8)
+      .filter(col("cluster") =!= -1)
       .select(col("vec_id").as("doc_id"), col("cluster"))
     val docs = Tables.documents(spark, dir).join(clusters, "doc_id")
     TopicMetricsOps.ctfidfKeywords(docs, "cluster", "text", 10)

@@ -87,20 +87,24 @@ object AnalysisRunner {
   def runClusterAnalysis(spark: SparkSession, docs: DataFrame,
                          embeddings: DataFrame, idCol: String, textCol: String,
                          outDir: String, k: Int = 8): Unit = graft.Caching.scoped {
-    val clusters = TopicModelOps.clusterEmbeddings(embeddings, k)
+    val clusters = TopicModelOps.clusterEmbeddingsWithNoise(embeddings, k)
       .select(col("vec_id").as(idCol), col("cluster"))
     val clustered = graft.Caching.track(docs.join(clusters, idCol))
+    // noise docs (cluster −1) stay in the size report but are excluded from
+    // every keyword-derived sheet, as the reference does
+    // (BERTopic_Analysis.py:395,438-439,474-475,549-550,695-697)
+    val denoised = clustered.filter(col("cluster") =!= -1)
     val kw = graft.Caching.track(
-      TopicMetricsOps.ctfidfKeywords(clustered, "cluster", textCol, 10))
+      TopicMetricsOps.ctfidfKeywords(denoised, "cluster", textCol, 10))
     ReportSink.write(outDir, Seq(
       "keywords" -> kw,
       "keywords_dedup" -> TopicMetricsOps.dedupKeywords(kw, 5),
       "sizes" -> clustered.groupBy("cluster").agg(count(lit(1)).as("n_docs")),
       "diversity" -> TopicMetricsOps.topicDiversity(kw),
       "similarity" -> TopicMetricsOps.classSimilarityMatrix(
-        clustered, "cluster", textCol),
+        denoised, "cluster", textCol),
       "examples" -> TopicExtrasOps.jaccardExamples(
-        clustered, kw, idCol, textCol, "cluster", 3),
+        denoised, kw, idCol, textCol, "cluster", 3),
       "interpretation" -> TopicExtrasOps.interpretKeywords(kw),
       "summary" -> clustered.agg(
         count(lit(1)).as("n_docs"), lit(k).as("n_clusters"))))

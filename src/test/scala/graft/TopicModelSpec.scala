@@ -78,6 +78,20 @@ class TopicModelSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(1) <= 0.0)) // u_mass is non-positive
   }
 
+  test("noise emulation: labels a small outlier share -1, keeps the rest partitioned") {
+    val rows = TopicModelOps.clusterNoiseProfile(spark, dir).collect()
+    val byCluster = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCluster.keySet.subsetOf((-1 to 7).toSet))
+    assert(byCluster.values.sum === 500)
+    val noise = byCluster.getOrElse(-1, 0L)
+    assert(noise > 0, "2-sigma threshold should flag some outliers")
+    assert(noise < 100, "noise must stay a small outlier share")
+    // keyword extraction must not see the noise cluster (P9)
+    val kwClusters = TopicModelOps.bertopicKeywords(spark, dir)
+      .select("cls").distinct().collect().map(_.get(0).toString).toSet
+    assert(!kwClusters.contains("-1"))
+  }
+
   test("lda grid search is reproducible run-to-run (seed-42 contract)") {
     def run() = TopicModelOps.ldaGridSearch(spark, dir).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).sortBy(_._1).toSeq

@@ -32,6 +32,13 @@ object HashFunctions {
 
   /** Code points of a string as array<long> (one regex split per string —
     * hash from these, never per-substring).
+    *
+    * Supplementary-plane behavior: Spark 4's split("") segments on code
+    * points (not UTF-16 units) and ascii() returns the true code point, so
+    * this agrees with HashKernels' codePoints and DuckDB's unicode() even
+    * for non-BMP characters — pinned by HashKernelsSpec. In the pipeline the
+    * question is moot anyway: every caller feeds `TextFunctions.normalized`
+    * output, whose [a-z0-9가-힣] class strips non-BMP input first.
     */
   def codepoints(s: Column): Column =
     transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long"))

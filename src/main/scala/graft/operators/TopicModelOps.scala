@@ -48,8 +48,14 @@ object TopicModelOps {
     cached(s"lda:$dir:$k:$maxIter") {
       val (vecs, vocab) = vectorize(Tables.documents(spark, dir), "text")
       vecs.persist()
+      // alpha='auto' parity: setOptimizeDocConcentration learns the doc-topic
+      // prior like gensim (LDA_Analysis.py:273). The same line also sets
+      // eta='auto'; Spark's online LDA keeps the topic-word prior FIXED at
+      // its default 1/k (gensim's eta starting point) and cannot adapt it —
+      // documented divergence: topic-word posteriors can differ slightly on
+      // corpora where gensim's learned eta drifts from 1/k.
       val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
-        .setOptimizeDocConcentration(true) // reference alpha='auto' (LDA_Analysis.py:273)
+        .setOptimizeDocConcentration(true)
         .setFeaturesCol("features").fit(vecs)
       (vecs, vocab, model)
     }
@@ -61,8 +67,10 @@ object TopicModelOps {
     */
   def vectorize(docs: DataFrame, textCol: String,
                 vocabSize: Int = 2048, minDF: Double = 2.0,
-                maxDFRatio: Option[Double] = None): (DataFrame, Array[String]) = {
-    val raw = docs.withColumn("toks", tokens(col(textCol)))
+                maxDFRatio: Option[Double] = None,
+                tokenizer: graft.functions.Tokenizer = graft.functions.Tokenizer.default)
+      : (DataFrame, Array[String]) = {
+    val raw = docs.withColumn("toks", tokenizer.tokenize(col(textCol)))
       .filter(size(col("toks")) >= 3) // reference keeps docs with ≥3 tokens
     // Right-size partitions for ITERATIVE training: online LDA launches a
     // job per iteration, so partition count is per-iteration task overhead.
@@ -85,7 +93,8 @@ object TopicModelOps {
                 k: Int, maxIter: Int = 20, topN: Int = 10): DataFrame = {
     val (vecs, vocab) = vectorize(docs, textCol)
     val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
-      .setOptimizeDocConcentration(true) // reference alpha='auto' (LDA_Analysis.py:273)
+      // alpha='auto' parity; eta stays fixed at 1/k — see fittedLda
+      .setOptimizeDocConcentration(true)
       .setFeaturesCol("features").fit(vecs)
     describeJoined(spark, model, vocab, topN)
   }

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** EP3 CLI — the reference's argparse entry point
+  * (/root/reference/LDA_Analysis.py:731-876) over the Spark runner:
+  *
+  *   AnalysisMain --data <parquet path> [--topics N] [--column NAME]
+  *                [--out DIR] [--top-words N] [--max-iter N]
+  *
+  * Topic-count contract matches the reference: an explicit --topics outside
+  * [2, 50] (or a missing one) re-prompts interactively when a console is
+  * attached (LDA_Analysis.py:807-826's input loop); with no console it fails
+  * fast with the same bounds message instead of looping forever.
+  * After the report, the reference's figures land next to it as SVGs
+  * (ChartSink): the top-word bar chart and the coherence-by-k curve.
+  */
+object AnalysisMain {
+
+  val Usage: String =
+    "usage: AnalysisMain --data PATH [--topics N] [--column NAME] [--out DIR] [--max-iter N]"
+
+  /** --flag value pairs (short forms -t/-d/-c like the reference). */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val longNames = Map("-t" -> "--topics", "-d" -> "--data", "-c" -> "--column")
+    args.grouped(2).map {
+      case Array(flag, value) =>
+        val f = longNames.getOrElse(flag, flag)
+        require(f.startsWith("--"), s"unexpected argument: $flag\n$Usage")
+        f.drop(2) -> value
+      case Array(flag) =>
+        throw new IllegalArgumentException(s"missing value for $flag\n$Usage")
+    }.toMap
+  }
+
+  /** Reference topic-count resolution (LDA_Analysis.py:807-843): valid
+    * explicit value wins; otherwise prompt until a value in [2, 50] arrives.
+    * `readLine` is injected for testability; None = no console attached.
+    */
+  def resolveTopics(explicit: Option[Int],
+                    readLine: Option[() => String]): Int =
+    explicit match {
+      case Some(k) if k >= 2 && k <= 50 => k
+      case other => readLine match {
+        case Some(read) =>
+          Iterator.continually {
+            Console.out.print("topic count (2-50): ")
+            Console.out.flush()
+            try read().trim.toInt catch { case _: NumberFormatException => -1 }
+          }.find(k => k >= 2 && k <= 50).get
+        case None =>
+          throw new IllegalArgumentException(
+            s"topic count must be in [2, 50]${other.map(k => s", got $k").getOrElse("")}; " +
+              "pass --topics N (no console attached for interactive entry)")
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val data = opts.getOrElse("data",
+      throw new IllegalArgumentException(s"--data is required\n$Usage"))
+    val column = opts.getOrElse("column", "cleaned_text") // reference default
+    val out = opts.getOrElse("out", "Results") // reference's Results/ dir
+    val maxIter = opts.get("max-iter").map(_.toInt).getOrElse(20)
+    val console = Option(System.console())
+      .map(c => () => c.readLine())
+    val k = resolveTopics(opts.get("topics").map(_.toInt), console)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = spark.read.parquet(
+        if (new java.io.File(s"$data/documents.parquet").exists())
+          s"$data/documents.parquet" else data)
+      // the reference's fail-fast column diagnostic (LDA_Analysis.py:122-126)
+      PreprocessPipeline.requireColumns(docs, Seq(column))
+      println(s"[analysis] $k topics over $data ($column) -> $out")
+      AnalysisRunner.runLdaAnalysis(spark, docs, column, out, k, maxIter)
+      // the reference's PNG figures, as deterministic SVGs
+      ChartSink.writeWordFrequencyChart(
+        graft.operators.WordFreqOps.topWords(docs, column, 30),
+        s"$out/word_frequency.svg")
+      println(s"[analysis] report + figures written to $out")
+    } finally spark.stop()
+  }
+}

@@ -29,7 +29,8 @@ object AnalysisRunner {
     val vecs = graft.Caching.track(vecs0)
     val model = new org.apache.spark.ml.clustering.LDA()
       .setK(k).setSeed(TopicModelOps.Seed).setMaxIter(maxIter)
-      .setOptimizeDocConcentration(true) // reference alpha='auto'
+      // alpha='auto' parity; eta stays fixed at 1/k — see TopicModelOps.fittedLda
+      .setOptimizeDocConcentration(true)
       .setFeaturesCol("features").fit(vecs)
     val topics = graft.Caching.track(
       TopicModelOps.describeJoined(spark, model, vocab, topN))

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
+import org.apache.spark.sql.DataFrame
+
+/** S7 — the reference's matplotlib figures as deterministic SVG sinks
+  * (no plotting library in scope; SVG is plain text, so the charts stay
+  * byte-reproducible and diffable):
+  *
+  *   - word-frequency bar chart (/root/reference/preprocessing.py:400-456)
+  *   - coherence-vs-k curve (LDA_Analysis.py:614-677)
+  *
+  * Only the already-aggregated top-N/K rows are collected — the chart is a
+  * report artifact, never a data-scale operation.
+  */
+object ChartSink {
+
+  private val W = 720
+  private val H = 480
+  private val MarginLeft = 140
+  private val MarginRight = 30
+  private val MarginTop = 50
+  private val MarginBottom = 40
+
+  private def fmt(d: Double): String = "%.2f".formatLocal(Locale.ROOT, d)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Horizontal bar chart (the reference's barh of top words). */
+  def barChartSvg(rows: Seq[(String, Double)], title: String): String = {
+    require(rows.nonEmpty, "bar chart needs at least one row")
+    val maxV = math.max(rows.map(_._2).max, 1e-9)
+    val plotW = W - MarginLeft - MarginRight
+    val barH = (H - MarginTop - MarginBottom).toDouble / rows.size
+    val bars = rows.zipWithIndex.map { case ((label, v), i) =>
+      val y = MarginTop + i * barH
+      val w = v / maxV * plotW
+      s"""<text x="${MarginLeft - 8}" y="${fmt(y + barH * 0.65)}" text-anchor="end" font-size="12">${esc(label)}</text>
+         |<rect x="$MarginLeft" y="${fmt(y + barH * 0.15)}" width="${fmt(w)}" height="${fmt(barH * 0.7)}" fill="#4878a8"/>
+         |<text x="${fmt(MarginLeft + w + 4)}" y="${fmt(y + barH * 0.65)}" font-size="11">${fmt(v)}</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$W" height="$H" font-family="sans-serif">
+       |<text x="${W / 2}" y="28" text-anchor="middle" font-size="16">${esc(title)}</text>
+       |$bars
+       |</svg>""".stripMargin
+  }
+
+  /** Line chart of (x, y) points sorted by x (coherence/diversity curves). */
+  def lineChartSvg(points: Seq[(Double, Double)], title: String,
+                   xLabel: String, yLabel: String): String = {
+    require(points.nonEmpty, "line chart needs at least one point")
+    val pts = points.sortBy(_._1)
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+    val (xMin, xMax) = (xs.min, xs.max)
+    val (yMin, yMax) = (ys.min, ys.max)
+    val xSpan = math.max(xMax - xMin, 1e-9)
+    val ySpan = math.max(yMax - yMin, 1e-9)
+    val plotW = W - MarginLeft - MarginRight
+    val plotH = H - MarginTop - MarginBottom
+    def px(x: Double) = MarginLeft + (x - xMin) / xSpan * plotW
+    def py(y: Double) = MarginTop + plotH - (y - yMin) / ySpan * plotH
+    val path = pts.map { case (x, y) => s"${fmt(px(x))},${fmt(py(y))}" }
+      .mkString(" ")
+    val marks = pts.map { case (x, y) =>
+      s"""<circle cx="${fmt(px(x))}" cy="${fmt(py(y))}" r="4" fill="#4878a8"/>
+         |<text x="${fmt(px(x))}" y="${fmt(py(y) - 10)}" text-anchor="middle" font-size="11">${fmt(y)}</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$W" height="$H" font-family="sans-serif">
+       |<text x="${W / 2}" y="28" text-anchor="middle" font-size="16">${esc(title)}</text>
+       |<polyline points="$path" fill="none" stroke="#4878a8" stroke-width="2"/>
+       |$marks
+       |<text x="${W / 2}" y="${H - 8}" text-anchor="middle" font-size="12">${esc(xLabel)}</text>
+       |<text x="16" y="${H / 2}" font-size="12" transform="rotate(-90 16 ${H / 2})" text-anchor="middle">${esc(yLabel)}</text>
+       |</svg>""".stripMargin
+  }
+
+  /** Word-frequency figure from a (word, freq) frame (top rows only). */
+  def writeWordFrequencyChart(topWords: DataFrame, path: String,
+                              title: String = "Top words"): Unit = {
+    val rows = topWords.collect()
+      .map(r => r.getString(0) -> r.get(1).toString.toDouble).toSeq
+    writeSvg(path, barChartSvg(rows, title))
+  }
+
+  /** Coherence-vs-k figure from a (k, score) frame. */
+  def writeCoherenceCurve(grid: DataFrame, path: String,
+                          title: String = "Coherence by topic count"): Unit = {
+    val pts = grid.collect()
+      .map(r => r.get(0).toString.toDouble -> r.get(1).toString.toDouble).toSeq
+    writeSvg(path, lineChartSvg(pts, title, "topics (k)", "coherence"))
+  }
+
+  private def writeSvg(path: String, svg: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, svg)
+  }
+}

@@ -9,32 +9,33 @@ import org.apache.spark.sql.functions._
   */
 class CachingSpec extends SparkSuite {
 
-  private def cachedCount: Int =
-    spark.sparkContext.getPersistentRDDs.size
+  // assertions are per-frame (storageLevel), never global persisted-RDD
+  // counts — other suites persist concurrently in the shared session
 
   test("scoped releases its tracked frames on exit") {
     import spark.implicits._
-    val before = cachedCount
+    var df: org.apache.spark.sql.DataFrame = null
     Caching.scoped {
-      val df = Caching.track(Seq(1, 2, 3).toDF("x").filter(col("x") > 1))
+      df = Caching.track(Seq(1, 2, 3).toDF("x").filter(col("x") > 1))
       assert(df.count() === 2)
       assert(Caching.trackedCount === 1)
+      assert(df.storageLevel.useMemory)
     }
-    // unpersist(false) is async on executors but synchronous in the
-    // driver-side registry local[4] uses
-    assert(cachedCount === before)
+    assert(!df.storageLevel.useMemory, "scope exit must unpersist")
   }
 
   test("query loop does not accumulate cached partitions (Bench/Verify shape)") {
     import spark.implicits._
-    val before = cachedCount
-    (1 to 5).foreach { i =>
-      Caching.scoped {
-        Caching.track(Seq(i, i + 1).toDF("x")).count()
+    val frames = (1 to 5).map { i =>
+      val df = Caching.scoped {
+        val d = Caching.track(Seq(i, i + 1).toDF("x"))
+        d.count()
+        d
       }
       Caching.releaseAll()
+      df
     }
-    assert(cachedCount === before)
+    assert(frames.forall(!_.storageLevel.useMemory))
   }
 
   test("an inner scope does not release the outer scope's frames") {

@@ -137,4 +137,24 @@ class HashKernelsSpec extends SparkSuite {
     assert(r(0) == r(1))
     assert(r(0) >= 0L && r(0) < (1L << 16))
   }
+
+  test("codepoints agree with the kernel on supplementary-plane chars; normalized() strips them anyway") {
+    // U+1D54A (𝕊): Spark 4's split("")+ascii yields the true code point
+    // (120138), matching HashKernels' codePoints and DuckDB's unicode() —
+    // no surrogate split, so the hashes stay cross-engine-exact beyond BMP.
+    val sup = "𝕊"
+    val df = Seq(sup).toDF("t")
+    val hof = col1(df.select(H.codepoints(col("t"))))
+      .head.asInstanceOf[scala.collection.Seq[Long]]
+    assert(hof == Seq(0x1d54aL), "HOF yields the true code point")
+    assert(col1(df.select(H.rollingHash(col("t"))))
+      == col1(df.select(K.rollingHash(col("t")))),
+      "HOF and kernel rolling hashes agree beyond BMP")
+    // and the pipeline never even sees such chars: every hashing call site
+    // feeds normalized() output, whose [a-z0-9가-힣] class drops them
+    val norm = col1(df.select(
+      graft.functions.TextFunctions.normalized(col("t"))))
+      .head.asInstanceOf[String]
+    assert(norm.isEmpty, "normalized() strips supplementary-plane input")
+  }
 }

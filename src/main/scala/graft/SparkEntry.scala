@@ -191,6 +191,13 @@ object SparkEntry {
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
+    "sim_ivf_ann" -> SimilarityOps.ivfAnn,
+    "dedup_exact_fp" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, min}
+      graft.streaming.StreamOps.withFingerprint(Tables.documents(s, d), "text")
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }),
     // --- topic metrics, oracle-checked (SURVEY.md A6/A10/M4/D2) ---
     "topic_ctfidf" -> TopicMetricsOps.ctfidfByLang,
     "topic_diversity" -> TopicMetricsOps.diversityByLang,
@@ -914,6 +921,17 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
          |FROM r WHERE rk <= 3""".stripMargin,
+    "dedup_exact_fp" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(7 AS BIGINT),
+         |        list_transform(list_filter(string_split($NORM, ''), c -> c <> ''),
+         |                       c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |  FROM documents)
+         |SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM n GROUP BY 1""".stripMargin,
     "txt_fingerprints" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS norm FROM documents WHERE doc_id < 50)
          |SELECT doc_id, md5(norm) AS fp_md5,

@@ -107,6 +107,64 @@ object SimilarityOps {
     lshTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
   }
 
+  /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns
+    * every corpus vector to its nearest centroid's list; queries probe the
+    * `nProbe` nearest lists and re-rank exactly. The second ANN tier next to
+    * lshTopK: at 100 TB the lists are a bucketed/partitioned table keyed by
+    * list id, the centroid table is a broadcast of `nLists` rows, and each
+    * query scans ~n·nProbe/nLists vectors instead of n.
+    * Returns (indexed corpus with `list`, centroid table (list, centroid)).
+    */
+  def ivfIndex(corpus: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.withColumn("v", array_to_vector(col("nv")))
+    val km = new KMeans().setK(nLists).setSeed(TopicModelOps.Seed)
+      .setFeaturesCol("v").setPredictionCol("list").fit(vecs)
+    val indexed = km.transform(vecs).drop("v")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list", "centroid")
+    (indexed, cents)
+  }
+
+  /** IVF-probed approximate top-k: each query scores only the vectors in its
+    * `nProbe` nearest lists (by centroid dot product on unit vectors), then
+    * exact cosine re-rank — identical output shape to lshTopK/bruteForceTopK.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (indexed, cents) = ivfIndex(corpus, nLists)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("list"))
+    val probed = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotK(col("qv"), col("centroid")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("list"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probed
+      .join(indexed.select(col("vec_id"), col("nv"), col("list")), "list")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dotK(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Query: IVF ANN top-3 for the first 50 vectors (rows-only — the KMeans
+    * quantizer is not SQL-expressible; BruteVsIvfSpec pins recall instead).
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
+    ivfTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
+  }
+
   /** LSH-bucketed near-duplicate pairs: candidates share ≥1 sketch band,
     * survivors keep exact cosine ≥ minCosine. The scale path for embedding
     * dedup (DedupOps.embeddingDupPairs is the quadratic verification

@@ -46,6 +46,31 @@ object StreamOps {
                            delay: String = "30 minutes"): DataFrame =
     windowedCounts(events.withWatermark("ts", delay), windowDur)
 
+  /** Content fingerprint for exact dedup: seed-7 rolling hash of the
+    * normalized text (the oracle-checked fingerprint the dedup family
+    * shares, TextAnalysisOps.fingerprintSample).
+    */
+  def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fp", graft.functions.HashExpressions.rollingHash(
+      graft.functions.TextFunctions.normalized(col(textCol))))
+
+  /** Exact-duplicate drop, batch face: keep one row per fingerprint. */
+  def dedupBatch(docs: DataFrame, textCol: String): DataFrame =
+    withFingerprint(docs, textCol).dropDuplicates("fp")
+
+  /** Exact-duplicate drop, streaming face: dropDuplicatesWithinWatermark
+    * keeps a fingerprint in state only while a duplicate could still arrive
+    * (the watermark delay), so state size tracks the recent window — not the
+    * full corpus — and the operator runs forever on an unbounded ingest
+    * stream. The training-pipeline use: dedup-at-ingest before documents
+    * ever land in the corpus.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  delay: String = "1 hour"): DataFrame =
+    withFingerprint(docs, textCol)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** True microsecond epoch of a Timestamp — getTime truncates to millis, so
     * sub-millisecond gaps need the nanos field (keeps this sessionizer in
     * exact agreement with the batch twin's unix_micros,

@@ -6,6 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Event
 
+/** Top-level so Spark can build an encoder without an outer-scope capture. */
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Streaming semantics under MemoryStream: windowed aggregation with
   * watermark-based late-data handling, and stateful sessionization.
   */
@@ -71,5 +74,35 @@ class StreamOpsSpec extends SparkSuite {
     val rows = StreamOps.windowedCounts(batch)
       .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
     assert(rows(ts(10, 0)) == 2L && rows(ts(11, 0)) == 1L)
+  }
+
+  test("streaming dedup drops in-watermark duplicates by content fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = StreamOps.dedupStream(input.toDF(), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // normalization makes 1 and 2 the same fingerprint; 3 differs
+      input.addData(
+        StreamDoc(1, ts(9, 0), "Spark join plan"),
+        StreamDoc(2, ts(9, 10), "spark   JOIN plan!"),
+        StreamDoc(3, ts(9, 20), "something else"))
+      query.processAllAvailable()
+      // same fingerprint again within the watermark window -> still dropped
+      input.addData(StreamDoc(4, ts(9, 40), "spark join plan"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("batch dedup twin keeps one row per fingerprint") {
+    val docs = Seq(
+      StreamDoc(1, ts(9, 0), "Spark join plan"),
+      StreamDoc(2, ts(9, 10), "spark   JOIN plan!"),
+      StreamDoc(3, ts(9, 20), "something else")).toDF()
+    assert(StreamOps.dedupBatch(docs, "text").count() === 2)
   }
 }

@@ -56,15 +56,28 @@ class Word2VecEmbedder(dim: Int = 32, minCount: Int = 2, maxIter: Int = 3,
 
 object Embedders {
 
+  /** Fitted-embedding registry: the seeded Word2Vec fit over a fixture dir
+    * is deterministic, so consumers share one persisted corpus (long-lived
+    * cross-query cache — intentionally NOT scope-released, like
+    * TopicModelOps' fitted models).
+    */
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Shared unit-vector Word2Vec corpus over the documents fixture. */
+  private def w2vCorpus(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(s"w2v:$dir", {
+      val docs = Tables.documents(spark, dir)
+      new Word2VecEmbedder().embed(docs, "doc_id", "text")
+        .select(col("doc_id").as("vec_id"), unitVector(col("embedding")).as("nv"))
+        .persist()
+    })
+
   /** Query: Word2Vec-embedded documents → exact top-5 neighbors for the
     * first 3 docs (the Embedder seam feeding the similarity operator;
     * rows-only — iterative training).
     */
   def word2vecNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val corpus = new Word2VecEmbedder().embed(docs, "doc_id", "text")
-      .select(col("doc_id").as("vec_id"), unitVector(col("embedding")).as("nv"))
-      .persist()
+    val corpus = w2vCorpus(spark, dir)
     SimilarityOps.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 3), 5)
   }
 

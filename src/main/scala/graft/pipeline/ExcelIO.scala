@@ -54,34 +54,62 @@ object ExcelIO {
   }
 
   /** Write a DataFrame (stringified) as a single-sheet xlsx workbook. */
-  def writeXlsx(df: DataFrame, path: String): Unit = {
-    val header = df.columns.toIndexedSeq
-    val rows = df.collect().map(_.toSeq.map(v => if (v == null) null else v.toString))
-    require(rows.length <= MaxRows, s"xlsx sink is for report-scale tables (${rows.length} rows)")
-    val allRows = header.map(identity[String]) +: rows.toIndexedSeq
+  def writeXlsx(df: DataFrame, path: String): Unit =
+    writeWorkbook(Seq("Sheet1" -> df), path)
+
+  /** S5 — multi-sheet workbook: the reference's `pd.ExcelWriter` with named
+    * sheets (preprocessing.py:552-569, LDA_Analysis.py:553-565) as ONE xlsx
+    * artifact. Sheet entry names are sheet1..sheetN (readXlsx's `sheet`
+    * parameter); display names carry the given (e.g. Korean) titles. One
+    * shared-strings table serves every sheet.
+    */
+  def writeWorkbook(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "a workbook needs at least one sheet")
+    sheets.foreach { case (name, _) =>
+      require(name.nonEmpty && name.length <= 31 && !name.exists("[]:*?/\\".contains(_)),
+        s"invalid xlsx sheet name: '$name'")
+    }
     // shared-strings table (also exercises the reader's t="s" path)
     val strings = ArrayBuffer.empty[String]
     val index = scala.collection.mutable.HashMap.empty[String, Int]
     def sid(s: String): Int =
       index.getOrElseUpdate(s, { strings += s; strings.length - 1 })
-    val sheetXml = new StringBuilder(
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
-        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    allRows.zipWithIndex.foreach { case (r, i) =>
-      sheetXml.append(s"""<row r="${i + 1}">""")
-      r.zipWithIndex.foreach { case (v, j) =>
-        if (v != null)
-          sheetXml.append(
-            s"""<c r="${colRef(j)}${i + 1}" t="s"><v>${sid(v)}</v></c>""")
+    val sheetXmls = sheets.map { case (_, df) =>
+      val header = df.columns.toIndexedSeq
+      val rows = df.collect().map(_.toSeq.map(v => if (v == null) null else v.toString))
+      require(rows.length <= MaxRows,
+        s"xlsx sink is for report-scale tables (${rows.length} rows)")
+      val allRows = header.map(identity[String]) +: rows.toIndexedSeq
+      val sheetXml = new StringBuilder(
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      allRows.zipWithIndex.foreach { case (r, i) =>
+        sheetXml.append(s"""<row r="${i + 1}">""")
+        r.zipWithIndex.foreach { case (v, j) =>
+          if (v != null)
+            sheetXml.append(
+              s"""<c r="${colRef(j)}${i + 1}" t="s"><v>${sid(v)}</v></c>""")
+        }
+        sheetXml.append("</row>")
       }
-      sheetXml.append("</row>")
+      sheetXml.append("</sheetData></worksheet>")
+      sheetXml.toString
     }
-    sheetXml.append("</sheetData></worksheet>")
+    val n = sheets.size
     val sstXml = strings.map(s => s"<si><t xml:space=\"preserve\">${xmlEscape(s)}</t></si>")
       .mkString(
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.length}" uniqueCount="${strings.length}">""",
         "", "</sst>")
+    val sheetOverrides = (1 to n).map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+      .mkString
+    val sheetDecls = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    val sheetRels = (1 to n).map(i =>
+      s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+      .mkString
     val parts = Seq(
       "[Content_Types].xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -89,7 +117,7 @@ object ExcelIO {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          sheetOverrides +
           """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
           """</Types>"""),
       "_rels/.rels" ->
@@ -100,15 +128,17 @@ object ExcelIO {
       "xl/workbook.xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-          """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+          s"""<sheets>$sheetDecls</sheets></workbook>"""),
       "xl/_rels/workbook.xml.rels" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
-          """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+          sheetRels +
+          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
           """</Relationships>"""),
-      "xl/sharedStrings.xml" -> sstXml,
-      "xl/worksheets/sheet1.xml" -> sheetXml.toString)
+      "xl/sharedStrings.xml" -> sstXml) ++
+      sheetXmls.zipWithIndex.map { case (xml, i) =>
+        s"xl/worksheets/sheet${i + 1}.xml" -> xml
+      }
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try parts.foreach { case (name, content) =>
       zos.putNextEntry(new ZipEntry(name))

@@ -27,16 +27,20 @@ object ReportSink {
     require(sheets.nonEmpty, "a report needs at least one sheet")
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
-    sheets.foreach { case (name, df) =>
-      require(name.matches("[\\w가-힣 .-]+"), s"unsafe sheet name: $name")
-      val w = df.coalesce(1).write.mode("overwrite")
-      val path = s"$outDir/${dirName(name)}"
-      format match {
-        case "parquet" => w.parquet(path)
-        case "csv" => w.option("header", "true").option("encoding", "UTF-8")
-          .csv(path)
-        case other => throw new IllegalArgumentException(s"format: $other")
-      }
+    format match {
+      case "xlsx" =>
+        // S5 exact-parity path: ONE workbook with every sheet, like the
+        // reference's pd.ExcelWriter — report-scale tables only
+        ExcelIO.writeWorkbook(sheets, s"$outDir/report.xlsx")
+      case "parquet" | "csv" =>
+        sheets.foreach { case (name, df) =>
+          require(name.matches("[\\w가-힣 .-]+"), s"unsafe sheet name: $name")
+          val w = df.coalesce(1).write.mode("overwrite")
+          val path = s"$outDir/${dirName(name)}"
+          if (format == "parquet") w.parquet(path)
+          else w.option("header", "true").option("encoding", "UTF-8").csv(path)
+        }
+      case other => throw new IllegalArgumentException(s"format: $other")
     }
     val manifest = sheets.map { case (n, _) => s""""$n": "${dirName(n)}"""" }
       .mkString("{\"sheets\": {", ", ", s"""}, "format": "$format"}""")

@@ -30,6 +30,29 @@ class ExcelIOSpec extends SparkSuite {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("multi-sheet workbook roundtrip: every sheet readable by entry name (S5)") {
+    val tmp = Files.createTempDirectory("graft-xlsx").toString + "/report.xlsx"
+    val summary = Seq(("문서수", "500"), ("토픽수", "5")).toDF("항목", "값")
+    val topics = Seq(("0", "spark, join"), ("1", "데이터, 학습")).toDF("topic", "keywords")
+    ExcelIO.writeWorkbook(Seq("분석요약" -> summary, "토픽키워드" -> topics), tmp)
+    val s1 = ExcelIO.readXlsx(spark, tmp, "sheet1")
+    val s2 = ExcelIO.readXlsx(spark, tmp, "sheet2")
+    assert(s1.columns.toSeq == Seq("항목", "값"))
+    assert(s1.collect().map(_.toSeq).toSet == summary.collect().map(_.toSeq).toSet)
+    assert(s2.collect().map(_.toSeq).toSet == topics.collect().map(_.toSeq).toSet)
+  }
+
+  test("workbook rejects invalid sheet names") {
+    val tmp = Files.createTempDirectory("graft-xlsx").toString + "/bad.xlsx"
+    val df = Seq(("a", "b")).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      ExcelIO.writeWorkbook(Seq("bad/name" -> df), tmp)
+    }
+    intercept[IllegalArgumentException] {
+      ExcelIO.writeWorkbook(Seq(("x" * 32) -> df), tmp)
+    }
+  }
+
   test("xlsx feeds the preprocessing pipeline (the reference's EP1 entry)") {
     val tmp = Files.createTempDirectory("graft-xlsx2").toString + "/crawl.xlsx"
     val raw = Seq(

@@ -43,7 +43,8 @@ object ScaleProbe {
     println(s"[scale] corpus ${n} docs (${factor}x of $dir)")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val r = f
+      val r = Caching.scoped(f)
+      Caching.releaseAll()
       println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
     }
     import graft.operators._
@@ -52,8 +53,12 @@ object ScaleProbe {
     time("simhash")(DedupOps.simhashDupPairs(spark, tmp).count())
     time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())
     time("lsh_ann")(SimilarityOps.lshAnn(spark, tmp).count())
+    time("ivf_ann")(SimilarityOps.ivfAnn(spark, tmp).count())
+    time("exact_fp_dedup")(SparkEntry.queries("dedup_exact_fp")(spark, tmp).count())
     time("ctfidf")(TopicMetricsOps.ctfidfByLang(spark, tmp).count())
     time("cnpmi")(TopicMetricsOps.npmiTop10(spark, tmp).count())
+    time("umass_by_class")(TopicMetricsOps.umassByLang(spark, tmp).count())
+    time("cluster_noise")(TopicModelOps.clusterNoiseProfile(spark, tmp).count())
     spark.stop()
   }
 }

@@ -248,6 +248,12 @@ object TopicMetricsOps {
   /** Grouped core: window-containment probabilities per (cls, pair). The
     * class key rides the presence join, so scoring K topics costs the same
     * corpus scan as scoring one.
+    *
+    * The pij presence self-join is deliberate: presence holds topic-word
+    * HITS only (≤ K·10 words), so Catalyst broadcasts one side and the
+    * "join" costs no shuffle. A measured alternative — collect_list per
+    * (doc, ws) + ordered-pair explode — forces a real shuffle of every
+    * presence row and benched ~40% SLOWER at sf0.1 (3.7s vs 2.4s warm).
     */
   def pairProbabilitiesByClass(docs: DataFrame, textCol: String,
                                topicWords: DataFrame,

@@ -86,6 +86,11 @@ object GraftExtensions {
     "jaccard_long" -> { args =>
       arity("jaccard_long", args, 2); JaccardLong(args.head, args(1))
     })
+  // NOTE: the text-prep compositions (cleanText/normalized/tokens) are NOT
+  // registrable this way — Column-DSL trees come back as unresolved
+  // ColumnNodeExpressions that a FunctionBuilder's output never re-enters
+  // analysis to resolve. SQL users spell those with the same built-ins
+  // (regexp_replace/split/filter); only the custom kernels need names here.
 
   /** Inject the function set into an existing session's registry. */
   def register(spark: SparkSession): Unit =

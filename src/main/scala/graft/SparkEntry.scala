@@ -218,6 +218,7 @@ object SparkEntry {
     "lda_dominant" -> TopicModelOps.ldaDominantTopics,
     "lda_top_docs" -> TopicModelOps.ldaTopDocs,
     "lda_grid" -> TopicModelOps.ldaGridSearch,
+    "lda_topic_coherence" -> TopicModelOps.ldaTopicCoherence,
     "kmeans_profile" -> TopicModelOps.kmeansProfile,
     "cluster_noise" -> TopicModelOps.clusterNoiseProfile,
     "bertopic_keywords" -> TopicModelOps.bertopicKeywords,

@@ -278,6 +278,25 @@ object TopicModelOps {
       .orderBy("cls", "rank")
   }
 
+  /** Query: per-topic u_mass + c_npmi of the shared k=5 LDA fit — every
+    * topic scored from one corpus scan per measure via the grouped coherence
+    * core (rows-only: the topic-word lists come from the trained model).
+    */
+  def ldaTopicCoherence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, vocab, model) = fittedLda(spark, dir, 5, 20)
+    val topicWords = model.describeTopics(10).collect().flatMap { r =>
+      val t = r.getInt(0)
+      r.getSeq[Int](1).zipWithIndex.map { case (tid, i) => (t, vocab(tid), i + 1) }
+    }.toSeq.toDF("cls", "word", "rank")
+    val docs = Tables.documents(spark, dir)
+    TopicMetricsOps.umassByClass(docs, "text", topicWords)
+      .select(col("cls").as("topic"), col("n_pairs"), col("umass"))
+      .join(TopicMetricsOps.npmiByClass(docs, "text", topicWords)
+        .select(col("cls").as("topic"), col("c_npmi")), "topic")
+      .orderBy("topic")
+  }
+
   /** LDA topic-count grid search scored by u_mass coherence (M5). */
   def ldaGridSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

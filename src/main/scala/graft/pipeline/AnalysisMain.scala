@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
 object AnalysisMain {
 
   val Usage: String =
-    "usage: AnalysisMain --data PATH [--topics N] [--column NAME] [--out DIR] [--max-iter N]"
+    "usage: AnalysisMain --data PATH [--topics N] [--column NAME] [--out DIR] [--max-iter N] [--format parquet|csv|xlsx]"
 
   /** --flag value pairs (short forms -t/-d/-c like the reference). */
   def parseArgs(args: Array[String]): Map[String, String] = {
@@ -62,6 +62,9 @@ object AnalysisMain {
     val column = opts.getOrElse("column", "cleaned_text") // reference default
     val out = opts.getOrElse("out", "Results") // reference's Results/ dir
     val maxIter = opts.get("max-iter").map(_.toInt).getOrElse(20)
+    // parquet sheets by default; "xlsx" writes the reference's one-workbook
+    // artifact, "csv" one dir per sheet
+    val format = opts.getOrElse("format", "parquet")
     val console = Option(System.console())
       .map(c => () => c.readLine())
     val k = resolveTopics(opts.get("topics").map(_.toInt), console)
@@ -81,7 +84,8 @@ object AnalysisMain {
       // the reference's fail-fast column diagnostic (LDA_Analysis.py:122-126)
       PreprocessPipeline.requireColumns(docs, Seq(column))
       println(s"[analysis] $k topics over $data ($column) -> $out")
-      AnalysisRunner.runLdaAnalysis(spark, docs, column, out, k, maxIter)
+      AnalysisRunner.runLdaAnalysis(spark, docs, column, out, k, maxIter,
+        format = format)
       // the reference's PNG figures, as deterministic SVGs
       ChartSink.writeWordFrequencyChart(
         graft.operators.WordFreqOps.topWords(docs, column, 30),

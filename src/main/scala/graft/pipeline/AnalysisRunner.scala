@@ -23,7 +23,8 @@ object AnalysisRunner {
     */
   def runLdaAnalysis(spark: SparkSession, docs: DataFrame, textCol: String,
                      outDir: String, k: Int = 5, maxIter: Int = 20,
-                     topN: Int = 10): Unit = graft.Caching.scoped {
+                     topN: Int = 10, format: String = "parquet"): Unit =
+      graft.Caching.scoped {
     import spark.implicits._
     val (vecs0, vocab) = TopicModelOps.vectorize(docs, textCol)
     val vecs = graft.Caching.track(vecs0)
@@ -78,7 +79,7 @@ object AnalysisRunner {
       "summary" -> docs.agg(
         count(lit(1)).as("n_docs"),
         lit(k).as("n_topics"),
-        round(avg(length(col(textCol))), 2).as("avg_len"))))
+        round(avg(length(col(textCol))), 2).as("avg_len"))), format)
   }
 
   /** EP2 — cluster (BERTopic-analog) analysis: embeddings → PCA → KMeans →
@@ -87,7 +88,8 @@ object AnalysisRunner {
     */
   def runClusterAnalysis(spark: SparkSession, docs: DataFrame,
                          embeddings: DataFrame, idCol: String, textCol: String,
-                         outDir: String, k: Int = 8): Unit = graft.Caching.scoped {
+                         outDir: String, k: Int = 8,
+                         format: String = "parquet"): Unit = graft.Caching.scoped {
     val clusters = TopicModelOps.clusterEmbeddingsWithNoise(embeddings, k)
       .select(col("vec_id").as(idCol), col("cluster"))
     val clustered = graft.Caching.track(docs.join(clusters, idCol))
@@ -108,6 +110,6 @@ object AnalysisRunner {
         denoised, kw, idCol, textCol, "cluster", 3),
       "interpretation" -> TopicExtrasOps.interpretKeywords(kw),
       "summary" -> clustered.agg(
-        count(lit(1)).as("n_docs"), lit(k).as("n_clusters"))))
+        count(lit(1)).as("n_docs"), lit(k).as("n_clusters"))), format)
   }
 }

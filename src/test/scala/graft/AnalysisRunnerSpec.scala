@@ -38,4 +38,15 @@ class AnalysisRunnerSpec extends SparkSuite {
     val sizes = ReportSink.readSheet(spark, out, "sizes").collect()
     assert(sizes.map(_.getLong(1)).sum == 500)
   }
+
+  test("format=xlsx writes the report as one workbook (S5 parity)") {
+    val out = Files.createTempDirectory("graft-xlsx-report").toString
+    AnalysisRunner.runLdaAnalysis(spark, Tables.documents(spark, dir), "text",
+      out, k = 3, maxIter = 5, format = "xlsx")
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/report.xlsx")))
+    // sheet1 = "topics" (first sheet in declaration order)
+    val topics = graft.pipeline.ExcelIO.readXlsx(spark, s"$out/report.xlsx", "sheet1")
+    assert(topics.count() == 30)
+    assert(topics.columns.toSeq == Seq("topic", "rank", "term", "weight"))
+  }
 }

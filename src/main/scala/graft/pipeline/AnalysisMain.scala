@@ -90,6 +90,12 @@ object AnalysisMain {
       ChartSink.writeWordFrequencyChart(
         graft.operators.WordFreqOps.topWords(docs, column, 30),
         s"$out/word_frequency.svg")
+      // topic-overlap heatmap from the report's own sheet
+      // (LDA_Analysis.py:367-411's similarity-matrix figure)
+      if (format == "parquet")
+        ChartSink.writeSimilarityHeatmap(
+          ReportSink.readSheet(spark, out, "overlap"),
+          s"$out/topic_overlap.svg", title = "Topic keyword overlap")
       println(s"[analysis] report + figures written to $out")
     } finally spark.stop()
   }

@@ -77,6 +77,57 @@ object ChartSink {
        |</svg>""".stripMargin
   }
 
+  /** Symmetric heatmap of (row, col, value) cells — the reference's topic
+    * similarity matrix figure (LDA_Analysis.py:367-411 saves the matrix and
+    * its heatmap). Missing (a,a)/(b,a) cells mirror automatically; the
+    * diagonal renders 1.0.
+    */
+  def heatmapSvg(cells: Seq[(String, String, Double)], title: String): String = {
+    require(cells.nonEmpty, "heatmap needs at least one cell")
+    val keys = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val lookup = cells.flatMap { case (a, b, v) =>
+      Seq((a, b) -> v, (b, a) -> v)
+    }.toMap
+    def v(a: String, b: String): Double =
+      if (a == b) 1.0 else lookup.getOrElse((a, b), 0.0)
+    val n = keys.size
+    val plot = math.min(W - MarginLeft - MarginRight, H - MarginTop - MarginBottom)
+    val cell = plot.toDouble / n
+    val boxes = (for {
+      (ra, i) <- keys.zipWithIndex
+      (rb, j) <- keys.zipWithIndex
+    } yield {
+      val x = MarginLeft + j * cell
+      val y = MarginTop + i * cell
+      val s = math.max(0.0, math.min(1.0, v(ra, rb)))
+      // light → brand blue ramp
+      val (r0, g0, b0) = (238, 243, 248)
+      val (r1, g1, b1) = (72, 120, 168)
+      val rgb = s"rgb(${(r0 + (r1 - r0) * s).toInt},${(g0 + (g1 - g0) * s).toInt},${(b0 + (b1 - b0) * s).toInt})"
+      s"""<rect x="${fmt(x)}" y="${fmt(y)}" width="${fmt(cell)}" height="${fmt(cell)}" fill="$rgb"/>
+         |<text x="${fmt(x + cell / 2)}" y="${fmt(y + cell / 2 + 4)}" text-anchor="middle" font-size="10">${fmt(s)}</text>""".stripMargin
+    }).mkString("\n")
+    val labels = keys.zipWithIndex.map { case (k, i) =>
+      val c = MarginTop + i * cell + cell / 2
+      s"""<text x="${MarginLeft - 8}" y="${fmt(c + 4)}" text-anchor="end" font-size="11">${esc(k)}</text>
+         |<text x="${fmt(MarginLeft + i * cell + cell / 2)}" y="${MarginTop - 8}" text-anchor="middle" font-size="11">${esc(k)}</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$W" height="$H" font-family="sans-serif">
+       |<text x="${W / 2}" y="24" text-anchor="middle" font-size="16">${esc(title)}</text>
+       |$boxes
+       |$labels
+       |</svg>""".stripMargin
+  }
+
+  /** Similarity-matrix figure from (cls_a, cls_b, value) rows (K² cells). */
+  def writeSimilarityHeatmap(matrix: DataFrame, path: String,
+                             title: String = "Topic similarity"): Unit = {
+    val cells = matrix.collect()
+      .map(r => (r.get(0).toString, r.get(1).toString,
+        r.get(2).toString.toDouble)).toSeq
+    writeSvg(path, heatmapSvg(cells, title))
+  }
+
   /** Word-frequency figure from a (word, freq) frame (top rows only). */
   def writeWordFrequencyChart(topWords: DataFrame, path: String,
                               title: String = "Top words"): Unit = {

@@ -41,6 +41,14 @@ class ChartSinkSpec extends SparkSuite {
     assert(svg.contains("spark") && svg.contains("10.00"))
   }
 
+  test("heatmap mirrors the upper triangle and renders the diagonal as 1") {
+    val svg = ChartSink.heatmapSvg(
+      Seq(("0", "1", 0.4), ("0", "2", 0.1), ("1", "2", 0.9)), "sim")
+    assert("<rect ".r.findAllIn(svg).size === 9) // 3x3 grid
+    assert("1.00".r.findAllIn(svg).size >= 3) // three diagonal cells
+    assert(svg.contains("0.90") && svg.contains("0.40"))
+  }
+
   test("writeCoherenceCurve renders a (k, score) frame") {
     val out = Files.createTempDirectory("chart").resolve("coh.svg").toString
     val grid = Seq((2, -1.2), (3, -0.8), (5, -1.5)).toDF("k", "umass")

@@ -48,4 +48,24 @@ class PartitioningSpec extends SparkSuite {
     assert(joined.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
   }
+
+  test("top-words ranking plans as TakeOrderedAndProject, never a full-vocab Window") {
+    // regression pin for the round-3 fix: the coherence family's top-word
+    // stage must keep the per-partition top-n plan; the only Window runs
+    // over the n-row limit result
+    val plan = operators.TopicMetricsOps
+      .topFrequentWords(Tables.documents(spark, dir), "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx < takeIdx, "Window must sit ABOVE the n-row take")
+  }
+
+  test("exact-fingerprint dedup is a single-shuffle partial aggregate") {
+    val plan = SparkEntry.queries("dedup_exact_fp")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial + final agg")
+    assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle")
+  }
 }

@@ -26,6 +26,7 @@ object AnalysisRunner {
                      topN: Int = 10, format: String = "parquet"): Unit =
       graft.Caching.scoped {
     import spark.implicits._
+    PreprocessPipeline.requireColumns(docs, Seq(textCol))
     val (vecs0, vocab) = TopicModelOps.vectorize(docs, textCol)
     val vecs = graft.Caching.track(vecs0)
     val model = new org.apache.spark.ml.clustering.LDA()
@@ -90,6 +91,7 @@ object AnalysisRunner {
                          embeddings: DataFrame, idCol: String, textCol: String,
                          outDir: String, k: Int = 8,
                          format: String = "parquet"): Unit = graft.Caching.scoped {
+    PreprocessPipeline.requireColumns(docs, Seq(idCol, textCol))
     val clusters = TopicModelOps.clusterEmbeddingsWithNoise(embeddings, k)
       .select(col("vec_id").as(idCol), col("cluster"))
     val clustered = graft.Caching.track(docs.join(clusters, idCol))

@@ -46,6 +46,32 @@ object StreamOps {
                            delay: String = "30 minutes"): DataFrame =
     windowedCounts(events.withWatermark("ts", delay), windowDur)
 
+  /** Windowed per-class keyword counts — the "online topic modeling" the
+    * reference lists as future work (BERTopic_guideline.md:175), as its
+    * tractable streaming core: tokenized keyword frequencies per (window,
+    * class), over which a batch sink ranks top-k per window. Same transform
+    * batch and stream; tokenization is the engine's codegen'd chain.
+    */
+  def windowedKeywordCounts(docs: DataFrame, textCol: String, clsCol: String,
+                            tsCol: String,
+                            windowDur: String = "1 hour"): DataFrame =
+    docs
+      .select(col(clsCol).as("cls"), col(tsCol).as("ts"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(window(col("ts"), windowDur), col("cls"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("cls"), col("word"),
+        col("n"))
+
+  /** Watermarked streaming face: keyword-count state is evicted once the
+    * window falls behind the watermark.
+    */
+  def windowedKeywordsStream(docs: DataFrame, textCol: String, clsCol: String,
+                             tsCol: String, windowDur: String = "1 hour",
+                             delay: String = "30 minutes"): DataFrame =
+    windowedKeywordCounts(docs.withWatermark(tsCol, delay), textCol, clsCol,
+      tsCol, windowDur)
+
   /** Content fingerprint for exact dedup: seed-7 rolling hash of the
     * normalized text (the oracle-checked fingerprint the dedup family
     * shares, TextAnalysisOps.fingerprintSample).

@@ -8,6 +8,7 @@ import graft.streaming.StreamOps.Event
 
 /** Top-level so Spark can build an encoder without an outer-scope capture. */
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+case class StreamClsDoc(doc_id: Long, ts: Timestamp, cls: String, text: String)
 
 /** Streaming semantics under MemoryStream: windowed aggregation with
   * watermark-based late-data handling, and stateful sessionization.
@@ -95,6 +96,27 @@ class StreamOpsSpec extends SparkSuite {
       val ids = spark.table("dedup_stream")
         .collect().map(_.getLong(0)).toSet
       assert(ids === Set(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("windowed keyword counts track per-class word frequencies in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamClsDoc]
+    val query = StreamOps.windowedKeywordsStream(input.toDF(), "text", "cls", "ts")
+      .writeStream.format("memory").queryName("kw_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamClsDoc(1, ts(10, 5), "ko", "spark join spark"),
+        StreamClsDoc(2, ts(10, 20), "ko", "join filter"),
+        StreamClsDoc(3, ts(10, 30), "en", "spark window"))
+      query.processAllAvailable()
+      val rows = spark.table("kw_stream")
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      assert(rows(("ko", "spark")) === 2L)
+      assert(rows(("ko", "join")) === 2L)
+      assert(rows(("en", "spark")) === 1L)
     } finally query.stop()
   }
 

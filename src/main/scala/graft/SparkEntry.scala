@@ -181,6 +181,7 @@ object SparkEntry {
     "txt_dup_clusters" -> TextAnalysisOps.duplicateClusters,
     "txt_fingerprints" -> TextAnalysisOps.fingerprintSample,
     "txt_token_budget" -> TextAnalysisOps.tokenBudgetBySource,
+    "txt_countmin" -> SketchOps.countMinTopWords,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
     "dedup_simhash" -> DedupOps.simhashDupPairs,
@@ -492,6 +493,26 @@ object SparkEntry {
          |  CAST(sum(bpe) AS BIGINT) AS bpeish_tokens,
          |  CAST(sum(est) AS BIGINT) AS est_tokens
          |FROM d GROUP BY 1""".stripMargin,
+    "txt_countmin" ->
+      s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents),
+         |h AS (SELECT ${polyFold(cps("word"))} AS h FROM toks),
+         |cells AS (
+         |  SELECT i AS rw,
+         |    ((h * (8191 * i)) + (524287 * i)) % $MOD % 1024 AS bucket
+         |  FROM h, range(1, 5) t(i)),
+         |sketch AS (SELECT rw, bucket, count(*) AS n FROM cells GROUP BY 1, 2),
+         |freq AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+         |top AS (SELECT word, freq FROM freq ORDER BY freq DESC, word LIMIT 10),
+         |probe AS (
+         |  SELECT word, freq, i AS rw,
+         |    ((${polyFold(cps("word"))} * (8191 * i)) + (524287 * i)) % $MOD % 1024 AS bucket
+         |  FROM top, range(1, 5) t(i)),
+         |est AS (
+         |  SELECT word, freq, min(coalesce(n, 0)) AS est
+         |  FROM probe LEFT JOIN sketch USING (rw, bucket)
+         |  GROUP BY 1, 2)
+         |SELECT word, freq, est FROM est
+         |ORDER BY freq DESC, word""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig

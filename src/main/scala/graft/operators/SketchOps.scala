@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.HashExpressions.rollingHash
+
+/** Mergeable frequency sketches — the approximate counting tier a 100 TB
+  * word-frequency surface needs when even the (word, count) table is too
+  * wide to materialize (SURVEY.md §2.5 A1's scale escape hatch; the brief's
+  * "novel sketch" custom-operator family).
+  *
+  * Count-min sketch as a plain DataFrame program: depth×width counter grid,
+  * row i bucketing each token by the engine's affine hash family
+  * h_i(x) = (8191·i·x + 524287·i) mod P (the MinHash family,
+  * HashKernels.minhashSig) folded onto `width` buckets. Every step is
+  * integer arithmetic on codegen'd expressions, so the sketch — and the
+  * estimates read from it — are bit-reproducible in the DuckDB oracle.
+  *
+  * Properties the plan keeps at scale: ONE explode+groupBy over (i, bucket)
+  * — depth·width rows out regardless of vocabulary size; sketches of
+  * partitions/days/shards merge by cell-wise addition (the groupBy IS the
+  * merge); estimates are upper bounds (min over rows) with the usual
+  * ε = e/width, δ = e^-depth guarantees.
+  */
+object SketchOps {
+
+  val P = 1000000007L
+
+  /** Bucket column for hash-family row `i` (1-based) over a token hash. */
+  private def bucket(h: org.apache.spark.sql.Column, i: Int, width: Int) =
+    ((h * lit(8191L * i) + lit(524287L * i)) % lit(P)) % lit(width)
+
+  /** Build the sketch: (row, bucket, n) counters from one corpus scan. */
+  def countMinSketch(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rows = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .select(rollingHash(col("word")).as("h"))
+      .select(explode(expr(
+        s"transform(sequence(1, $depth), i -> named_struct(" +
+          s"'row', i, 'bucket', ((h * (8191 * i)) + (524287 * i)) % $P % $width))"))
+        .as("cell"))
+      .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+    rows.groupBy("row", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Point estimates for `words` from a sketch: min over rows of the
+    * word's bucket counter — always ≥ the true count.
+    */
+  def countMinEstimate(sketch: DataFrame, words: DataFrame, wordCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keyed = words
+      .withColumn("h", rollingHash(col(wordCol)))
+      .select(col(wordCol).as("word"), explode(expr(
+        s"transform(sequence(1, $depth), i -> named_struct(" +
+          s"'row', i, 'bucket', ((h * (8191 * i)) + (524287 * i)) % $P % $width))"))
+        .as("cell"))
+      .select(col("word"), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+    keyed
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy("word")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  /** Query: count-min estimates vs exact counts for the corpus top-10 words
+    * — `est >= freq` always; equality whenever the word's buckets are
+    * collision-free. Both sides integer arithmetic → exact oracle.
+    */
+  def countMinTopWords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sketch = graft.Caching.track(countMinSketch(docs, "text"))
+    val top = WordFreqOps.topWords(docs, "text", 10)
+    countMinEstimate(sketch, top, "word")
+      .join(top, "word")
+      .select(col("word"), col("freq"), col("est"))
+      .orderBy(desc("freq"), col("word"))
+  }
+}

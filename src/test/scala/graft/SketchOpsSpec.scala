@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchOps
+
+/** Count-min sketch invariants: estimates upper-bound true counts, the
+  * sketch is a fixed-size mergeable grid, and building it per shard then
+  * summing equals building it whole.
+  */
+class SketchOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "spark join spark filter", "join join scan", "spark window filter scan")
+    .toDF("text")
+
+  test("estimate >= true count for every probed word; exact absent collisions") {
+    val sketch = SketchOps.countMinSketch(docs, "text")
+    val words = Seq("spark", "join", "scan", "missing").toDF("w")
+    val est = SketchOps.countMinEstimate(sketch, words, "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("spark") >= 3L && est("join") >= 3L && est("scan") >= 2L)
+    // width 1024 vs 6 distinct words: collisions are absent, so exact
+    assert(est("spark") === 3L && est("join") === 3L && est("scan") === 2L)
+    assert(est("missing") === 0L)
+  }
+
+  test("sketch size is depth x occupied-buckets, independent of corpus size") {
+    val sketch = SketchOps.countMinSketch(docs, "text", depth = 4, width = 64)
+    assert(sketch.count() <= 4L * 64)
+    assert(sketch.select("row").distinct().count() === 4)
+  }
+
+  test("sharded sketches merge by cellwise addition") {
+    val whole = SketchOps.countMinSketch(docs, "text")
+    val sharded = SketchOps.countMinSketch(docs.limit(1), "text")
+      .unionByName(SketchOps.countMinSketch(
+        docs.except(docs.limit(1)), "text"))
+      .groupBy("row", "bucket").agg(sum("n").as("n"))
+    val a = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = sharded.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("query shape: top-10 words with est >= freq") {
+    val rows = SketchOps.countMinTopWords(spark, SparkSpec.FixtureDir).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+}

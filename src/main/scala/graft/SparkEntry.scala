@@ -182,6 +182,7 @@ object SparkEntry {
     "txt_fingerprints" -> TextAnalysisOps.fingerprintSample,
     "txt_token_budget" -> TextAnalysisOps.tokenBudgetBySource,
     "txt_countmin" -> SketchOps.countMinTopWords,
+    "txt_distinct_sketch" -> SketchOps.distinctSketch,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
     "dedup_simhash" -> DedupOps.simhashDupPairs,
@@ -513,6 +514,16 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT word, freq, est FROM est
          |ORDER BY freq DESC, word""".stripMargin,
+    "txt_distinct_sketch" ->
+      s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents),
+         |occ AS (
+         |  SELECT count(*) AS occupied FROM (
+         |    SELECT DISTINCT ${polyFold(cps("word"))} % 4096 AS bucket
+         |    FROM toks)),
+         |ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM toks)
+         |SELECT n_exact, occupied,
+         |  round(-4096.0 * ln((4096 - occupied) / 4096.0), 4) AS est
+         |FROM ex, occ""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig

@@ -65,6 +65,33 @@ object SketchOps {
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
+  /** Linear-counting distinct sketch: an m-bucket occupancy bitmap over the
+    * token hash — distinct-count estimate −m·ln(V) where V = empty fraction
+    * (Whang et al. 1990). Mergeable by bitmap OR (union of occupied
+    * buckets); deterministic arithmetic end-to-end, so oracle-exact.
+    */
+  def occupiedBuckets(docs: DataFrame, textCol: String,
+                      m: Int = 4096): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .select((rollingHash(col("word")) % lit(m)).as("bucket"))
+      .distinct()
+
+  /** Query: linear-counting distinct-words estimate vs the exact count —
+    * (n_exact, occupied, est); est within ~2% at this load factor.
+    */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+    val occupied = occupiedBuckets(docs, "text", m)
+      .agg(count(lit(1)).as("occupied"))
+    words.agg(countDistinct(col("word")).as("n_exact"))
+      .crossJoin(broadcast(occupied))
+      .withColumn("est",
+        round(-lit(m.toDouble) * log((lit(m) - col("occupied")) / lit(m.toDouble)), 4))
+  }
+
   /** Query: count-min estimates vs exact counts for the corpus top-10 words
     * — `est >= freq` always; equality whenever the word's buckets are
     * collision-free. Both sides integer arithmetic → exact oracle.

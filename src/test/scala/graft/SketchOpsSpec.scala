@@ -43,6 +43,23 @@ class SketchOpsSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("linear counting estimates distinct words within a few percent") {
+    val row = SketchOps.distinctSketch(spark, SparkSpec.FixtureDir).collect()(0)
+    val (exact, est) = (row.getLong(0), row.getDouble(2))
+    assert(est >= exact * 0.95 && est <= exact * 1.10,
+      s"estimate $est too far from exact $exact")
+  }
+
+  test("occupancy bitmaps merge by union") {
+    val whole = SketchOps.occupiedBuckets(docs, "text")
+      .collect().map(_.getLong(0)).toSet
+    val sharded = SketchOps.occupiedBuckets(docs.limit(1), "text")
+      .collect().map(_.getLong(0)).toSet ++
+      SketchOps.occupiedBuckets(docs.except(docs.limit(1)), "text")
+        .collect().map(_.getLong(0)).toSet
+    assert(whole === sharded)
+  }
+
   test("query shape: top-10 words with est >= freq") {
     val rows = SketchOps.countMinTopWords(spark, SparkSpec.FixtureDir).collect()
     assert(rows.length === 10)

@@ -29,10 +29,6 @@ object SketchOps {
 
   val P = 1000000007L
 
-  /** Bucket column for hash-family row `i` (1-based) over a token hash. */
-  private def bucket(h: org.apache.spark.sql.Column, i: Int, width: Int) =
-    ((h * lit(8191L * i) + lit(524287L * i)) % lit(P)) % lit(width)
-
   /** Build the sketch: (row, bucket, n) counters from one corpus scan. */
   def countMinSketch(docs: DataFrame, textCol: String,
                      depth: Int = 4, width: Int = 1024): DataFrame = {

@@ -77,6 +77,29 @@ object ChartSink {
        |</svg>""".stripMargin
   }
 
+  /** Vertical bar chart — the reference's word-frequency figure shape
+    * (preprocessing.py:400-456 draws vertical bars with rotated x labels
+    * and values above each bar).
+    */
+  def verticalBarChartSvg(rows: Seq[(String, Double)], title: String): String = {
+    require(rows.nonEmpty, "bar chart needs at least one row")
+    val maxV = math.max(rows.map(_._2).max, 1e-9)
+    val plotH = H - MarginTop - MarginBottom - 30 // room for rotated labels
+    val barW = (W - MarginLeft - MarginRight).toDouble / rows.size
+    val bars = rows.zipWithIndex.map { case ((label, v), i) =>
+      val x = MarginLeft + i * barW
+      val h = v / maxV * plotH
+      val y = MarginTop + plotH - h
+      s"""<rect x="${fmt(x + barW * 0.15)}" y="${fmt(y)}" width="${fmt(barW * 0.7)}" height="${fmt(h)}" fill="#4878a8"/>
+         |<text x="${fmt(x + barW / 2)}" y="${fmt(y - 4)}" text-anchor="middle" font-size="10">${fmt(v)}</text>
+         |<text x="${fmt(x + barW / 2)}" y="${MarginTop + plotH + 14}" text-anchor="end" font-size="11" transform="rotate(-45 ${fmt(x + barW / 2)} ${MarginTop + plotH + 14})">${esc(label)}</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$W" height="$H" font-family="sans-serif">
+       |<text x="${W / 2}" y="28" text-anchor="middle" font-size="16">${esc(title)}</text>
+       |$bars
+       |</svg>""".stripMargin
+  }
+
   /** Symmetric heatmap of (row, col, value) cells — the reference's topic
     * similarity matrix figure (LDA_Analysis.py:367-411 saves the matrix and
     * its heatmap). Missing (a,a)/(b,a) cells mirror automatically; the
@@ -128,12 +151,14 @@ object ChartSink {
     writeSvg(path, heatmapSvg(cells, title))
   }
 
-  /** Word-frequency figure from a (word, freq) frame (top rows only). */
+  /** Word-frequency figure from a (word, freq) frame (top rows only) —
+    * vertical bars, the reference's shape.
+    */
   def writeWordFrequencyChart(topWords: DataFrame, path: String,
                               title: String = "Top words"): Unit = {
     val rows = topWords.collect()
       .map(r => r.getString(0) -> r.get(1).toString.toDouble).toSeq
-    writeSvg(path, barChartSvg(rows, title))
+    writeSvg(path, verticalBarChartSvg(rows, title))
   }
 
   /** Coherence-vs-k figure from a (k, score) frame. */

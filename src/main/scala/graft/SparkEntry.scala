@@ -391,6 +391,35 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    // the media stub codec is pure integer arithmetic over UTF-8 bytes, so
+    // the frame profile mirrors exactly: hex-decode the blob to a byte list,
+    // chunk to 256-byte frames, seed-7 base-31 rolling checksum per frame
+    "media_frames" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx
+         |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 60),
+         |b AS (
+         |  SELECT doc_id, length(hx) // 2 AS nbytes,
+         |    list_transform(range(0, length(hx) // 2), i ->
+         |      CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i + 1 AS INT), 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i + 2 AS INT), 1)) - 1) AS BIGINT)) AS bytes
+         |  FROM v),
+         |fidx AS (
+         |  SELECT doc_id AS asset_id, bytes,
+         |    unnest(range(0, CAST(ceil(nbytes / 256.0) AS BIGINT))) AS fi
+         |  FROM b WHERE nbytes > 0),
+         |ck AS (
+         |  SELECT asset_id,
+         |    len(list_slice(bytes, CAST(fi*256 + 1 AS INT), CAST(fi*256 + 256 AS INT))) AS frame_bytes,
+         |    list_reduce(
+         |      list_prepend(CAST(7 AS BIGINT),
+         |        list_slice(bytes, CAST(fi*256 + 1 AS INT), CAST(fi*256 + 256 AS INT))),
+         |      (a, x) -> (a * 31 + x) % $MOD) AS checksum
+         |  FROM fidx)
+         |SELECT asset_id, count(*) AS n_frames,
+         |  CAST(sum(frame_bytes) AS BIGINT) AS total_bytes,
+         |  max(checksum) AS max_checksum
+         |FROM ck GROUP BY 1""".stripMargin,
     // window(ts, '1 hour') tumbling windows are epoch-aligned == date_trunc
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

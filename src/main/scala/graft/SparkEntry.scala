@@ -553,6 +553,34 @@ object SparkEntry {
          |SELECT n_exact, occupied,
          |  round(-4096.0 * ln((4096 - occupied) / 4096.0), 4) AS est
          |FROM ex, occ""".stripMargin,
+    // bounded-round label propagation unrolled: 3 rounds of
+    // bucket-min -> member-min, exactly DedupOps.propagateLabels
+    "dedup_minhash_clusters" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |withbands AS (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |b AS (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, range(0, 8) t(j)),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
+         |m1 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l0 USING (doc_id) GROUP BY 1, 2),
+         |l1 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m1 USING (band, band_hash) GROUP BY 1),
+         |m2 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l1 USING (doc_id) GROUP BY 1, 2),
+         |l2 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m2 USING (band, band_hash) GROUP BY 1),
+         |m3 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l2 USING (doc_id) GROUP BY 1, 2),
+         |l3 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m3 USING (band, band_hash) GROUP BY 1)
+         |SELECT label AS cluster_rep, count(*) AS n_docs,
+         |  max(doc_id) AS max_doc_id
+         |FROM l3 GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig

@@ -14,6 +14,11 @@ object Bench {
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections and under-measure)
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Collect the PREVIOUS query's garbage before starting the clock:
+      // without this, heavy neighbors (LDA fits, W2V) bill multi-second GC
+      // pauses to whatever small query runs next — r03 medians showed a
+      // 1.2 s query at 22.7 s purely from sweep interference.
+      System.gc()
       val t0 = System.nanoTime()
       try Caching.scoped {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -27,9 +32,13 @@ object Bench {
     // One warmup pass (pays JIT + the cross-query fitted-model cache), then
     // `timedRuns` timed passes; report the per-query MEDIAN — single-pass
     // times on local[32] swing several× on sub-5 s queries run-to-run.
-    SparkEntry.queries.foreach { case (name, fn) => run(name, fn) }
+    // Sorted order: Map iteration order varies with the query set, so an
+    // unsorted sweep reshuffles which heavy query precedes which light one
+    // every round — per-query times would not be comparable across rounds.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, fn) => run(name, fn) }
     val samples = (1 to timedRuns).map { _ =>
-      SparkEntry.queries.map { case (name, fn) => name -> run(name, fn) }
+      ordered.map { case (name, fn) => name -> run(name, fn) }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -28,6 +28,16 @@ object SparkEntry {
   /** DuckDB rendering of TextFunctions.tokens(text, 1, 100). */
   private val TOKS_ALL =
     s"list_filter(string_split($NORM, ' '), t -> length(t) BETWEEN 1 AND 100)"
+  /** DuckDB rendering of TextAnalysisOps.bpeishTokenCount(text). */
+  private val BPE_COUNT =
+    """CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        regexp_extract_all(lower(coalesce(text, '')),
+      |          '[0-9]+|[a-z]+|[가-힣]+|[^a-z0-9가-힣\s]+'),
+      |        r -> CAST(ceil(length(r) / 8.0) AS BIGINT)))) AS BIGINT)""".stripMargin
+  /** DuckDB rendering of SamplingOps.hashBucket(id, 10000). */
+  private def sampleBucket(id: String): String =
+    s"(($id % $MOD) * 8191 + 524287) % $MOD % 10000"
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -183,6 +193,11 @@ object SparkEntry {
     "txt_token_budget" -> TextAnalysisOps.tokenBudgetBySource,
     "txt_countmin" -> SketchOps.countMinTopWords,
     "txt_distinct_sketch" -> SketchOps.distinctSketch,
+    "txt_len_quantiles" -> SketchOps.lengthQuantiles,
+    // --- selection & packing (LLM-pipeline training-set assembly) ---
+    "sample_split" -> SamplingOps.splitProfile,
+    "sample_stratified" -> SamplingOps.stratifiedProfile,
+    "pack_sequences" -> PackingOps.packProfile,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
     "dedup_simhash" -> DedupOps.simhashDupPairs,
@@ -420,6 +435,31 @@ object SparkEntry {
          |  CAST(sum(frame_bytes) AS BIGINT) AS total_bytes,
          |  max(checksum) AS max_checksum
          |FROM ck GROUP BY 1""".stripMargin,
+    // same byte-decode as media_frames: the stub feature extractor is a
+    // 16-bin byte histogram normalized in FLOAT, norm accumulated in DOUBLE
+    // — mirrored with the same width casts so the rounding agrees
+    "media_features" ->
+      """WITH v AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, length(hx) // 2 AS nbytes,
+        |    list_transform(range(0, length(hx) // 2), i ->
+        |      CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i + 1 AS INT), 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i + 2 AS INT), 1)) - 1) AS BIGINT)) AS bytes
+        |  FROM v),
+        |bins AS (
+        |  SELECT doc_id, nbytes, byte // 16 AS bin, count(*) AS cnt
+        |  FROM (SELECT doc_id, nbytes, unnest(bytes) AS byte FROM b)
+        |  GROUP BY 1, 2, 3),
+        |norms AS (
+        |  SELECT doc_id,
+        |    sqrt(sum(CAST(CAST(cnt AS REAL) / CAST(nbytes AS REAL) AS DOUBLE)
+        |           * CAST(CAST(cnt AS REAL) / CAST(nbytes AS REAL) AS DOUBLE))) AS norm
+        |  FROM bins GROUP BY 1)
+        |SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n_assets, CAST(16 AS INT) AS feat_dim,
+        |  round(avg(norm), 4) AS avg_norm
+        |FROM norms GROUP BY 1""".stripMargin,
     // window(ts, '1 hour') tumbling windows are epoch-aligned == date_trunc
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -553,6 +593,57 @@ object SparkEntry {
          |SELECT n_exact, occupied,
          |  round(-4096.0 * ln((4096 - occupied) / 4096.0), 4) AS est
          |FROM ex, occ""".stripMargin,
+    // histogram-sketch quantiles: same bucketing, same ceil-rank, same
+    // linear interpolation — deterministic arithmetic on both sides
+    "txt_len_quantiles" ->
+      """WITH h AS (
+        |  SELECT CAST(n_chars AS BIGINT) // 64 AS bucket, count(*) AS n
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n,
+        |    coalesce(sum(n) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM h),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+        |qs AS (SELECT CAST(x AS DOUBLE) AS q
+        |       FROM (SELECT unnest([0.5, 0.9, 0.99]) AS x)),
+        |r AS (SELECT q, CAST(ceil(q * total) AS BIGINT) AS rk, total
+        |      FROM qs, t)
+        |SELECT q,
+        |  round(bucket * 64 + 64 * (rk - cum_before) / n, 4) AS est_chars,
+        |  total AS n_docs
+        |FROM r JOIN c ON cum_before < rk AND rk <= cum_before + n""".stripMargin,
+    "sample_split" ->
+      s"""WITH s AS (
+         |  SELECT lang, doc_id, ${sampleBucket("doc_id")} AS b FROM documents)
+         |SELECT CASE WHEN b < 9000 THEN 'train'
+         |            WHEN b < 9500 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH k AS (
+         |  SELECT lang, count(*) AS n_kept FROM documents
+         |  WHERE ${sampleBucket("doc_id")} <
+         |    CASE lang WHEN 'ko' THEN 3000 WHEN 'en' THEN 6000 ELSE 10000 END
+         |  GROUP BY 1),
+         |t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
+         |SELECT t.lang, coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept, n_total,
+         |  round(coalesce(n_kept, CAST(0 AS BIGINT)) / n_total, 4) AS keep_rate
+         |FROM t LEFT JOIN k ON t.lang = k.lang""".stripMargin,
+    // the packing prefix sum collapses to one ordered window at oracle scale
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $BPE_COUNT AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         |  FROM d)
+         |SELECT strt // 2048 AS seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1""".stripMargin,
     // bounded-round label propagation unrolled: 3 rounds of
     // bucket-min -> member-min, exactly DedupOps.propagateLabels
     "dedup_minhash_clusters" ->

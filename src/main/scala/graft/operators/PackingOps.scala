@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysisOps.bpeishTokenCount
+
+/** Sequence packing: concatenate a corpus in stable id order and cut it
+  * into fixed token-budget training sequences, at document granularity —
+  * each doc lands in the sequence where its first token falls (a long doc
+  * spills past its sequence's budget rather than splitting).
+  *
+  * The core is a distributed prefix sum. A naive
+  * `sum() over (order by id)` puts the whole corpus in ONE window
+  * partition — the scale-killer this module exists to avoid. Instead the
+  * classic two-level scan: coarse id-ranges are prefix-summed (tiny frame —
+  * corpus_size / rangeSize rows), then each range computes its local
+  * cumulative sum in a bounded window partition and adds its range offset.
+  * Shuffle cost: one groupBy over ranges + one bounded window; the range
+  * offsets broadcast.
+  */
+object PackingOps {
+
+  /** Per-doc packing assignment: (doc_id, n_tokens, start, seq_id) where
+    * `start` is the doc's first-token offset in the id-ordered concatenated
+    * token stream and seq_id = start div budget.
+    *
+    * `rangeSize` is the id width of a coarse range: ranges must be small
+    * enough that one range's rows fit a window partition and numerous
+    * enough that the range-offset frame stays tiny (corpus/rangeSize rows).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokensExpr: Column,
+                    budget: Int, rangeSize: Long = 4096): DataFrame = {
+    val perDoc = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokensExpr.cast("long").as("n_tokens"),
+      // integer div, not /-then-truncate: ids above 2^53 would lose
+      // precision through the double division
+      expr(s"CAST($idCol AS BIGINT) div $rangeSize").as("rng"))
+    // level 1: range totals, prefix-summed — corpus/rangeSize rows, so the
+    // unpartitioned window here is over a deliberately tiny frame
+    val offsets = perDoc.groupBy(col("rng"))
+      .agg(sum(col("n_tokens")).as("rng_tokens"))
+      .withColumn("rng_offset",
+        coalesce(sum(col("rng_tokens")).over(
+          Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("rng_tokens")
+    // level 2: local cumulative sum within each bounded range partition
+    val local = Window.partitionBy("rng").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .join(broadcast(offsets), "rng")
+      .withColumn("start",
+        col("rng_offset") + sum(col("n_tokens")).over(local) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        expr(s"start div $budget").as("seq_id"))
+  }
+
+  /** Query: pack the documents fixture into 2048-token sequences (BPE-ish
+    * token counts) — per-sequence doc count, token fill, and id span. Fill
+    * hovers at the budget except the final partial sequence and sequences
+    * entered by a spilling long doc.
+    */
+  def packProfile(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), "doc_id",
+      bpeishTokenCount(col("text")), budget = 2048, rangeSize = 256)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic hash-based sampling and dataset splitting — the selection
+  * tier of a training-data pipeline. Random `df.sample` is useless at
+  * 100 TB because reruns, backfills, and per-table joins all need the SAME
+  * rows selected; hashing a stable id makes the choice a pure function of
+  * the row, so the sample is reproducible across runs, machines, and
+  * engines (the DuckDB oracle replays the identical arithmetic).
+  *
+  * Every operator here is a narrow codegen'd filter/projection — no
+  * shuffle, no state — so the plan at 100 TB is scan + filter with the
+  * predicate pushed against the id column.
+  */
+object SamplingOps {
+
+  val P = 1000000007L
+
+  /** Affine hash of a numeric id onto [0, m): ((id mod P)·8191 + 524287)
+    * mod P mod m — the engine's MinHash affine family applied to ids. The
+    * leading `mod P` keeps every intermediate < 2^63 for ids up to P·P/8191
+    * (any realistic id space), so JVM and oracle agree without overflow.
+    */
+  def hashBucket(id: Column, m: Int): Column =
+    ((id % P) * 8191L + 524287L) % P % m
+
+  /** Deterministic Bernoulli sample: keep rows whose id hashes below
+    * fraction·10000 of the bucket space (basis-point granularity).
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol), 10000) < math.round(fraction * 10000).toInt)
+
+  /** Train/val/test (or any) split assignment from cumulative weight
+    * thresholds over the hash buckets. Weights need not sum to 1; they are
+    * normalized. Assignment is per-row deterministic, so every downstream
+    * table split on the same id column lands rows in the same partition of
+    * the split — the property that keeps doc↔embedding↔metadata joins
+    * consistent across the split boundary.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   weights: Seq[(String, Double)]): DataFrame = {
+    val total = weights.map(_._2).sum
+    val thresholds = weights
+      .scanLeft(("", 0.0)) { case ((_, acc), (name, w)) => (name, acc + w / total) }
+      .drop(1)
+      .map { case (name, cum) => (name, math.round(cum * 10000).toInt) }
+    val bucket = hashBucket(col(idCol), 10000)
+    val assign = thresholds.init.foldRight(lit(thresholds.last._1)) {
+      case ((name, cum), otherwise) => when(bucket < cum, lit(name)).otherwise(otherwise)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Per-stratum deterministic sampling: each stratum value gets its own
+    * keep-fraction (absent strata keep `default`). The skew tool: cap an
+    * over-represented language/source at ingest without a shuffle.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       default: Double = 1.0): DataFrame = {
+    val threshold = fractions.foldRight(lit(math.round(default * 10000).toInt)) {
+      case ((value, f), otherwise) =>
+        when(col(strataCol) === value, lit(math.round(f * 10000).toInt))
+          .otherwise(otherwise)
+    }
+    df.filter(hashBucket(col(idCol), 10000) < threshold)
+  }
+
+  /** Query: 90/5/5 split of the documents fixture — per (split, lang)
+    * counts plus id bounds; the ratios land within basis-point noise of the
+    * weights.
+    */
+  def splitProfile(spark: SparkSession, dir: String): DataFrame =
+    assignSplits(Tables.documents(spark, dir), "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  /** Query: per-language stratified downsample (ko capped at 30%, en at
+    * 60%) — kept vs total per language, with the realized keep rate.
+    */
+  def stratifiedProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = stratifiedSample(docs, "doc_id", "lang",
+      Map("ko" -> 0.30, "en" -> 0.60), default = 1.0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total"),
+        round(coalesce(col("n_kept"), lit(0L)) / col("n_total"), 4).as("keep_rate"))
+  }
+}

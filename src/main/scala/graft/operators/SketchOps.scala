@@ -88,6 +88,52 @@ object SketchOps {
         round(-lit(m.toDouble) * log((lit(m) - col("occupied")) / lit(m.toDouble)), 4))
   }
 
+  /** Fixed-width histogram sketch over a numeric column: (bucket, n) with
+    * bucket = value div width. Mergeable by cellwise addition like the
+    * count-min grid; size is bounded by value-range/width, independent of
+    * row count — the property that lets quantile reads stay cheap at any
+    * corpus size.
+    */
+  def histogramSketch(df: DataFrame, valueCol: String, width: Int): DataFrame =
+    df.select(expr(s"CAST($valueCol AS BIGINT) div $width").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates read from a histogram sketch: rank = ceil(q·N),
+    * walk the cumulative histogram to the covering bucket, interpolate
+    * linearly inside it. Deterministic arithmetic → exact oracle. The
+    * cumulative window runs over the SKETCH (bounded by construction), not
+    * the data.
+    */
+  def quantileEstimates(sketch: DataFrame, width: Int,
+                        qs: Seq[Double]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cum = sketch.withColumn("cum_before",
+      coalesce(sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val ranked = qs.toDF("q")
+      .crossJoin(broadcast(sketch.agg(sum(col("n")).as("total"))))
+      .withColumn("rank", ceil(col("q") * col("total")).cast("long"))
+    cum.join(broadcast(ranked),
+        col("cum_before") < col("rank") && col("rank") <= col("cum_before") + col("n"))
+      .select(col("q"),
+        round(col("bucket") * width +
+          lit(width) * (col("rank") - col("cum_before")) / col("n"), 4).as("est"),
+        col("total"))
+  }
+
+  /** Query: document-length quantiles (p50/p90/p99 of n_chars) estimated
+    * from a width-64 histogram sketch — one scan builds the sketch, the
+    * estimates read only sketch rows.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantileEstimates(
+      histogramSketch(Tables.documents(spark, dir), "n_chars", 64),
+      64, Seq(0.5, 0.9, 0.99))
+      .select(col("q"), col("est").as("est_chars"), col("total").as("n_docs"))
+
   /** Query: count-min estimates vs exact counts for the corpus top-10 words
     * — `est >= freq` always; equality whenever the word's buckets are
     * collision-free. Both sides integer arithmetic → exact oracle.

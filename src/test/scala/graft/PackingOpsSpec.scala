@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PackingOps
+
+/** Sequence-packing invariants: starts are the exact prefix sums of token
+  * counts in id order, the result is independent of the range width used by
+  * the two-level scan, and long documents spill rather than split.
+  */
+class PackingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (doc_id, n_tokens) with a long doc (id 3) that overflows the budget
+  private val docs = Seq(
+    (0L, 100L), (1L, 50L), (2L, 80L), (3L, 500L), (4L, 10L),
+    (10L, 60L), (11L, 200L), (20L, 30L), (21L, 40L), (22L, 70L))
+    .toDF("doc_id", "n_tokens")
+
+  private def pack(rangeSize: Long) =
+    PackingOps.packSequences(docs, "doc_id", col("n_tokens"),
+      budget = 256, rangeSize = rangeSize)
+      .select("doc_id", "n_tokens", "start", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+  test("starts are prefix sums in doc_id order; seq_id = start div budget") {
+    val got = pack(rangeSize = 4)
+    val expected = docs.as[(Long, Long)].collect().sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1)
+      .map { case (id, n, cumIncl) => (id, n, cumIncl - n, (cumIncl - n) / 256) }
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("result is independent of the range width") {
+    val fine = pack(rangeSize = 2)
+    val coarse = pack(rangeSize = 1000)
+    assert(fine.toSeq === coarse.toSeq)
+  }
+
+  test("a doc longer than the budget spills; the next doc starts later") {
+    val byId = pack(rangeSize = 4).map(r => r._1 -> r).toMap
+    // doc 3 starts at 230 (seq 0) and runs 500 tokens past the budget
+    assert(byId(3L)._3 === 230L && byId(3L)._4 === 0L)
+    // doc 4 starts at 730 -> seq 2: the spilled tokens are not re-packed
+    assert(byId(4L)._3 === 730L && byId(4L)._4 === 2L)
+  }
+
+  test("sequences partition the docs: every doc in exactly one sequence") {
+    val profile = PackingOps.packSequences(docs, "doc_id", col("n_tokens"),
+      budget = 256, rangeSize = 4)
+      .groupBy("seq_id").agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+    assert(profile.agg(sum("n_docs")).as[Long].head() === 10L)
+    assert(profile.agg(sum("n_tokens")).as[Long].head() === 1140L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SamplingOps
+
+/** Hash-sampling invariants: selection is a pure function of the id (the
+  * property random sampling lacks), splits partition the corpus at the
+  * weight ratios, and strata are capped independently.
+  */
+class SamplingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
+    .withColumn("lang", when(col("doc_id") % 4 === 0, "ko").otherwise("en"))
+
+  test("hashSample is deterministic and id-stable across frames") {
+    val a = SamplingOps.hashSample(ids, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    val b = SamplingOps.hashSample(ids.repartition(7), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.length > 0 && a.length < 2000)
+  }
+
+  test("fraction 0 keeps nothing, fraction 1 keeps everything") {
+    assert(SamplingOps.hashSample(ids, "doc_id", 0.0).count() === 0)
+    assert(SamplingOps.hashSample(ids, "doc_id", 1.0).count() === 2000)
+  }
+
+  test("assignSplits partitions the corpus near the weight ratios") {
+    val counts = SamplingOps.assignSplits(ids, "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000)
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+  }
+
+  test("split of a sample equals sample of the split (id-consistency)") {
+    // the property that keeps doc/embedding/metadata tables consistent:
+    // selection commutes with any other id-preserving operation
+    val sampleThenSplit = SamplingOps.assignSplits(
+      SamplingOps.hashSample(ids, "doc_id", 0.5), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+      .filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().sorted
+    val splitThenSample = SamplingOps.hashSample(
+      SamplingOps.assignSplits(ids, "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+        .filter(col("split") === "train"), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(sampleThenSplit.sameElements(splitThenSample))
+  }
+
+  test("stratifiedSample caps strata independently, default keeps all") {
+    val kept = SamplingOps.stratifiedSample(ids, "doc_id", "lang",
+      Map("ko" -> 0.2), default = 1.0)
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === 1500) // default stratum untouched
+    assert(byLang("ko") > 50 && byLang("ko") < 150) // 500 * 0.2 ± hash noise
+    // kept ko rows are the SAME rows hashSample(0.2) would keep
+    val direct = SamplingOps.hashSample(ids.filter(col("lang") === "ko"),
+      "doc_id", 0.2).select("doc_id").as[Long].collect().sorted
+    val strat = kept.filter(col("lang") === "ko")
+      .select("doc_id").as[Long].collect().sorted
+    assert(direct.sameElements(strat))
+  }
+}

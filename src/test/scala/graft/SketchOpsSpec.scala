@@ -65,4 +65,30 @@ class SketchOpsSpec extends SparkSuite {
     assert(rows.length === 10)
     assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
   }
+
+  test("histogram quantile estimates land within one bucket width of truth") {
+    // uniform 1..1000: true pN = 10·N, width 10 -> estimate error < 10
+    val vals = spark.range(1, 1001).select(col("id").as("v"))
+    val sketch = SketchOps.histogramSketch(vals, "v", 10)
+    val est = SketchOps.quantileEstimates(sketch, 10, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est(0.5) - 500.0) <= 10.0)
+    assert(math.abs(est(0.9) - 900.0) <= 10.0)
+    assert(math.abs(est(0.99) - 990.0) <= 10.0)
+  }
+
+  test("histogram sketches merge by cellwise addition") {
+    val vals = spark.range(1, 1001).select(col("id").as("v"))
+    val whole = SketchOps.histogramSketch(vals, "v", 10)
+    val merged = SketchOps.histogramSketch(vals.filter(col("v") <= 400), "v", 10)
+      .unionByName(SketchOps.histogramSketch(vals.filter(col("v") > 400), "v", 10))
+      .groupBy("bucket").agg(sum("n").as("n"))
+    val a = whole.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // and the merged sketch reads the same quantiles
+    val qa = SketchOps.quantileEstimates(whole, 10, Seq(0.5)).collect()(0).getDouble(1)
+    val qb = SketchOps.quantileEstimates(merged, 10, Seq(0.5)).collect()(0).getDouble(1)
+    assert(qa === qb)
+  }
 }

@@ -59,6 +59,9 @@ object ScaleProbe {
     time("cnpmi")(TopicMetricsOps.npmiTop10(spark, tmp).count())
     time("umass_by_class")(TopicMetricsOps.umassByLang(spark, tmp).count())
     time("cluster_noise")(TopicModelOps.clusterNoiseProfile(spark, tmp).count())
+    time("sample_split")(SamplingOps.splitProfile(spark, tmp).count())
+    time("pack_sequences")(PackingOps.packProfile(spark, tmp).count())
+    time("len_quantiles")(SketchOps.lengthQuantiles(spark, tmp).count())
     spark.stop()
   }
 }

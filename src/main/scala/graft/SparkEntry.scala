@@ -197,6 +197,7 @@ object SparkEntry {
     // --- selection & packing (LLM-pipeline training-set assembly) ---
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
+    "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
     "pack_sequences" -> PackingOps.packProfile,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
@@ -631,6 +632,14 @@ object SparkEntry {
          |SELECT t.lang, coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept, n_total,
          |  round(coalesce(n_kept, CAST(0 AS BIGINT)) / n_total, 4) AS keep_rate
          |FROM t LEFT JOIN k ON t.lang = k.lang""".stripMargin,
+    "sample_fixed_k" ->
+      s"""WITH s AS (
+         |  SELECT lang, doc_id FROM documents
+         |  ORDER BY ((doc_id % $MOD) * 8191 + 524287) % $MOD, doc_id
+         |  LIMIT 100)
+         |SELECT lang, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM s GROUP BY 1""".stripMargin,
     // the packing prefix sum collapses to one ordered window at oracle scale
     "pack_sequences" ->
       s"""WITH d AS (

@@ -70,6 +70,15 @@ object SamplingOps {
     df.filter(hashBucket(col(idCol), 10000) < threshold)
   }
 
+  /** Deterministic fixed-SIZE uniform sample: the k rows with the smallest
+    * id-hashes (id tie-break). Where a fraction sample's size drifts with
+    * the corpus, this pins exactly k rows — the eval-set primitive — and
+    * plans as TakeOrderedAndProject: per-partition top-k then a k-row
+    * merge, never a global sort.
+    */
+  def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(((col(idCol) % P) * 8191L + 524287L) % P, col(idCol)).limit(k)
+
   /** Query: 90/5/5 split of the documents fixture — per (split, lang)
     * counts plus id bounds; the ratios land within basis-point noise of the
     * weights.
@@ -78,6 +87,14 @@ object SamplingOps {
     assignSplits(Tables.documents(spark, dir), "doc_id",
       Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
       .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  /** Query: per-language profile of a fixed 100-doc hash sample. */
+  def fixedSampleProfile(spark: SparkSession, dir: String): DataFrame =
+    fixedSample(Tables.documents(spark, dir), "doc_id", 100)
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))

@@ -68,4 +68,34 @@ class PartitioningSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial + final agg")
     assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle")
   }
+
+  test("bucketed tables co-locate the fact join: zero shuffle exchanges") {
+    // the repeated-join posture for 100 TB fact↔fact joins (DEPLOY.md):
+    // bucketBy the join key at write time, pay the shuffle once, and every
+    // later join on that key is exchange-free
+    val wh = Files.createTempDirectory("graft-bucket").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_totalprice").write
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders").saveAsTable("bkt_orders")
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey")).agg(sum("l_quantity").as("qty")).write
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lines").saveAsTable("bkt_lines")
+      val joined = spark.table("bkt_orders").join(spark.table("bkt_lines"),
+        col("o_orderkey") === col("l_orderkey"))
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lines")
+    }
+  }
 }

@@ -54,6 +54,42 @@ class SamplingOpsSpec extends SparkSuite {
     assert(sampleThenSplit.sameElements(splitThenSample))
   }
 
+  test("sampling operators apply unchanged to streaming frames") {
+    // stateless narrow ops: the same assignSplits/hashSample run on a
+    // stream, and a streamed batch selects exactly the batch-selected rows
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Long]
+    val q = SamplingOps.assignSplits(
+      SamplingOps.hashSample(input.toDF().withColumnRenamed("value", "doc_id"),
+        "doc_id", 0.5),
+      "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+      .writeStream.format("memory").queryName("stream_split").start()
+    input.addData(0L until 500L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_split")
+      .select("doc_id", "split").as[(Long, String)].collect().sorted
+    val batch = SamplingOps.assignSplits(
+      SamplingOps.hashSample(
+        spark.range(0, 500).select(col("id").as("doc_id")), "doc_id", 0.5),
+      "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  test("fixedSample pins exactly k rows, stable across partitioning") {
+    val a = SamplingOps.fixedSample(ids, "doc_id", 50)
+      .select("doc_id").as[Long].collect().sorted
+    val b = SamplingOps.fixedSample(ids.repartition(13), "doc_id", 50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.length === 50 && a.sameElements(b))
+    // and the plan is a top-k, not a global sort
+    val plan = SamplingOps.fixedSample(ids, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("stratifiedSample caps strata independently, default keeps all") {
     val kept = SamplingOps.stratifiedSample(ids, "doc_id", "lang",
       Map("ko" -> 0.2), default = 1.0)

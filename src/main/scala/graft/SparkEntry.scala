@@ -38,6 +38,29 @@ object SparkEntry {
   /** DuckDB rendering of SamplingOps.hashBucket(id, 10000). */
   private def sampleBucket(id: String): String =
     s"(($id % $MOD) * 8191 + 524287) % $MOD % 10000"
+  /** DuckDB rendering of TextAnalysisOps.qualityScoreCol over columns named
+    * text / norm / toks (norm = NORM, toks = TOKS_ALL of the same text). */
+  private def qualityCaseSql: String =
+    s"""(CASE WHEN len(toks) >= 5 AND len(toks) <= 1000 THEN 0.25 ELSE 0.0 END
+       |   + CASE WHEN len(toks) > 0
+       |          AND length(replace(norm,' ','')) * 1.0 / len(toks) >= 2.0
+       |          AND length(replace(norm,' ','')) * 1.0 / len(toks) <= 12.0
+       |          THEN 0.25 ELSE 0.0 END
+       |   + CASE WHEN len(toks) > 0
+       |          AND len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.allMarkers)})) * 1.0 / len(toks) >= 0.01
+       |          THEN 0.25 ELSE 0.0 END
+       |   + CASE WHEN length(coalesce(text,'')) > 0
+       |          AND length(regexp_replace(coalesce(text,''), '[^a-zA-Z0-9가-힣]', '', 'g')) * 1.0
+       |              / length(coalesce(text,'')) >= 0.6
+       |          THEN 0.25 ELSE 0.0 END)""".stripMargin
+  /** DuckDB rendering of TextAnalysisOps.dupFrac(tokenBigrams(toks)) over a
+    * column named toks. */
+  private def dupBigramSql: String =
+    """(CASE WHEN len(toks) >= 2 THEN
+      |   1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |           i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]))) AS DOUBLE)
+      |       / CAST(len(toks) - 1 AS DOUBLE)
+      | ELSE 0.0 END)""".stripMargin
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -191,6 +214,7 @@ object SparkEntry {
     "txt_dup_clusters" -> TextAnalysisOps.duplicateClusters,
     "txt_fingerprints" -> TextAnalysisOps.fingerprintSample,
     "txt_token_budget" -> TextAnalysisOps.tokenBudgetBySource,
+    "txt_repetition" -> TextAnalysisOps.repetitionBySource,
     "txt_countmin" -> SketchOps.countMinTopWords,
     "txt_distinct_sketch" -> SketchOps.distinctSketch,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
@@ -199,6 +223,7 @@ object SparkEntry {
     "sample_stratified" -> SamplingOps.stratifiedProfile,
     "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
     "pack_sequences" -> PackingOps.packProfile,
+    "train_assembly" -> AssemblyOps.trainAssembly,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
     "dedup_simhash" -> DedupOps.simhashDupPairs,
@@ -210,6 +235,7 @@ object SparkEntry {
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
     "sim_ivf_ann" -> SimilarityOps.ivfAnn,
+    "sim_recall" -> SimilarityOps.annRecall,
     "dedup_exact_fp" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit, min}
       graft.streaming.StreamOps.withFingerprint(Tables.documents(s, d), "text")
@@ -526,18 +552,7 @@ object SparkEntry {
       s"""WITH d AS (
          |  SELECT source, text, $NORM AS norm, $TOKS_ALL AS toks FROM documents),
          |q AS (SELECT source,
-         |  (CASE WHEN len(toks) >= 5 AND len(toks) <= 1000 THEN 0.25 ELSE 0.0 END
-         |   + CASE WHEN len(toks) > 0
-         |          AND length(replace(norm,' ','')) * 1.0 / len(toks) >= 2.0
-         |          AND length(replace(norm,' ','')) * 1.0 / len(toks) <= 12.0
-         |          THEN 0.25 ELSE 0.0 END
-         |   + CASE WHEN len(toks) > 0
-         |          AND len(list_filter(toks, t -> t IN ${inList(TextAnalysisOps.allMarkers)})) * 1.0 / len(toks) >= 0.01
-         |          THEN 0.25 ELSE 0.0 END
-         |   + CASE WHEN length(coalesce(text,'')) > 0
-         |          AND length(regexp_replace(coalesce(text,''), '[^a-zA-Z0-9가-힣]', '', 'g')) * 1.0
-         |              / length(coalesce(text,'')) >= 0.6
-         |          THEN 0.25 ELSE 0.0 END) AS q
+         |  $qualityCaseSql AS q
          |  FROM d)
          |SELECT source, count(*) AS n_docs, round(avg(q),4) AS avg_quality,
          | CAST(sum(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
@@ -564,6 +579,29 @@ object SparkEntry {
          |  CAST(sum(bpe) AS BIGINT) AS bpeish_tokens,
          |  CAST(sum(est) AS BIGINT) AS est_tokens
          |FROM d GROUP BY 1""".stripMargin,
+    // Gopher-family repetition fractions: 1 - distinct/total over tokens
+    // and adjacent bigrams, averaged per source
+    "txt_repetition" ->
+      s"""WITH d AS (SELECT source, $TOKS_ALL AS toks FROM documents),
+         |b AS (
+         |  SELECT source, toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]) AS bg
+         |  FROM d),
+         |f AS (
+         |  SELECT source,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_tok,
+         |    CASE WHEN len(bg) > 0 THEN
+         |      1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_big
+         |  FROM b)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(dup_tok), 4) AS avg_dup_token_frac,
+         |  round(avg(dup_big), 4) AS avg_dup_bigram_frac,
+         |  CAST(sum(CASE WHEN dup_big > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM f GROUP BY 1""".stripMargin,
     "txt_countmin" ->
       s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents),
          |h AS (SELECT ${polyFold(cps("word"))} AS h FROM toks),
@@ -653,6 +691,32 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1""".stripMargin,
+    // the full assembly pipeline: exact-fp keep-first dedup -> quality +
+    // repetition gate -> 90/5/5 hash split -> per-split token accounting
+    "train_assembly" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text, ${polyFold(cps(NORM))} AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY fp),
+         |d AS (
+         |  SELECT doc_id, text, $NORM AS norm, $TOKS_ALL AS toks
+         |  FROM documents JOIN keep USING (doc_id)),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    $qualityCaseSql AS q,
+         |    $dupBigramSql AS dup_big
+         |  FROM d),
+         |kept AS (SELECT doc_id, text, q FROM scored
+         |         WHERE q >= 0.5 AND dup_big <= 0.2),
+         |s AS (
+         |  SELECT CASE WHEN ${sampleBucket("doc_id")} < 9000 THEN 'train'
+         |              WHEN ${sampleBucket("doc_id")} < 9500 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |    $BPE_COUNT AS bpe, q
+         |  FROM kept)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(bpe) AS BIGINT) AS n_tokens,
+         |  round(avg(q), 4) AS avg_quality
+         |FROM s GROUP BY 1""".stripMargin,
     // bounded-round label propagation unrolled: 3 rounds of
     // bucket-min -> member-min, exactly DedupOps.propagateLabels
     "dedup_minhash_clusters" ->
@@ -1111,6 +1175,48 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
          |FROM r WHERE rk <= 3""".stripMargin,
+    // recall@10: the brute chain and the LSH chain of the two queries
+    // above, re-cut at the same query set and k, intersected per query
+    "sim_recall" ->
+      s"""WITH $UNIT_CTE,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 10),
+         |sk AS (SELECT vec_id, nv, ${sketchSql("nv")} AS sketch FROM u),
+         |b AS (
+         |  SELECT vec_id, sketch, j AS band,
+         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
+         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
+         |  FROM sk, range(0, 4) t(j)),
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM b q JOIN b c ON q.band = c.band AND q.band_val = c.band_val
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |s2 AS (
+         |  SELECT query_id, cands.vec_id, ${dotSql("uq.nv", "uc.nv")} AS cos
+         |  FROM cands
+         |  JOIN sk uq ON uq.vec_id = query_id
+         |  JOIN sk uc ON uc.vec_id = cands.vec_id),
+         |an AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s2)
+         |  WHERE rk <= 10)
+         |SELECT br.query_id, count(*) AS n_brute,
+         |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall
+         |FROM br LEFT JOIN an
+         |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+         |GROUP BY 1""".stripMargin,
     "dedup_exact_fp" ->
       s"""WITH n AS (
          |  SELECT doc_id,

@@ -107,6 +107,27 @@ object SimilarityOps {
     lshTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
   }
 
+  /** Query: recall@10 of the LSH-ANN tier against the exact brute-force
+    * answer on the probe query set — the quality gauge an ANN deployment
+    * ships alongside its index parameters (bands/bits here; nprobe/nlists
+    * for the IVF tier). Both sides are deterministic, so the recall itself
+    * sits under the exact oracle.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(
+      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+    val queries = corpus.filter(col("vec_id") < 5)
+    val brute = bruteForceTopK(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val ann = lshTopK(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    brute.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
+  }
+
   /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns
     * every corpus vector to its nearest centroid's list; queries probe the
     * `nProbe` nearest lists and re-rank exactly. The second ANN tier next to

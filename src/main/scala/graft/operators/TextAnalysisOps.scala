@@ -127,6 +127,44 @@ object TextAnalysisOps {
     volume.join(vocab, Seq("lang"))
   }
 
+  /** Duplicate fraction of an array: 1 − distinct/total (0 for empty).
+    * Narrow array arithmetic — no explode, no shuffle.
+    */
+  def dupFrac(items: Column): Column =
+    when(size(items) > 0,
+      lit(1.0) - size(array_distinct(items)).cast("double")
+        / size(items).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Adjacent token bigrams ("a b") of a token array; empty below 2 tokens
+    * (guarded: Spark's sequence(1, 0) would generate DESCENDING, not empty).
+    */
+  def tokenBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-source repetition profile — the duplicate-token and
+    * duplicate-bigram fractions of the Gopher repetition-filter family
+    * (Rae et al. 2021, "Scaling Language Models", Table A1: docs whose
+    * repeated n-grams exceed a threshold are dropped before training).
+    * `n_flagged` counts docs past the 0.2 duplicate-bigram bar. Pure
+    * per-row array arithmetic + one aggregate: scan-shaped at any corpus
+    * size.
+    */
+  def repetitionBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text"), 1, 100).as("toks"))
+      .select(col("source"),
+        dupFrac(col("toks")).as("dup_tok"),
+        dupFrac(tokenBigrams(col("toks"))).as("dup_big"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("dup_tok")), 4).as("avg_dup_token_frac"),
+        round(avg(col("dup_big")), 4).as("avg_dup_bigram_frac"),
+        sum(when(col("dup_big") > 0.2, 1).otherwise(0)).as("n_flagged"))
+
   /** BPE-ish subword counting: runs of one character class (digits, Latin,
     * Hangul, other-symbol runs) over the lowercased text, each run costing
     * ceil(len/8) tokens — the bounded-piece behavior of a real BPE vocab

@@ -67,4 +67,30 @@ class OpsSmokeSpec extends SparkSuite {
     assert(overlapping.nonEmpty)
     overlapping.foreach { case (k, cos) => assert(brute(k) == cos) }
   }
+
+  test("train_assembly: splits partition the gated survivors") {
+    val rows = AssemblyOps.trainAssembly(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val total = rows.values.map(_._1).sum
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(total > 0 && total <= nDocs)
+    // every surviving doc passed the 0.5 quality gate
+    rows.values.foreach { case (_, avgQ) => assert(avgQ >= 0.5) }
+    assert(rows.contains("train"))
+  }
+
+  test("repetition signals: hand-computed duplicate fractions") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val df = Seq("spark spark spark spark", "all words are different here", "one")
+      .toDF("text")
+      .select(
+        TextAnalysisOps.dupFrac(tokens(col("text"), 1, 100)).as("dup_tok"),
+        TextAnalysisOps.dupFrac(
+          TextAnalysisOps.tokenBigrams(tokens(col("text"), 1, 100))).as("dup_big"))
+      .as[(Double, Double)].collect()
+    assert(df(0) === ((0.75, 1.0 - 1.0 / 3.0))) // 4x same token, 3x same bigram
+    assert(df(1) === ((0.0, 0.0)))              // all distinct
+    assert(df(2) === ((0.0, 0.0)))              // single token: no bigrams
+  }
 }

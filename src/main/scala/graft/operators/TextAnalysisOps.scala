@@ -80,9 +80,16 @@ object TextAnalysisOps {
     * ratio). Indicators rather than smooth weights → integer-exact arithmetic
     * that any oracle reproduces bit-for-bit.
     */
-  def qualityScoreCol(text: Column): Column = {
-    val norm = normalized(text)
-    val toks = tokens(text, 1, 100)
+  def qualityScoreCol(text: Column): Column =
+    qualityScoreFrom(text, normalized(text), tokens(text, 1, 100))
+
+  /** Quality score over PRE-MATERIALIZED norm/toks columns. Compositions
+    * that also need norm/toks for other signals (AssemblyOps) must stage
+    * them as real columns first: inlining them here repeats the tokenize
+    * per reference, and the fresh lambda ids on the HOFs defeat Spark's
+    * subexpression elimination (measured ~17× slower in train_assembly).
+    */
+  def qualityScoreFrom(text: Column, norm: Column, toks: Column): Column = {
     val nToks = size(toks).cast("double")
     val charsNoSpace = length(regexp_replace(norm, " ", "")).cast("double")
     val avgTokLen = when(nToks > 0, charsNoSpace / nToks).otherwise(lit(0.0))
@@ -101,7 +108,10 @@ object TextAnalysisOps {
   /** Per-source quality profile (count, mean score, high-quality count). */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("source"), qualityScoreCol(col("text")).as("q"))
+      .select(col("source"), col("text"),
+        normalized(col("text")).as("norm"), tokens(col("text"), 1, 100).as("toks"))
+      .select(col("source"),
+        qualityScoreFrom(col("text"), col("norm"), col("toks")).as("q"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -69,6 +69,19 @@ class PartitioningSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle")
   }
 
+  test("train_assembly: two shuffles, per-row signals tokenized once") {
+    val plan = operators.AssemblyOps.trainAssembly(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 2,
+      "dedup window + final aggregate only")
+    // regression pin for the staged-signal fix: norm appears once as a
+    // column plus once inside the toks column — NOT once per signal use
+    // (the inlined form evaluated the tokenize ~20x per row, 76 s vs 1.6 s
+    // at sf0.1)
+    val tokenizes = "trim\\(regexp_replace\\(lower\\(".r.findAllIn(plan).size
+    assert(tokenizes <= 3, s"tokenize inlined $tokenizes times")
+  }
+
   test("bucketed tables co-locate the fact join: zero shuffle exchanges") {
     // the repeated-join posture for 100 TB fact↔fact joins (DEPLOY.md):
     // bucketBy the join key at write time, pay the shuffle once, and every

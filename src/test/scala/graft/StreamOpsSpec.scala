@@ -19,6 +19,40 @@ class StreamOpsSpec extends SparkSuite {
   private def ts(hour: Int, minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
 
+  test("assembly at ingest: watermarked dedup + quality gate + split compose on a stream") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{SamplingOps, TextAnalysisOps}
+    import graft.functions.TextFunctions.{normalized, tokens}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val good = "the quick brown fox jumps over the lazy dog and it runs far"
+    val deduped = StreamOps.dedupStream(input.toDF(), "text", "ts")
+    val gated = deduped
+      .select(col("doc_id"), col("text"),
+        normalized(col("text")).as("norm"), tokens(col("text"), 1, 100).as("toks"))
+      .filter(TextAnalysisOps.qualityScoreFrom(
+        col("text"), col("norm"), col("toks")) >= 0.5)
+    val q = SamplingOps.assignSplits(gated, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("stream_assembly").start()
+    input.addData(
+      StreamDoc(1, ts(9, 0), good),
+      StreamDoc(2, ts(9, 5), good),            // exact duplicate: dropped
+      StreamDoc(3, ts(9, 10), "x"),            // fails the quality gate
+      StreamDoc(4, ts(9, 20), good + " again"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stream_assembly")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(1L, 4L))
+    // split assignment agrees with the batch operator on the same ids
+    val batch = SamplingOps.assignSplits(
+      Seq(1L, 4L).toDF("doc_id"), "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === batch)
+  }
+
   private def ev(id: Long, user: Long, t: Timestamp, typ: String = "click",
                  v: Double = 1.0): Event =
     Event(id, user, t, typ, v, "{}")

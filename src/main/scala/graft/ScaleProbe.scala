@@ -41,11 +41,18 @@ object ScaleProbe {
 
     val n = spark.read.parquet(s"$tmp/documents.parquet").count()
     println(s"[scale] corpus ${n} docs (${factor}x of $dir)")
+    // SPARK_GRAFT_SCALE_OPS=op1,op2 restricts the probe to named ops —
+    // focused scale-up runs (e.g. 30x on the selection tier) shouldn't pay
+    // the full dedup pair suite
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = Caching.scoped(f)
-      Caching.releaseAll()
-      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
+      if (selected.forall(_.contains(label))) {
+        val t0 = System.nanoTime()
+        val r = Caching.scoped(f)
+        Caching.releaseAll()
+        println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
+      }
     }
     import graft.operators._
     time("minhash_clusters")(DedupOps.minhashClusterProfile(spark, tmp).count())

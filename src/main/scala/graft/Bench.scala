@@ -13,12 +13,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections and under-measure)
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            gc: Boolean = true): Double = {
       // Collect the PREVIOUS query's garbage before starting the clock:
       // without this, heavy neighbors (LDA fits, W2V) bill multi-second GC
       // pauses to whatever small query runs next — r03 medians showed a
-      // 1.2 s query at 22.7 s purely from sweep interference.
-      System.gc()
+      // 1.2 s query at 22.7 s purely from sweep interference. Skipped on
+      // the (untimed) warmup pass: ~80 extra gc calls buy nothing there.
+      if (gc) System.gc()
       val t0 = System.nanoTime()
       try Caching.scoped {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -36,7 +38,7 @@ object Bench {
     // unsorted sweep reshuffles which heavy query precedes which light one
     // every round — per-query times would not be comparable across rounds.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (name, fn) => run(name, fn) }
+    ordered.foreach { case (name, fn) => run(name, fn, gc = false) }
     val samples = (1 to timedRuns).map { _ =>
       ordered.map { case (name, fn) => name -> run(name, fn) }.toMap
     }

@@ -223,6 +223,7 @@ object SparkEntry {
     "sample_stratified" -> SamplingOps.stratifiedProfile,
     "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
     "pack_sequences" -> PackingOps.packProfile,
+    "pack_chunks" -> PackingOps.chunkProfile,
     "train_assembly" -> AssemblyOps.trainAssembly,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
@@ -691,6 +692,28 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1""".stripMargin,
+    // token-granularity packing: cut the concatenated stream at every
+    // 2048 tokens; docs spanning a cut contribute a row per covered seq
+    "pack_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $BPE_COUNT AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+         |  FROM d),
+         |e AS (SELECT doc_id, strt, strt + n_tokens AS fin
+         |      FROM c WHERE n_tokens > 0),
+         |x AS (
+         |  SELECT doc_id, strt, fin,
+         |    unnest(generate_series(strt // 2048, (fin - 1) // 2048)) AS seq_id
+         |  FROM e)
+         |SELECT seq_id, count(*) AS n_docs,
+         |  CAST(sum(least(fin, (seq_id + 1) * 2048)
+         |         - greatest(strt, seq_id * 2048)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN strt < seq_id * 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_continued
+         |FROM x GROUP BY 1""".stripMargin,
     // the full assembly pipeline: exact-fp keep-first dedup -> quality +
     // repetition gate -> 90/5/5 hash split -> per-split token accounting
     "train_assembly" ->

@@ -59,6 +59,40 @@ object PackingOps {
         expr(s"start div $budget").as("seq_id"))
   }
 
+  /** Token-granularity packing: the concatenated stream is cut at EXACTLY
+    * every `budget` tokens, so every sequence is full except the last and
+    * docs crossing a boundary are split across sequences — the GPT-style
+    * packing that wastes zero context. One row per (doc, covered
+    * sequence) with that sequence's share of the doc's tokens. The
+    * explode averages ~1 row/doc (a doc covers extra sequences only by
+    * crossing boundaries), so the plan stays scan-shaped on top of the
+    * same two-level prefix sum.
+    */
+  def packChunks(docs: DataFrame, idCol: String, tokensExpr: Column,
+                 budget: Int, rangeSize: Long = 4096): DataFrame =
+    packSequences(docs, idCol, tokensExpr, budget, rangeSize)
+      .filter(col("n_tokens") > 0)
+      .withColumn("fin", col("start") + col("n_tokens"))
+      .select(col("doc_id"), col("start"), col("fin"),
+        explode(sequence(expr(s"start div $budget"),
+          expr(s"(fin - 1) div $budget"))).as("seq_id"))
+      .withColumn("tokens_in_seq",
+        least(col("fin"), (col("seq_id") + 1) * budget)
+          - greatest(col("start"), col("seq_id") * budget))
+
+  /** Query: token-exact chunk profile — every sequence carries exactly the
+    * 2048 budget except the final one; `n_continued` counts docs continuing
+    * across the left boundary.
+    */
+  def chunkProfile(spark: SparkSession, dir: String): DataFrame =
+    packChunks(Tables.documents(spark, dir), "doc_id",
+      bpeishTokenCount(col("text")), budget = 2048, rangeSize = 256)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens_in_seq")).as("n_tokens"),
+        sum(when(col("start") < col("seq_id") * 2048, 1).otherwise(0))
+          .as("n_continued"))
+
   /** Query: pack the documents fixture into 2048-token sequences (BPE-ish
     * token counts) — per-sequence doc count, token fill, and id span. Fill
     * hovers at the budget except the final partial sequence and sequences

@@ -46,6 +46,24 @@ class PackingOpsSpec extends SparkSuite {
     assert(byId(4L)._3 === 730L && byId(4L)._4 === 2L)
   }
 
+  test("packChunks: every sequence carries exactly the budget except the last") {
+    val perSeq = PackingOps.packChunks(docs, "doc_id", col("n_tokens"),
+      budget = 256, rangeSize = 4)
+      .groupBy("seq_id").agg(sum("tokens_in_seq").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSeq === Map(0L -> 256L, 1L -> 256L, 2L -> 256L, 3L -> 256L, 4L -> 116L))
+  }
+
+  test("packChunks splits a boundary-crossing doc across its sequences") {
+    val doc3 = PackingOps.packChunks(docs, "doc_id", col("n_tokens"),
+      budget = 256, rangeSize = 4)
+      .filter(col("doc_id") === 3)
+      .select("seq_id", "tokens_in_seq")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // 500 tokens starting at offset 230 cover seqs 0..2 as 26 + 256 + 218
+    assert(doc3.toSeq === Seq((0L, 26L), (1L, 256L), (2L, 218L)))
+  }
+
   test("sequences partition the docs: every doc in exactly one sequence") {
     val profile = PackingOps.packSequences(docs, "doc_id", col("n_tokens"),
       budget = 256, rangeSize = 4)

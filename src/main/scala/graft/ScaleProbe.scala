@@ -68,6 +68,7 @@ object ScaleProbe {
     time("cluster_noise")(TopicModelOps.clusterNoiseProfile(spark, tmp).count())
     time("sample_split")(SamplingOps.splitProfile(spark, tmp).count())
     time("pack_sequences")(PackingOps.packProfile(spark, tmp).count())
+    time("pack_chunks")(PackingOps.chunkProfile(spark, tmp).count())
     time("len_quantiles")(SketchOps.lengthQuantiles(spark, tmp).count())
     time("repetition")(TextAnalysisOps.repetitionBySource(spark, tmp).count())
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())

@@ -685,8 +685,8 @@ object SparkEntry {
          |  SELECT doc_id, $BPE_COUNT AS n_tokens FROM documents),
          |c AS (
          |  SELECT doc_id, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
          |  FROM d)
          |SELECT strt // 2048 AS seq_id, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

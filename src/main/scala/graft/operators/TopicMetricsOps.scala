@@ -89,6 +89,17 @@ object TopicMetricsOps {
   def dedupKeywordsByLang(spark: SparkSession, dir: String): DataFrame =
     dedupKeywords(ctfidfByLang(spark, dir), 5)
 
+  /** Tokenized corpus staging frame (doc, toks) — tokenize ONCE and feed
+    * every coherence measure from it (the HOF-staging pattern,
+    * AssemblyOps.scala:43-47). Callers scoring more than one measure should
+    * `Caching.track` this frame and pass it to the `*OfTokens` cores; the
+    * docs-based wrappers below build it per call for single-measure queries.
+    */
+  def tokenizedDocs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(monotonically_increasing_id().as("doc"),
+      tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+
   /** u_mass coherence of a ranked word list over a document corpus:
     * mean over pairs (rank_i > rank_j) of ln((D(wi,wj)+1) / D(wj)), with
     * D = document frequency on distinct-token sets. `topWords` must be small
@@ -106,11 +117,16 @@ object TopicMetricsOps {
     * Returns (cls, n_pairs, umass) ordered by cls.
     */
   def umassByClass(docs: DataFrame, textCol: String,
-                   topicWords: DataFrame): DataFrame = {
-    val presence = graft.Caching.track(docs
-      .select(monotonically_increasing_id().as("doc"),
-        array_distinct(tokens(col(textCol))).as("set"))
-      .select(col("doc"), explode(col("set")).as("word"))
+                   topicWords: DataFrame): DataFrame =
+    umassByClassOfTokens(tokenizedDocs(docs, textCol), topicWords)
+
+  /** u_mass core over a pre-tokenized (doc, toks) corpus — empty docs carry
+    * no presence rows, so filtering them upstream leaves every D() count
+    * unchanged.
+    */
+  def umassByClassOfTokens(toks: DataFrame, topicWords: DataFrame): DataFrame = {
+    val presence = graft.Caching.track(toks
+      .select(col("doc"), explode(array_distinct(col("toks"))).as("word"))
       .join(broadcast(topicWords), "word")) // (doc, cls, word, rank) hits only
     val dj = presence.groupBy(col("cls"), col("word"), col("rank"))
       .agg(count(lit(1)).as("d"))
@@ -164,9 +180,17 @@ object TopicMetricsOps {
     * Returns (cls, n_pairs, c_npmi) ordered by cls.
     */
   def npmiByClass(docs: DataFrame, textCol: String, topicWords: DataFrame,
-                  windowSize: Int = 10): DataFrame = {
+                  windowSize: Int = 10): DataFrame =
+    npmiByClassOfTokens(graft.Caching.track(tokenizedDocs(docs, textCol)),
+      topicWords, windowSize)
+
+  /** C_NPMI core over a pre-tokenized (doc, toks) corpus. `toks` is consumed
+    * twice (window totals + presence) — callers must persist it.
+    */
+  def npmiByClassOfTokens(toks: DataFrame, topicWords: DataFrame,
+                          windowSize: Int = 10): DataFrame = {
     val eps = 1e-12
-    pairProbabilitiesByClass(docs, textCol, topicWords, windowSize)
+    pairProbabilitiesOfTokens(toks, topicWords, windowSize)
       .withColumn("npmi",
         log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
           / -log(col("p_ij") + eps))
@@ -175,10 +199,15 @@ object TopicMetricsOps {
       .orderBy("cls")
   }
 
-  /** Query: C_NPMI coherence of the global top-10 words (window 10). */
+  /** Query: C_NPMI coherence of the global top-10 words (window 10) — one
+    * shared tokenization feeds the top-word count and the window presence.
+    */
   def npmiTop10(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    npmiCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+    val toks = graft.Caching.track(
+      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    npmiByClassOfTokens(toks,
+      topWordsOfTokens(toks, 10).withColumn("cls", lit(0)))
+      .select(col("n_pairs"), col("c_npmi"))
   }
 
   /** C_UCI coherence: mean PMI (not normalized) over pairs, same boolean
@@ -187,15 +216,25 @@ object TopicMetricsOps {
     */
   def uciCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
                    windowSize: Int = 10): DataFrame =
-    pairProbabilities(docs, textCol, topWords, windowSize)
+    uciCoherenceOfTokens(graft.Caching.track(tokenizedDocs(docs, textCol)),
+      topWords, windowSize)
+
+  /** C_UCI core over a pre-tokenized (doc, toks) corpus. */
+  def uciCoherenceOfTokens(toks: DataFrame, topWords: DataFrame,
+                           windowSize: Int = 10): DataFrame =
+    pairProbabilitiesOfTokens(toks, topWords.withColumn("cls", lit(0)),
+      windowSize)
       .withColumn("pmi",
         log((col("p_ij") + 1e-12) / (col("p_i") * col("p_j"))))
       .agg(count(lit(1)).as("n_pairs"), round(avg(col("pmi")), 4).as("c_uci"))
 
-  /** Query: C_UCI coherence of the global top-10 words. */
+  /** Query: C_UCI coherence of the global top-10 words — the corpus is
+    * tokenized ONCE and feeds both the top-word count and the presence scan.
+    */
   def uciTop10(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    uciCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+    val toks = graft.Caching.track(
+      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    uciCoherenceOfTokens(toks, topWordsOfTokens(toks, 10))
   }
 
   /** C_V coherence (Röder's best-performing measure; gensim c_v): NPMI
@@ -205,13 +244,20 @@ object TopicMetricsOps {
     * Entirely DataFrame-expressed: the K×K matrix lives as (wi, wj, s) rows.
     */
   def cvCoherence(docs: DataFrame, textCol: String, topWords: DataFrame,
-                  windowSize: Int = 110): DataFrame = {
+                  windowSize: Int = 110): DataFrame =
+    cvCoherenceOfTokens(graft.Caching.track(tokenizedDocs(docs, textCol)),
+      topWords, windowSize)
+
+  /** C_V core over a pre-tokenized (doc, toks) corpus. */
+  def cvCoherenceOfTokens(toks: DataFrame, topWords: DataFrame,
+                          windowSize: Int = 110): DataFrame = {
     val eps = 1e-12
     def npmiOf(pij: org.apache.spark.sql.Column, pi: org.apache.spark.sql.Column,
                pj: org.apache.spark.sql.Column) =
       log((pij + eps) / (pi * pj)) / -log(pij + eps)
     val probs = graft.Caching.track(
-      pairProbabilities(docs, textCol, topWords, windowSize))
+      pairProbabilitiesOfTokens(toks, topWords.withColumn("cls", lit(0)),
+        windowSize).drop("cls"))
     val tri = probs.select(col("wi"), col("wj"),
       npmiOf(col("p_ij"), col("p_i"), col("p_j")).as("s"))
     val sym = tri.union(tri.select(col("wj"), col("wi"), col("s")))
@@ -231,10 +277,13 @@ object TopicMetricsOps {
       .agg(count(lit(1)).as("n_words"), round(avg(col("cos")), 4).as("c_v"))
   }
 
-  /** Query: C_V coherence of the global top-10 words (window 110). */
+  /** Query: C_V coherence of the global top-10 words (window 110) — one
+    * shared tokenization feeds the top-word count and the window presence.
+    */
   def cvTop10(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    cvCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+    val toks = graft.Caching.track(
+      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    cvCoherenceOfTokens(toks, topWordsOfTokens(toks, 10))
   }
 
   /** Window-containment probabilities for every unordered pair of topic
@@ -257,8 +306,16 @@ object TopicMetricsOps {
     */
   def pairProbabilitiesByClass(docs: DataFrame, textCol: String,
                                topicWords: DataFrame,
-                               windowSize: Int): DataFrame = {
-    val (presence, totals) = windowPresence(docs, textCol, topicWords, windowSize)
+                               windowSize: Int): DataFrame =
+    pairProbabilitiesOfTokens(
+      graft.Caching.track(tokenizedDocs(docs, textCol)), topicWords, windowSize)
+
+  /** Grouped core over a pre-tokenized (doc, toks) corpus — callers scoring
+    * several measures stage (and persist) the tokenization once.
+    */
+  def pairProbabilitiesOfTokens(toks: DataFrame, topicWords: DataFrame,
+                                windowSize: Int): DataFrame = {
+    val (presence, totals) = windowPresence(toks, topicWords, windowSize)
     val pw = presence.groupBy(col("cls"), col("word"), col("rank"))
       .agg(count(lit(1)).as("cw"))
     val pij = presence.as("a")
@@ -284,13 +341,12 @@ object TopicMetricsOps {
       .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
   }
 
-  /** (presence of topic words in sliding windows, total window count). */
-  private def windowPresence(docs: DataFrame, textCol: String,
-                             topicWords: DataFrame,
+  /** (presence of topic words in sliding windows, total window count) from a
+    * pre-tokenized (doc, toks) corpus — persisted by the caller, since both
+    * outputs scan it.
+    */
+  private def windowPresence(toks: DataFrame, topicWords: DataFrame,
                              windowSize: Int): (DataFrame, DataFrame) = {
-    val toks = graft.Caching.track(docs
-      .select(monotonically_increasing_id().as("doc"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0))
     val totals = toks.agg(
       sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
     val presence = toks
@@ -353,12 +409,18 @@ object TopicMetricsOps {
   /** The top-n corpus words by frequency with their rank — the "topic" whose
     * coherence the fixture query measures.
     */
-  def topFrequentWords(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+  def topFrequentWords(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    topWordsOfTokens(docs.select(tokens(col(textCol)).as("toks")), n)
+
+  /** Ranked top-n words from a pre-tokenized corpus (any frame with a
+    * `toks` array column).
+    */
+  def topWordsOfTokens(toks: DataFrame, n: Int): DataFrame = {
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-n, then
     // a driver merge of n·partitions rows) — the full vocabulary never lands
     // in one task. The row_number window below runs over the n-row result
     // only, so its single partition holds exactly n rows at any corpus size.
-    val top = docs.select(explode(tokens(col(textCol))).as("word"))
+    val top = toks.select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word"))
       .limit(n)
@@ -368,9 +430,14 @@ object TopicMetricsOps {
       .select(col("word"), col("rank"))
   }
 
-  /** Query: u_mass coherence of the global top-10 words. */
+  /** Query: u_mass coherence of the global top-10 words — one shared
+    * tokenization feeds the top-word count and the document presence.
+    */
   def umassTop10(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    umassCoherence(docs, "text", topFrequentWords(docs, "text", 10))
+    val toks = graft.Caching.track(
+      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    umassByClassOfTokens(toks,
+      topWordsOfTokens(toks, 10).withColumn("cls", lit(0)))
+      .select(col("n_pairs"), col("umass"))
   }
 }

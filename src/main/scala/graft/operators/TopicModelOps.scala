@@ -281,6 +281,9 @@ object TopicModelOps {
   /** Query: per-topic u_mass + c_npmi of the shared k=5 LDA fit — every
     * topic scored from one corpus scan per measure via the grouped coherence
     * core (rows-only: the topic-word lists come from the trained model).
+    * The corpus is tokenized ONCE and the persisted (doc, toks) frame feeds
+    * both measures' presence scans — the second tokenize+scan pass was the
+    * query's dominant cost.
     */
   def ldaTopicCoherence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -289,10 +292,11 @@ object TopicModelOps {
       val t = r.getInt(0)
       r.getSeq[Int](1).zipWithIndex.map { case (tid, i) => (t, vocab(tid), i + 1) }
     }.toSeq.toDF("cls", "word", "rank")
-    val docs = Tables.documents(spark, dir)
-    TopicMetricsOps.umassByClass(docs, "text", topicWords)
+    val toks = graft.Caching.track(
+      TopicMetricsOps.tokenizedDocs(Tables.documents(spark, dir), "text"))
+    TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
       .select(col("cls").as("topic"), col("n_pairs"), col("umass"))
-      .join(TopicMetricsOps.npmiByClass(docs, "text", topicWords)
+      .join(TopicMetricsOps.npmiByClassOfTokens(toks, topicWords)
         .select(col("cls").as("topic"), col("c_npmi")), "topic")
       .orderBy("topic")
   }
@@ -303,18 +307,20 @@ object TopicModelOps {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val docs = Tables.documents(spark, dir)
+    // one tokenized corpus feeds every grid point's u_mass presence scan
+    val toks = graft.Caching.track(
+      TopicMetricsOps.tokenizedDocs(Tables.documents(spark, dir), "text"))
     // the k's are independent seeded fits — run them as concurrent Spark
     // job groups from the driver (the reference's grid loop is sequential;
     // LDA_Analysis.py:179-248)
-    val futures = Seq(2, 3, 5, 8).map { k => Future { gridPoint(spark, dir, docs, k) } }
+    val futures = Seq(2, 3, 5, 8).map { k => Future { gridPoint(spark, dir, toks, k) } }
     val rows = futures.map(Await.result(_, Duration.Inf))
     rows.toDF("k", "umass").withColumn("best",
       (col("umass") === max(col("umass")).over(Window.partitionBy())).cast("int"))
   }
 
   private def gridPoint(spark: SparkSession, dir: String,
-                        docs: DataFrame, k: Int): (Int, Double) = {
+                        toks: DataFrame, k: Int): (Int, Double) = {
     import spark.implicits._
     {
       val (_, vocab, model) = fittedLda(spark, dir, k, 10)
@@ -329,7 +335,7 @@ object TopicModelOps {
           (topic, vocab(tid), i + 1)
         }
       }.toSeq.toDF("cls", "word", "rank")
-      val um = TopicMetricsOps.umassByClass(docs, "text", topicWords)
+      val um = TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
         .agg(round(avg(col("umass")), 4))
         .collect()(0).getDouble(0)
       (k, um)

@@ -41,12 +41,15 @@ object AnalysisRunner {
       col("rank"), col("term").as("word")))
 
     // all K topics scored in ONE corpus scan per measure (the old driver
-    // loop re-scanned the corpus 2·K times, once per topic per measure)
+    // loop re-scanned the corpus 2·K times, once per topic per measure);
+    // the corpus is tokenized once and feeds both measures' presence scans
     val topicWords = topics
       .select(col("topic").as("cls"), col("term").as("word"), col("rank"))
-    val perTopicCoherence = TopicMetricsOps.umassByClass(docs, textCol, topicWords)
+    val toks = graft.Caching.track(
+      TopicMetricsOps.tokenizedDocs(docs, textCol))
+    val perTopicCoherence = TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
       .select(col("cls").as("topic"), col("umass"))
-      .join(TopicMetricsOps.npmiByClass(docs, textCol, topicWords)
+      .join(TopicMetricsOps.npmiByClassOfTokens(toks, topicWords)
         .select(col("cls").as("topic"), col("c_npmi")), "topic")
       .orderBy("topic")
 

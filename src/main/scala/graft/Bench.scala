@@ -53,6 +53,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"queries":$qs,"sf":"$sfDir"}""")
+    operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     spark.stop()
   }
 }

@@ -45,6 +45,7 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     spark.stop()
   }
 }

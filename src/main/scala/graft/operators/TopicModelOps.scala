@@ -307,13 +307,22 @@ object TopicModelOps {
     * both measures' presence scans — the second tokenize+scan pass was the
     * query's dominant cost.
     */
-  def ldaTopicCoherence(spark: SparkSession, dir: String): DataFrame = {
+  /** (cls, word, rank) frame of a fitted model's per-topic top words —
+    * describeTopics order, deterministic for a seeded fit. K·topN rows.
+    */
+  def topicWordsDF(spark: SparkSession,
+                   model: org.apache.spark.ml.clustering.LDAModel,
+                   vocab: Array[String], topN: Int = 10): DataFrame = {
     import spark.implicits._
-    val (_, vocab, model) = fittedLda(spark, dir, 5, 20)
-    val topicWords = model.describeTopics(10).collect().flatMap { r =>
+    model.describeTopics(topN).collect().flatMap { r =>
       val t = r.getInt(0)
       r.getSeq[Int](1).zipWithIndex.map { case (tid, i) => (t, vocab(tid), i + 1) }
     }.toSeq.toDF("cls", "word", "rank")
+  }
+
+  def ldaTopicCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab, model) = fittedLda(spark, dir, 5, 20)
+    val topicWords = topicWordsDF(spark, model, vocab)
     val toks = graft.Caching.track(
       TopicMetricsOps.tokenizedDocs(Tables.documents(spark, dir), "text"))
     TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
@@ -343,24 +352,44 @@ object TopicModelOps {
 
   private def gridPoint(spark: SparkSession, dir: String,
                         toks: DataFrame, k: Int): (Int, Double) = {
+    val (_, vocab, model) = fittedLda(spark, dir, k, 10)
+    // Per-topic ranked words in describeTopics order — deterministic for a
+    // seeded fit (the old pooled distinct() assigned ranks in shuffle
+    // order, so scores varied run-to-run). Scored per topic in ONE corpus
+    // scan, then averaged — gensim's per-topic aggregation
+    // (LDA_Analysis.py:286-308).
+    (k, meanUmass(toks, topicWordsDF(spark, model, vocab)))
+  }
+
+  private def meanUmass(toks: DataFrame, topicWords: DataFrame): Double =
+    TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
+      .agg(round(avg(col("umass")), 4))
+      .collect()(0).getDouble(0)
+
+  /** Grid search over an ARBITRARY document frame — the CLI path (the
+    * fixture-keyed ldaGridSearch above reuses the fitted-model registry
+    * instead). One vectorization and one tokenization feed every k; the
+    * seeded fits run as concurrent driver futures like ldaGridSearch.
+    */
+  def gridSearchOver(spark: SparkSession, docs: DataFrame, textCol: String,
+                     ks: Seq[Int] = Seq(2, 3, 5, 8),
+                     maxIter: Int = 10): DataFrame = {
     import spark.implicits._
-    {
-      val (_, vocab, model) = fittedLda(spark, dir, k, 10)
-      // Per-topic ranked words in describeTopics order — deterministic for a
-      // seeded fit (the old pooled distinct() assigned ranks in shuffle
-      // order, so scores varied run-to-run). Scored per topic in ONE corpus
-      // scan, then averaged — gensim's per-topic aggregation
-      // (LDA_Analysis.py:286-308).
-      val topicWords = model.describeTopics(10).collect().flatMap { r =>
-        val topic = r.getInt(0)
-        r.getSeq[Int](1).zipWithIndex.map { case (tid, i) =>
-          (topic, vocab(tid), i + 1)
-        }
-      }.toSeq.toDF("cls", "word", "rank")
-      val um = TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
-        .agg(round(avg(col("umass")), 4))
-        .collect()(0).getDouble(0)
-      (k, um)
-    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (vecs0, vocab) = vectorize(docs, textCol)
+    val vecs = graft.Caching.track(vecs0)
+    val toks = graft.Caching.track(
+      TopicMetricsOps.tokenizedDocs(docs, textCol))
+    val futures = ks.map { k => Future {
+      val model = new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
+        .setOptimizeDocConcentration(true)
+        .setFeaturesCol("features").fit(vecs)
+      (k, meanUmass(toks, topicWordsDF(spark, model, vocab)))
+    } }
+    val rows = futures.map(Await.result(_, Duration.Inf))
+    rows.toDF("k", "umass").withColumn("best",
+      (col("umass") === max(col("umass")).over(Window.partitionBy())).cast("int"))
   }
 }

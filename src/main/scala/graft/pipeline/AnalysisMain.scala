@@ -55,6 +55,51 @@ object AnalysisMain {
       }
     }
 
+  /** Resolve `data` to a readable parquet path (fixture dirs hold a
+    * documents.parquet table; anything else is read as-is).
+    */
+  def docsPath(data: String): String =
+    if (new java.io.File(s"$data/documents.parquet").exists())
+      s"$data/documents.parquet" else data
+
+  /** The CLI body on a caller-owned session (spec surface — main owns the
+    * session lifecycle). Writes the report plus the reference's figures:
+    * word-frequency bars, and for parquet reports the topic-overlap heatmap,
+    * the dominant-topic histogram (LDA_Analysis.py:645-657) and the
+    * coherence-vs-k curve from a REAL grid search (LDA_Analysis.py:614-677).
+    */
+  def run(spark: SparkSession, data: String, column: String, out: String,
+          k: Int, maxIter: Int = 20, format: String = "parquet"): Unit = {
+    val docs = spark.read.parquet(docsPath(data))
+    // the reference's fail-fast column diagnostic (LDA_Analysis.py:122-126)
+    PreprocessPipeline.requireColumns(docs, Seq(column))
+    println(s"[analysis] $k topics over $data ($column) -> $out")
+    AnalysisRunner.runLdaAnalysis(spark, docs, column, out, k, maxIter,
+      format = format)
+    // the reference's PNG figures, as deterministic SVGs
+    ChartSink.writeWordFrequencyChart(
+      graft.operators.WordFreqOps.topWords(docs, column, 30),
+      s"$out/word_frequency.svg")
+    // coherence-vs-k curve over a real grid of seeded fits — the reference
+    // draws this every run (LDA_Analysis.py:614-677)
+    graft.Caching.scoped {
+      ChartSink.writeCoherenceCurve(
+        graft.operators.TopicModelOps.gridSearchOver(spark, docs, column)
+          .select("k", "umass"),
+        s"$out/lda_coherence_curve.svg")
+    }
+    // figures drawn from the report's own sheets (parquet read-back)
+    if (format == "parquet") {
+      ChartSink.writeSimilarityHeatmap(
+        ReportSink.readSheet(spark, out, "overlap"),
+        s"$out/topic_overlap.svg", title = "Topic keyword overlap")
+      ChartSink.writeHistogramChart(
+        ReportSink.readSheet(spark, out, "dominant"),
+        s"$out/dominant_topics.svg", title = "Dominant topic distribution")
+    }
+    println(s"[analysis] report + figures written to $out")
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val data = opts.getOrElse("data",
@@ -77,26 +122,7 @@ object AnalysisMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val docs = spark.read.parquet(
-        if (new java.io.File(s"$data/documents.parquet").exists())
-          s"$data/documents.parquet" else data)
-      // the reference's fail-fast column diagnostic (LDA_Analysis.py:122-126)
-      PreprocessPipeline.requireColumns(docs, Seq(column))
-      println(s"[analysis] $k topics over $data ($column) -> $out")
-      AnalysisRunner.runLdaAnalysis(spark, docs, column, out, k, maxIter,
-        format = format)
-      // the reference's PNG figures, as deterministic SVGs
-      ChartSink.writeWordFrequencyChart(
-        graft.operators.WordFreqOps.topWords(docs, column, 30),
-        s"$out/word_frequency.svg")
-      // topic-overlap heatmap from the report's own sheet
-      // (LDA_Analysis.py:367-411's similarity-matrix figure)
-      if (format == "parquet")
-        ChartSink.writeSimilarityHeatmap(
-          ReportSink.readSheet(spark, out, "overlap"),
-          s"$out/topic_overlap.svg", title = "Topic keyword overlap")
-      println(s"[analysis] report + figures written to $out")
-    } finally spark.stop()
+    try run(spark, data, column, out, k, maxIter, format)
+    finally spark.stop()
   }
 }

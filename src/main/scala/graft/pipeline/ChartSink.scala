@@ -161,6 +161,20 @@ object ChartSink {
     writeSvg(path, verticalBarChartSvg(rows, title))
   }
 
+  /** Categorical histogram figure from a (label, count) frame — the
+    * reference's dominant-topic distribution bars (LDA_Analysis.py:645-657).
+    * Labels sort numerically when parseable (topic ids), else lexically.
+    */
+  def writeHistogramChart(hist: DataFrame, path: String,
+                          title: String = "Dominant topics"): Unit = {
+    val rows = hist.collect()
+      .map(r => r.get(0).toString -> r.get(1).toString.toDouble).toSeq
+      .sortBy { case (l, _) =>
+        (scala.util.Try(l.toDouble).getOrElse(Double.MaxValue), l)
+      }
+    writeSvg(path, verticalBarChartSvg(rows, title))
+  }
+
   /** Coherence-vs-k figure from a (k, score) frame. */
   def writeCoherenceCurve(grid: DataFrame, path: String,
                           title: String = "Coherence by topic count"): Unit = {

@@ -1,13 +1,15 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
 
-import graft.pipeline.AnalysisMain
+import graft.pipeline.{AnalysisMain, FullAnalysisMain}
 
 /** EP3 CLI contract (LDA_Analysis.py:731-876): flag parsing with the
-  * reference's short forms, and the 2..50 topic-count loop.
+  * reference's short forms, the 2..50 topic-count loop, and the report +
+  * figure artifacts; plus the EP2 orchestrator (BERTopic_LDA_usage.py:20-69)
+  * driving both runners with one shared topic count.
   */
-class AnalysisMainSpec extends AnyFunSuite {
+class AnalysisMainSpec extends SparkSuite {
 
   test("parseArgs handles long and short flags") {
     val opts = AnalysisMain.parseArgs(
@@ -46,5 +48,47 @@ class AnalysisMainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AnalysisMain.resolveTopics(None, None)
     }
+  }
+
+  private def assertSvg(path: java.nio.file.Path): Unit = {
+    assert(Files.exists(path), s"figure missing: $path")
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(path.toFile)
+    assert(doc.getDocumentElement.getTagName == "svg")
+  }
+
+  test("EP3 CLI writes the report plus all four figures (curve from a real grid)") {
+    val out = Files.createTempDirectory("graft-ep3").toString
+    AnalysisMain.run(spark, SparkSpec.FixtureDir, "text", out,
+      k = 3, maxIter = 5)
+    assert(Files.exists(Paths.get(out, "_report.json")))
+    Seq("word_frequency.svg", "lda_coherence_curve.svg",
+      "topic_overlap.svg", "dominant_topics.svg")
+      .foreach(f => assertSvg(Paths.get(out, f)))
+  }
+
+  test("EP2 orchestrator runs both halves with one shared topic count") {
+    val out = Files.createTempDirectory("graft-ep2").toString
+    val (clusterOk, ldaOk) = FullAnalysisMain.run(
+      spark, SparkSpec.FixtureDir, "text", out, topics = 4, maxIter = 5)
+    assert(clusterOk && ldaOk)
+    assert(Files.exists(Paths.get(out, "bertopic", "_report.json")))
+    assert(Files.exists(Paths.get(out, "lda", "_report.json")))
+    // ±1 normalization: BOTH halves see the same k — 4 real clusters (noise
+    // relabels within them) and 4 LDA topics
+    val kw = graft.pipeline.ReportSink.readSheet(spark, s"$out/bertopic", "keywords")
+      .select("cls").distinct().collect().map(_.get(0).toString).toSet
+    assert(!kw.contains("-1") && kw.size <= 4)
+    val topics = graft.pipeline.ReportSink.readSheet(spark, s"$out/lda", "topics")
+      .select("topic").distinct().count()
+    assert(topics == 4)
+  }
+
+  test("EP2 cluster half degrades gracefully without embeddings, LDA still runs") {
+    val out = Files.createTempDirectory("graft-ep2-deg").toString
+    val (clusterOk, ldaOk) = FullAnalysisMain.run(spark,
+      s"${SparkSpec.FixtureDir}/documents.parquet", "text", out,
+      topics = 3, maxIter = 5)
+    assert(!clusterOk && ldaOk)
   }
 }

@@ -64,7 +64,14 @@ object ScaleProbe {
     time("exact_fp_dedup")(SparkEntry.queries("dedup_exact_fp")(spark, tmp).count())
     time("ctfidf")(TopicMetricsOps.ctfidfByLang(spark, tmp).count())
     time("cnpmi")(TopicMetricsOps.npmiTop10(spark, tmp).count())
+    time("cuci")(TopicMetricsOps.uciTop10(spark, tmp).count())
+    time("cv")(TopicMetricsOps.cvTop10(spark, tmp).count())
+    time("umass")(TopicMetricsOps.umassTop10(spark, tmp).count())
     time("umass_by_class")(TopicMetricsOps.umassByLang(spark, tmp).count())
+    // the LDA fit + both grouped coherence measures over the scaled corpus —
+    // the fit is cached per tmp dir, so a second probe isolates the metrics
+    time("lda_topic_coherence")(TopicModelOps.ldaTopicCoherence(spark, tmp).count())
+    time("lda_topic_coherence_warm")(TopicModelOps.ldaTopicCoherence(spark, tmp).count())
     time("cluster_noise")(TopicModelOps.clusterNoiseProfile(spark, tmp).count())
     time("sample_split")(SamplingOps.splitProfile(spark, tmp).count())
     time("pack_sequences")(PackingOps.packProfile(spark, tmp).count())

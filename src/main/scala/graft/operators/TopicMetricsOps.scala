@@ -123,26 +123,35 @@ object TopicMetricsOps {
   /** u_mass core over a pre-tokenized (doc, toks) corpus — empty docs carry
     * no presence rows, so filtering them upstream leaves every D() count
     * unchanged.
+    *
+    * The corpus-side work is CLASS-INDEPENDENT: D(w) and D(wi,wj) are
+    * document counts, so presence, the marginals, and the canonical
+    * unordered pair counts are computed once over the DISTINCT topic words;
+    * each class then averages the global pair scores its rank-ordered pair
+    * list selects. K topics sharing words (LDA top words are the corpus's
+    * frequent words) never multiply the presence or pair-join size by K.
     */
   def umassByClassOfTokens(toks: DataFrame, topicWords: DataFrame): DataFrame = {
+    val words = topicWords.select("word").distinct()
     val presence = graft.Caching.track(toks
       .select(col("doc"), explode(array_distinct(col("toks"))).as("word"))
-      .join(broadcast(topicWords), "word")) // (doc, cls, word, rank) hits only
-    val dj = presence.groupBy(col("cls"), col("word"), col("rank"))
-      .agg(count(lit(1)).as("d"))
+      .join(broadcast(words), "word")) // (doc, word) hits only, each once
+    val dj = presence.groupBy(col("word")).agg(count(lit(1)).as("d"))
+    // canonical unordered pair counts (wa < wb); D is symmetric
     val dij = presence.as("a")
       .join(presence.as("b"), col("a.doc") === col("b.doc") &&
-        col("a.cls") === col("b.cls") && col("a.rank") > col("b.rank"))
-      .groupBy(col("a.cls").as("cls"), col("a.word").as("wi"), col("b.word").as("wj"))
+        col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
       .agg(count(lit(1)).as("dij"))
     val pairs = topicWords.as("i")
       .join(topicWords.as("j"),
         col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
       .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
     pairs
-      .join(broadcast(dij), Seq("cls", "wi", "wj"), "left")
-      .join(broadcast(dj.select(col("cls"), col("word").as("wj"), col("d").as("dj"))),
-        Seq("cls", "wj"))
+      .withColumn("wa", least(col("wi"), col("wj")))
+      .withColumn("wb", greatest(col("wi"), col("wj")))
+      .join(broadcast(dij), Seq("wa", "wb"), "left")
+      .join(broadcast(dj.select(col("word").as("wj"), col("d").as("dj"))), "wj")
       .withColumn("pair_score",
         log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
       .groupBy(col("cls"))
@@ -312,28 +321,36 @@ object TopicMetricsOps {
 
   /** Grouped core over a pre-tokenized (doc, toks) corpus — callers scoring
     * several measures stage (and persist) the tokenization once.
+    *
+    * Window-containment probabilities are CLASS-INDEPENDENT (P(w) and
+    * P(wi,wj) are window counts), so the presence expansion and the pair
+    * counts run once over the DISTINCT topic words; the per-class pair list
+    * then joins the global counts — K topics sharing words never multiply
+    * the window explode or the presence self-join by K.
     */
   def pairProbabilitiesOfTokens(toks: DataFrame, topicWords: DataFrame,
                                 windowSize: Int): DataFrame = {
-    val (presence, totals) = windowPresence(toks, topicWords, windowSize)
-    val pw = presence.groupBy(col("cls"), col("word"), col("rank"))
-      .agg(count(lit(1)).as("cw"))
+    val (presence, totals) =
+      windowPresence(toks, topicWords.select("word").distinct(), windowSize)
+    val pw = presence.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    // canonical unordered pair counts (wa < wb); co-occurrence is symmetric
     val pij = presence.as("a")
       .join(presence.as("b"),
         col("a.doc") === col("b.doc") && col("a.ws") === col("b.ws") &&
-          col("a.cls") === col("b.cls") && col("a.rank") > col("b.rank"))
-      .groupBy(col("a.cls").as("cls"), col("a.word").as("wi"), col("b.word").as("wj"))
+          col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
       .agg(count(lit(1)).as("cij"))
     val pairs = topicWords.as("i")
       .join(topicWords.as("j"),
         col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
       .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
     pairs
-      .join(broadcast(pij), Seq("cls", "wi", "wj"), "left")
-      .join(broadcast(pw.select(col("cls"), col("word").as("wi"), col("cw").as("ci"))),
-        Seq("cls", "wi"))
-      .join(broadcast(pw.select(col("cls"), col("word").as("wj"), col("cw").as("cj"))),
-        Seq("cls", "wj"))
+      .withColumn("wa", least(col("wi"), col("wj")))
+      .withColumn("wb", greatest(col("wi"), col("wj")))
+      .join(broadcast(pij), Seq("wa", "wb"), "left")
+      .drop("wa", "wb")
+      .join(broadcast(pw.select(col("word").as("wi"), col("cw").as("ci"))), "wi")
+      .join(broadcast(pw.select(col("word").as("wj"), col("cw").as("cj"))), "wj")
       .crossJoin(broadcast(totals))
       .withColumn("p_ij",
         coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
@@ -341,20 +358,20 @@ object TopicMetricsOps {
       .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
   }
 
-  /** (presence of topic words in sliding windows, total window count) from a
-    * pre-tokenized (doc, toks) corpus — persisted by the caller, since both
-    * outputs scan it.
+  /** (presence of `words` in sliding windows as (doc, word, ws) rows — each
+    * hit once — and the total window count) from a pre-tokenized (doc, toks)
+    * corpus; persisted by the caller, since both outputs scan it.
     */
-  private def windowPresence(toks: DataFrame, topicWords: DataFrame,
+  private def windowPresence(toks: DataFrame, words: DataFrame,
                              windowSize: Int): (DataFrame, DataFrame) = {
     val totals = toks.agg(
       sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
     val presence = toks
       .select(col("doc"), size(col("toks")).as("t"),
         posexplode(col("toks")).as(Seq("pos0", "word")))
-      .join(broadcast(topicWords), "word")
+      .join(broadcast(words), "word")
       .withColumn("p", col("pos0") + 1)
-      .select(col("doc"), col("cls"), col("word"), col("rank"),
+      .select(col("doc"), col("word"),
         explode(sequence(
           greatest(lit(1), col("p") - (windowSize - 1)),
           least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))

@@ -97,6 +97,9 @@ object AnalysisMain {
         ReportSink.readSheet(spark, out, "dominant"),
         s"$out/dominant_topics.svg", title = "Dominant topic distribution")
     }
+    // one browsable page embedding every figure (the reference's
+    // interactive-HTML analog, as deterministic static HTML)
+    ChartSink.writeHtmlReport(out, s"LDA analysis — $k topics")
     println(s"[analysis] report + figures written to $out")
   }
 

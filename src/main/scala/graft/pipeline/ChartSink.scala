@@ -188,4 +188,34 @@ object ChartSink {
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.writeString(p, svg)
   }
+
+  /** Static-HTML report wrapper: one index.html embedding every SVG figure
+    * in `dir` inline (sorted by name) — the deterministic stand-in for the
+    * reference's interactive plotly HTML saves
+    * (/root/reference/BERTopic_Analysis.py:730-833), which would need a
+    * plotting runtime this engine deliberately avoids. Byte-reproducible
+    * like the SVGs it wraps.
+    */
+  def writeHtmlReport(dir: String, title: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(dir)
+    val svgs = Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".svg"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val sections = svgs.map { p =>
+      val name = p.getFileName.toString.stripSuffix(".svg").replace('_', ' ')
+      s"""<section>\n<h2>${esc(name)}</h2>\n${Files.readString(p)}\n</section>"""
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html lang="en"><head><meta charset="utf-8"/>
+         |<title>${esc(title)}</title>
+         |<style>body{font-family:sans-serif;max-width:800px;margin:2em auto}
+         |section{margin-bottom:2em}</style>
+         |</head><body>
+         |<h1>${esc(title)}</h1>
+         |$sections
+         |</body></html>""".stripMargin
+    Files.writeString(d.resolve("index.html"), html)
+  }
 }

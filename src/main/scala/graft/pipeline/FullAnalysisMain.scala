@@ -58,6 +58,15 @@ object FullAnalysisMain {
       val embeddings = spark.read.parquet(s"$data/embeddings.parquet")
       AnalysisRunner.runClusterAnalysis(spark, docs, embeddings,
         "doc_id", column, s"$out/bertopic", topics, format)
+      // the reference's topic-similarity figure + its interactive-HTML
+      // analog (BERTopic_Analysis.py:730-833), as deterministic artifacts
+      if (format == "parquet") {
+        ChartSink.writeSimilarityHeatmap(
+          ReportSink.readSheet(spark, s"$out/bertopic", "similarity"),
+          s"$out/bertopic/topic_similarity.svg")
+        ChartSink.writeHtmlReport(s"$out/bertopic",
+          s"Cluster (BERTopic-analog) analysis — $topics topics")
+      }
     }
     // 2. LDA half — same k (see the ±1 normalization note above)
     val ldaOk = attempt("lda") {

@@ -65,6 +65,10 @@ class AnalysisMainSpec extends SparkSuite {
     Seq("word_frequency.svg", "lda_coherence_curve.svg",
       "topic_overlap.svg", "dominant_topics.svg")
       .foreach(f => assertSvg(Paths.get(out, f)))
+    // the static-HTML wrapper embeds every figure inline
+    val html = Files.readString(Paths.get(out, "index.html"))
+    assert(html.contains("<!DOCTYPE html>"))
+    assert(html.sliding(4).count(_ == "<svg") == 4)
   }
 
   test("EP2 orchestrator runs both halves with one shared topic count") {
@@ -74,6 +78,9 @@ class AnalysisMainSpec extends SparkSuite {
     assert(clusterOk && ldaOk)
     assert(Files.exists(Paths.get(out, "bertopic", "_report.json")))
     assert(Files.exists(Paths.get(out, "lda", "_report.json")))
+    assertSvg(Paths.get(out, "bertopic", "topic_similarity.svg"))
+    assert(Files.exists(Paths.get(out, "bertopic", "index.html")))
+    assert(Files.exists(Paths.get(out, "lda", "index.html")))
     // ±1 normalization: BOTH halves see the same k — 4 real clusters (noise
     // relabels within them) and 4 LDA topics
     val kw = graft.pipeline.ReportSink.readSheet(spark, s"$out/bertopic", "keywords")

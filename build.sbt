@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the forked JVM inherits sbt's POSIX locale, whose sun.jnu.encoding
+  // cannot map Korean filenames (the reference's RAW_DATA artifact)
+  "-Dsun.jnu.encoding=UTF-8", "-Dfile.encoding=UTF-8",
 )
+Test / envVars := Map("LC_ALL" -> "C.UTF-8")

@@ -88,6 +88,19 @@ class ExcelIOSpec extends SparkSuite {
     assert(back.getString(2) == "말단")
   }
 
+  test("reads the reference's real crawl workbook and feeds EP1 (RAW_DATA parity)") {
+    // the reference repo's actual input artifact (read-only): ~5k rows of
+    // inlineStr cells written by a foreign writer, no sharedStrings part
+    val raw = ExcelIO.readXlsx(spark,
+      "/root/reference/RAW_DATA/2025_6_28_22_56_49_4600_channel_download_ai광고.xlsx")
+    assert(Seq("제목", "시작 날짜", "정제데이터").forall(raw.columns.contains))
+    assert(raw.count() == 5058)
+    val prepped = graft.pipeline.PreprocessPipeline.prepareCrawl(raw)
+    assert(prepped.columns.contains("cleaned_text"))
+    val n = prepped.count()
+    assert(n > 0 && n <= 5058) // dedup + null drops only ever shrink it
+  }
+
   test("missing worksheet fails with an entry listing") {
     val tmp = Files.createTempDirectory("graft-xlsx4").toString + "/x.xlsx"
     ExcelIO.writeXlsx(Seq(("a")).toDF("c"), tmp)

@@ -64,6 +64,30 @@ class PackingOpsSpec extends SparkSuite {
     assert(doc3.toSeq === Seq((0L, 26L), (1L, 256L), (2L, 218L)))
   }
 
+  test("zero-token docs landing exactly on a budget boundary join the NEXT sequence") {
+    // token counts 256|0|10|0|246|7: doc 1 (zero tokens) sits exactly on the
+    // 1·budget cut, doc 3 (zero tokens) falls mid-sequence, and doc 5 starts
+    // exactly at 2·budget once doc 4 fills sequence 1 to the brim.
+    val z = Seq((0L, 256L), (1L, 0L), (2L, 10L), (3L, 0L), (4L, 246L), (5L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val rows = PackingOps.packSequences(z, "doc_id", col("n_tokens"),
+      budget = 256, rangeSize = 2)
+      .select("doc_id", "start", "seq_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 0L),   // fills sequence 0 exactly
+      (1L, 256L, 1L), // zero tokens ON the boundary -> next sequence
+      (2L, 256L, 1L), // shares the zero-token doc's start
+      (3L, 266L, 1L), // zero tokens mid-sequence stays in place
+      (4L, 266L, 1L),
+      (5L, 512L, 2L))) // non-zero doc on the boundary also opens the next
+    // token-exact chunks drop the zero-token docs but conserve every token
+    val chunks = PackingOps.packChunks(z, "doc_id", col("n_tokens"),
+      budget = 256, rangeSize = 2)
+    assert(chunks.filter(col("doc_id").isin(1L, 3L)).count() === 0)
+    assert(chunks.agg(sum("tokens_in_seq")).as[Long].head() === 519L)
+  }
+
   test("sequences partition the docs: every doc in exactly one sequence") {
     val profile = PackingOps.packSequences(docs, "doc_id", col("n_tokens"),
       budget = 256, rangeSize = 4)

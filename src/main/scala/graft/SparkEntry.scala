@@ -65,6 +65,12 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // CurationOps.PiiPatterns rendered for DuckDB (single-quoted SQL strings
+  // pass the regex through verbatim; the patterns are RE2-safe by contract)
+  private val PII_EMAIL = CurationOps.PiiPatterns(0)._2
+  private val PII_URL = CurationOps.PiiPatterns(1)._2
+  private val PII_PHONE = CurationOps.PiiPatterns(2)._2
+
   // --- DuckDB renderings of the HashKernels dedup primitives (bit-exact
   //     mirrors of graft.functions.HashKernels; see DedupSpec cross-check) ---
   private val MOD = "1000000007"
@@ -222,6 +228,9 @@ object SparkEntry {
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
     "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
+    // --- curation (LLM-pipeline hygiene: eval leakage + PII) ---
+    "decontam_13gram" -> CurationOps.decontamProfile,
+    "txt_pii_scrub" -> CurationOps.piiScrubProfile,
     "pack_sequences" -> PackingOps.packProfile,
     "pack_chunks" -> PackingOps.chunkProfile,
     "train_assembly" -> AssemblyOps.trainAssembly,
@@ -679,6 +688,51 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM s GROUP BY 1""".stripMargin,
+    // eval slice = 5% hash bucket; gram hashes replay the integer kernels
+    "decontam_13gram" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, ${sampleBucket("doc_id")} AS b,
+         |    ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE b < 500),
+         |tr AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g WHERE b >= 500),
+         |hit AS (SELECT DISTINCT tr.doc_id, tr.lang FROM tr JOIN ev USING (gram)),
+         |f AS (SELECT lang, count(*) AS n_contaminated FROM hit GROUP BY 1),
+         |t AS (SELECT lang, count(*) AS n_train FROM g WHERE b >= 500 GROUP BY 1)
+         |SELECT t.lang, n_train,
+         |  coalesce(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+         |  round(coalesce(n_contaminated, CAST(0 AS BIGINT)) / n_train, 4)
+         |    AS contam_rate
+         |FROM t LEFT JOIN f ON t.lang = f.lang ORDER BY 1""".stripMargin,
+    // PII is PLANTED deterministically from doc_id on both sides (the
+    // fixture has none), then scrubbed; scrubbed_len pins the replacement
+    // output itself, not just the match counts
+    "txt_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT lang, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || doc_id || '@mail.example' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0
+         |         THEN ' see https://ex.org/p/' || doc_id ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' tel +82 10-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang,
+         |    len(regexp_extract_all(t, '$PII_EMAIL')) AS n_email,
+         |    len(regexp_extract_all(t, '$PII_URL')) AS n_url,
+         |    len(regexp_extract_all(t, '$PII_PHONE')) AS n_phone,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$PII_EMAIL', '[EMAIL]', 'g'), '$PII_URL', '[URL]', 'g'),
+         |      '$PII_PHONE', '[PHONE]', 'g') AS scrubbed
+         |  FROM p)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_email) AS BIGINT) AS emails,
+         |  CAST(sum(n_url) AS BIGINT) AS urls,
+         |  CAST(sum(n_phone) AS BIGINT) AS phones,
+         |  CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_len
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // the packing prefix sum collapses to one ordered window at oracle scale
     "pack_sequences" ->
       s"""WITH d AS (

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashExpressions.{tokenHashesK, windowHashSet}
+
+/** Corpus-curation operators for training-set hygiene — the two scrubbing
+  * passes every large-scale pretraining pipeline runs that the dedup /
+  * quality tiers don't cover:
+  *
+  *   - Benchmark DECONTAMINATION: drop training documents sharing any token
+  *     n-gram with the evaluation set (the 13-gram rule popularized by the
+  *     GPT-3 appendix and Gopher's eval-leakage analysis). Shape at scale:
+  *     the eval side is tiny by construction, so its distinct gram-hash set
+  *     broadcasts and the train side is one scan + semi-join — no shuffle
+  *     of the corpus.
+  *   - PII REDACTION: replace emails / URLs / phone numbers with typed
+  *     placeholder tokens, counting redactions per category. One narrow
+  *     codegen'd projection (regexp_replace/regexp_count) — scan-shaped,
+  *     no shuffle, pushdown-friendly.
+  *
+  * Both are oracle-checked end to end: gram hashing reuses the DedupOps
+  * integer kernels (DuckDB replays the arithmetic), and the redaction
+  * regexes are RE2-safe so Spark's Java regex and DuckDB's RE2 agree.
+  */
+object CurationOps {
+
+  // ------------------------------------------------------------ decontam
+
+  /** Distinct token n-gram hashes of a text column (polynomial fold over
+    * per-token rolling hashes — gram strings never materialize).
+    */
+  def gramHashes(textCol: Column, n: Int): Column =
+    windowHashSet(tokenHashesK(graft.functions.TextFunctions.normalized(textCol)), n)
+
+  /** Contaminated train docs: those sharing ≥1 token n-gram with `evalDocs`.
+    * The eval gram set is distinct-aggregated then BROADCAST — decontamination
+    * against a benchmark suite (thousands of docs) never shuffles the corpus.
+    * Returns train rows (idCol, n shared-gram count ≥ 1 implied) — callers
+    * anti-join to scrub or aggregate to audit.
+    */
+  def contaminated(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(gramHashes(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Query: 13-gram decontamination audit of the documents fixture — the
+    * eval set is the deterministic 5% hash slice (the same affine fold the
+    * sampling tier uses), the train side is the rest; per-language train
+    * size, contaminated count, and contamination rate.
+    */
+  def decontamProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = SamplingOps.hashBucket(col("doc_id"), 10000)
+    val evalDocs = docs.filter(bucket < 500)
+    val train = docs.filter(bucket >= 500)
+    val hits = contaminated(train, evalDocs, "doc_id", "text")
+    val flagged = train.join(hits, "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+    train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(flagged, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_train"), 4)
+          .as("contam_rate"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** RE2-safe redaction patterns (no backrefs/lookarounds, so Spark's Java
+    * regex and DuckDB's RE2 produce identical matches) with their
+    * placeholder tokens, applied in this order.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("url", "https?://[^\\s]+", "[URL]"),
+    ("phone", "\\+?[0-9]{2,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "[PHONE]"))
+
+  /** Scrubbed text plus per-category redaction counts: one projection, all
+    * regexes codegen'd; patterns applied in PiiPatterns order (email before
+    * URL before phone, so an address inside a URL query string is counted
+    * once as the more specific category).
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat, _)) =>
+      d.withColumn(s"n_$cat", regexp_count(col(textCol), lit(pat)))
+    }
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    counted.withColumn("scrubbed", scrubbed)
+  }
+
+  /** Query: PII-redaction profile. The synthetic fixture carries no natural
+    * PII, so the query PLANTS deterministic PII derived from doc_id on both
+    * sides (Spark and oracle build the identical augmented text), then
+    * scrubs and audits: per-language doc counts, per-category redaction
+    * totals, and the total scrubbed length — the length pins the actual
+    * replacement output, not just match counts.
+    */
+  def piiScrubProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see https://ex.org/p/"), col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel +82 10-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit("-1234")))
+          .otherwise(lit(""))))
+    scrubPii(planted, "text")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).cast("long").as("emails"),
+        sum(col("n_url")).cast("long").as("urls"),
+        sum(col("n_phone")).cast("long").as("phones"),
+        sum(length(col("scrubbed"))).cast("long").as("scrubbed_len"))
+      .orderBy("lang")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CurationOps
+
+/** Curation-tier invariants: planted eval leakage is found (and near-misses
+  * are not), and PII redaction replaces every category while leaving clean
+  * text untouched.
+  */
+class CurationOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("contaminated flags a planted 13-gram overlap and ignores partial overlap") {
+    val evalDocs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the eval doc's full 13-token run inside other text
+      (10L, "prefix words alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike suffix"),
+      // shares only 4 leading tokens — below any 13-gram
+      (11L, "alpha bravo charlie delta unrelated tail entirely different from the evaluation material here"),
+      // too short to carry any 13-gram at all
+      (12L, "short doc")).toDF("doc_id", "text")
+    val hits = CurationOps.contaminated(train, evalDocs, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(hits.toSeq === Seq(10L))
+  }
+
+  test("scrubPii redacts every category, counts match, clean text unchanged") {
+    val df = Seq(
+      (1L, "mail a.b@ex.com and see http://x.y/z?q=1 call +82 10-1234-5678 done"),
+      (2L, "no personal data in this row")).toDF("id", "text")
+    val rows = CurationOps.scrubPii(df, "text").orderBy("id").collect()
+    val s = rows(0).getAs[String]("scrubbed")
+    assert(s.contains("[EMAIL]") && s.contains("[URL]") && s.contains("[PHONE]"))
+    assert(!s.contains("@") && !s.contains("http"))
+    assert(rows(0).getAs[Int]("n_email") === 1)
+    assert(rows(0).getAs[Int]("n_url") === 1)
+    assert(rows(0).getAs[Int]("n_phone") === 1)
+    assert(rows(1).getAs[String]("scrubbed") === "no personal data in this row")
+    assert(rows(1).getAs[Int]("n_email") + rows(1).getAs[Int]("n_url")
+      + rows(1).getAs[Int]("n_phone") === 0)
+  }
+
+  test("decontam profile: rates in [0,1], train partition complete") {
+    val rows = CurationOps.decontamProfile(spark, SparkSpec.FixtureDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("contam_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_train"))
+    }
+  }
+}

@@ -228,9 +228,10 @@ object SparkEntry {
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
     "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
-    // --- curation (LLM-pipeline hygiene: eval leakage + PII) ---
+    // --- curation (LLM-pipeline hygiene: eval leakage + PII + mixing) ---
     "decontam_13gram" -> CurationOps.decontamProfile,
     "txt_pii_scrub" -> CurationOps.piiScrubProfile,
+    "mix_domains" -> SamplingOps.mixProfile,
     "pack_sequences" -> PackingOps.packProfile,
     "pack_chunks" -> PackingOps.chunkProfile,
     "train_assembly" -> AssemblyOps.trainAssembly,
@@ -733,6 +734,29 @@ object SparkEntry {
          |  CAST(sum(n_phone) AS BIGINT) AS phones,
          |  CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_len
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // feasible total T* = min(supply/w); keep rates derived, then the same
+    // deterministic id-hash selection the sampling tier uses
+    "mix_domains" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $BPE_COUNT AS n_tokens FROM documents),
+         |w AS (SELECT * FROM (VALUES ('de', 0.1), ('en', 0.5), ('es', 0.1),
+         |                            ('fr', 0.1), ('zh', 0.2)) AS t(lang, w)),
+         |s AS (SELECT d.lang, w, count(*) AS n_total,
+         |        CAST(sum(n_tokens) AS BIGINT) AS supply
+         |      FROM d JOIN w USING (lang) GROUP BY 1, 2),
+         |t AS (SELECT min(supply / w) AS tstar FROM s),
+         |r AS (SELECT lang, n_total, supply,
+         |        CAST(least(10000, floor(w * tstar / supply * 10000)) AS BIGINT)
+         |          AS keep_bp
+         |      FROM s, t),
+         |k AS (SELECT d.lang, count(*) AS n_kept,
+         |        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+         |      FROM d JOIN r USING (lang)
+         |      WHERE ${sampleBucket("doc_id")} < keep_bp GROUP BY 1)
+         |SELECT r.lang, n_total, supply, keep_bp,
+         |  coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  coalesce(tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
+         |FROM r LEFT JOIN k USING (lang) ORDER BY 1""".stripMargin,
     // the packing prefix sum collapses to one ordered window at oracle scale
     "pack_sequences" ->
       s"""WITH d AS (

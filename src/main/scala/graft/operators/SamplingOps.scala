@@ -79,6 +79,66 @@ object SamplingOps {
   def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.orderBy(((col(idCol) % P) * 8191L + 524287L) % P, col(idCol)).limit(k)
 
+  /** Domain mixing toward a target TOKEN distribution: given per-domain
+    * target weights, the largest feasible total is T = min_d(supply_d/w_d)
+    * (no domain can be asked for more tokens than it has), each domain's
+    * keep rate is w_d·T/supply_d — the binding domain keeps ~everything —
+    * and rows are then selected deterministically by id hash at basis-point
+    * granularity. Domains absent from `weights` are dropped.
+    *
+    * Shape at any scale: one supply aggregate (|domains| rows, broadcast
+    * back) + one narrow filter scan — computing the rates never shuffles
+    * the corpus. Doc-level hashing approximates the token-level rate; the
+    * realized mix converges to the target as docs-per-domain grows.
+    */
+  /** Per-domain (domain, w, n_total, supply, keep_bp) rate table — the
+    * |domains|-row broadcast side of the mix.
+    */
+  def mixRates(df: DataFrame, domainCol: String, tokensExpr: Column,
+               weights: Seq[(String, Double)]): DataFrame = {
+    val w = df.sparkSession.createDataFrame(weights.sortBy(_._1))
+      .toDF(domainCol, "w")
+    val supply = df.join(broadcast(w), domainCol)
+      .groupBy(col(domainCol), col("w"))
+      .agg(count(lit(1)).as("n_total"), sum(tokensExpr).cast("long").as("supply"))
+    val tstar = supply.agg(min(col("supply") / col("w")).as("tstar"))
+    supply.crossJoin(broadcast(tstar))
+      .withColumn("keep_bp",
+        least(lit(10000L),
+          floor(col("w") * col("tstar") / col("supply") * 10000)).cast("long"))
+  }
+
+  def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
+                  tokensExpr: Column,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    val rates = mixRates(df, domainCol, tokensExpr, weights)
+    df.join(broadcast(rates.select(col(domainCol), col("keep_bp"))), domainCol)
+      .filter(hashBucket(col(idCol), 10000) < col("keep_bp"))
+  }
+
+  /** Query: mix the documents fixture toward a 50/20/10/10/10 per-language
+    * token target (BPE-ish counts) — per-domain supply, derived keep rate,
+    * and the realized selection.
+    */
+  def mixProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = Seq("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1,
+      "es" -> 0.1, "fr" -> 0.1)
+    val toks = TextAnalysisOps.bpeishTokenCount(col("text"))
+    val rates = graft.Caching.track(mixRates(docs, "lang", toks, weights))
+    val kept = docs
+      .join(broadcast(rates.select(col("lang"), col("keep_bp"))), "lang")
+      .filter(hashBucket(col("doc_id"), 10000) < col("keep_bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(toks).cast("long").as("tokens_kept"))
+    rates
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), col("supply"), col("keep_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy("lang")
+  }
+
   /** Query: 90/5/5 split of the documents fixture — per (split, lang)
     * counts plus id bounds; the ratios land within basis-point noise of the
     * weights.

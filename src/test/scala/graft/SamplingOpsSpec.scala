@@ -104,4 +104,29 @@ class SamplingOpsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(direct.sameElements(strat))
   }
+
+  test("mixToTarget realizes the target token mix; binding domain keeps all") {
+    // supplies: ko 5000 tokens (500 docs × 10), en 15000. Target 80/20 the
+    // other way makes ko the binding domain: T = 5000/0.8 = 6250, so ko
+    // keeps everything and en is cut to ~1250 of its 15000 tokens.
+    val docs = ids.withColumn("n_tokens", lit(10L))
+    val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",
+      col("n_tokens"), Seq("ko" -> 0.8, "en" -> 0.2))
+    val byLang = kept.groupBy("lang")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("ko") >= 4900, byLang)
+    assert(byLang("en") > 800 && byLang("en") < 1700, byLang)
+    // realized mix within doc-hash noise of the 80/20 target
+    val share = byLang("ko").toDouble / (byLang("ko") + byLang("en"))
+    assert(share > 0.74 && share < 0.86, share)
+  }
+
+  test("domains absent from the mix weights are dropped entirely") {
+    val docs = ids.withColumn("n_tokens", lit(10L))
+    val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",
+      col("n_tokens"), Seq("ko" -> 1.0))
+    assert(kept.filter(col("lang") === "en").count() === 0)
+    assert(kept.filter(col("lang") === "ko").count() === 500)
+  }
 }

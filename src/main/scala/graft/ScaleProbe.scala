@@ -74,6 +74,9 @@ object ScaleProbe {
     time("lda_topic_coherence_warm")(TopicModelOps.ldaTopicCoherence(spark, tmp).count())
     time("cluster_noise")(TopicModelOps.clusterNoiseProfile(spark, tmp).count())
     time("sample_split")(SamplingOps.splitProfile(spark, tmp).count())
+    time("decontam")(CurationOps.decontamProfile(spark, tmp).count())
+    time("pii_scrub")(CurationOps.piiScrubProfile(spark, tmp).count())
+    time("mix_domains")(SamplingOps.mixProfile(spark, tmp).count())
     time("pack_sequences")(PackingOps.packProfile(spark, tmp).count())
     time("pack_chunks")(PackingOps.chunkProfile(spark, tmp).count())
     time("len_quantiles")(SketchOps.lengthQuantiles(spark, tmp).count())

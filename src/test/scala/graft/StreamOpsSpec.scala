@@ -53,6 +53,25 @@ class StreamOpsSpec extends SparkSuite {
     assert(rows === batch)
   }
 
+  test("PII scrub at ingest: the stateless redaction projection runs in-stream") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = graft.operators.CurationOps
+      .scrubPii(input.toDF(), "text")
+      .select("doc_id", "scrubbed", "n_email")
+      .writeStream.format("memory").queryName("stream_scrub").start()
+    input.addData(
+      StreamDoc(1, ts(9, 0), "reach me at a.b@ex.com today"),
+      StreamDoc(2, ts(9, 1), "nothing sensitive"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stream_scrub").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows(1L)._1 == "reach me at [EMAIL] today" && rows(1L)._2 == 1)
+    assert(rows(2L)._1 == "nothing sensitive" && rows(2L)._2 == 0)
+  }
+
   private def ev(id: Long, user: Long, t: Timestamp, typ: String = "click",
                  v: Double = 1.0): Event =
     Event(id, user, t, typ, v, "{}")

@@ -121,16 +121,21 @@ object SamplingOps {
     * and the realized selection.
     */
   def mixProfile(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val weights = Seq("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1,
       "es" -> 0.1, "fr" -> 0.1)
-    val toks = TextAnalysisOps.bpeishTokenCount(col("text"))
-    val rates = graft.Caching.track(mixRates(docs, "lang", toks, weights))
-    val kept = docs
+    // token counts computed ONCE; the persisted staging frame serves the
+    // supply aggregate, the selection, and the kept-token audit
+    val d = graft.Caching.track(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysisOps.bpeishTokenCount(col("text")).as("n_tokens")))
+    val rates = graft.Caching.track(
+      mixRates(d, "lang", col("n_tokens"), weights))
+    val kept = d
       .join(broadcast(rates.select(col("lang"), col("keep_bp"))), "lang")
       .filter(hashBucket(col("doc_id"), 10000) < col("keep_bp"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept"), sum(toks).cast("long").as("tokens_kept"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_kept"))
     rates
       .join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_total"), col("supply"), col("keep_bp"),

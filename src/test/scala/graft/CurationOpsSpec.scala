@@ -25,6 +25,10 @@ class CurationOpsSpec extends SparkSuite {
     val hits = CurationOps.contaminated(train, evalDocs, "doc_id", "text")
       .as[Long].collect().sorted
     assert(hits.toSeq === Seq(10L))
+    // the action form drops exactly the flagged row
+    val clean = CurationOps.decontaminate(train, evalDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(11L, 12L))
   }
 
   test("scrubPii redacts every category, counts match, clean text unchanged") {

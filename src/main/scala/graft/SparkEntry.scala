@@ -232,6 +232,7 @@ object SparkEntry {
     "decontam_13gram" -> CurationOps.decontamProfile,
     "txt_pii_scrub" -> CurationOps.piiScrubProfile,
     "mix_domains" -> SamplingOps.mixProfile,
+    "budget_select" -> SamplingOps.budgetProfile,
     "pack_sequences" -> PackingOps.packProfile,
     "pack_chunks" -> PackingOps.chunkProfile,
     "train_assembly" -> AssemblyOps.trainAssembly,
@@ -734,6 +735,33 @@ object SparkEntry {
          |  CAST(sum(n_phone) AS BIGINT) AS phones,
          |  CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_len
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // quality buckets cumsum top-down; boundary bucket hash-fills the rest
+    "budget_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $NORM AS norm, $TOKS_ALL AS toks FROM documents),
+         |q AS (SELECT doc_id, $qualityCaseSql AS quality,
+         |        $BPE_COUNT AS n_tokens FROM d),
+         |b AS (SELECT quality, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS tokens FROM q GROUP BY 1),
+         |c AS (SELECT quality, n_docs, tokens,
+         |        CAST(coalesce(sum(tokens) OVER (ORDER BY quality DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cum_above
+         |      FROM b),
+         |r AS (SELECT quality, n_docs, tokens,
+         |        CASE WHEN cum_above + tokens <= 20000 THEN 10000
+         |             WHEN cum_above >= 20000 THEN 0
+         |             ELSE CAST(floor((20000 - cum_above) * 1.0 / tokens * 10000)
+         |                       AS BIGINT) END AS keep_bp
+         |      FROM c),
+         |k AS (SELECT quality, count(*) AS n_kept,
+         |        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+         |      FROM q JOIN r USING (quality)
+         |      WHERE ${sampleBucket("doc_id")} < keep_bp GROUP BY 1)
+         |SELECT r.quality, n_docs, tokens, keep_bp,
+         |  coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  coalesce(tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
+         |FROM r LEFT JOIN k USING (quality)""".stripMargin,
     // feasible total T* = min(supply/w); keep rates derived, then the same
     // deterministic id-hash selection the sampling tier uses
     "mix_domains" ->

@@ -144,6 +144,69 @@ object SamplingOps {
       .orderBy("lang")
   }
 
+  /** Quality-budgeted selection rates: fill a token budget from the BEST
+    * quality buckets down, WITHOUT a global sort. `perDoc` carries staged
+    * (quality, n_tokens) columns; quality is discrete (the indicator score)
+    * or pre-bucketed, so the per-bucket aggregate is tiny and its top-down
+    * cumulative window runs over bucket rows only (the sketch/grid
+    * precedent for deliberately small unpartitioned windows). Buckets that
+    * fit wholly keep everything (10000 bp), the boundary bucket keeps the
+    * remainder's fraction, lower buckets drop.
+    */
+  def budgetRates(perDoc: DataFrame, budget: Long): DataFrame = {
+    val b = perDoc.groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    b.withColumn("cum_above",
+        coalesce(sum(col("tokens")).over(w), lit(0L)).cast("long"))
+      .withColumn("keep_bp",
+        when(col("cum_above") + col("tokens") <= budget, lit(10000L))
+          .when(col("cum_above") >= budget, lit(0L))
+          .otherwise(floor((lit(budget) - col("cum_above")) * lit(1.0)
+            / col("tokens") * 10000).cast("long")))
+      .drop("cum_above")
+  }
+
+  /** The ACTION form: rows of `df` (staged quality/n_tokens columns)
+    * surviving the budget — deterministic id-hash fill of the boundary
+    * bucket, like every selection in this tier.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, budget: Long): DataFrame = {
+    val rates = budgetRates(df, budget)
+    df.join(broadcast(rates.select(col("quality"), col("keep_bp"))), "quality")
+      .filter(hashBucket(col(idCol), 10000) < col("keep_bp"))
+  }
+
+  /** Query: select the best-quality docs until a 20k-token budget fills —
+    * per-quality-bucket supply, derived keep rate, and realized selection.
+    */
+  def budgetProfile(spark: SparkSession, dir: String): DataFrame = {
+    // signals staged once as real columns (the AssemblyOps HOF lesson)
+    val staged = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+      graft.functions.TextFunctions.normalized(col("text")).as("norm"),
+      graft.functions.TextFunctions.tokens(col("text"), 1, 100).as("toks"))
+    val perDoc = graft.Caching.track(staged.select(col("doc_id"),
+      TextAnalysisOps.qualityScoreFrom(col("text"), col("norm"), col("toks"))
+        .as("quality"),
+      TextAnalysisOps.bpeishTokenCount(col("text")).as("n_tokens")))
+    val rates = graft.Caching.track(budgetRates(perDoc, 20000L))
+    val kept = perDoc
+      .join(broadcast(rates.select(col("quality"), col("keep_bp"))), "quality")
+      .filter(hashBucket(col("doc_id"), 10000) < col("keep_bp"))
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_kept"))
+    rates
+      .join(kept, Seq("quality"), "left")
+      .select(col("quality"), col("n_docs"), col("tokens"), col("keep_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("quality").desc)
+  }
+
   /** Query: 90/5/5 split of the documents fixture — per (split, lang)
     * counts plus id bounds; the ratios land within basis-point noise of the
     * weights.

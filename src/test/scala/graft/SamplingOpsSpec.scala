@@ -122,6 +122,25 @@ class SamplingOpsSpec extends SparkSuite {
     assert(share > 0.74 && share < 0.86, share)
   }
 
+  test("budgetSelect keeps whole best buckets, hash-fills the boundary, drops the rest") {
+    // supplies: q=1.0 and q=0.5 each 5000 tokens; budget 7000 → the top
+    // bucket fits wholly, the boundary keeps 2000/5000 = 40% by id hash
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"))
+      .withColumn("quality", when(col("doc_id") % 2 === 0, 1.0).otherwise(0.5))
+      .withColumn("n_tokens", lit(10L))
+    val by = SamplingOps.budgetSelect(docs, "doc_id", 7000L)
+      .groupBy("quality").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(by(1.0) === 5000L)
+    assert(by(0.5) > 1400 && by(0.5) < 2600, by) // ~2000 ± hash noise
+    // a budget below the top bucket's supply drops lower buckets entirely
+    val tight = SamplingOps.budgetSelect(docs, "doc_id", 3000L)
+      .groupBy("quality").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!tight.contains(0.5))
+    assert(tight(1.0) > 2400 && tight(1.0) < 3600, tight)
+  }
+
   test("domains absent from the mix weights are dropped entirely") {
     val docs = ids.withColumn("n_tokens", lit(10L))
     val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",

@@ -77,6 +77,7 @@ object ScaleProbe {
     time("decontam")(CurationOps.decontamProfile(spark, tmp).count())
     time("pii_scrub")(CurationOps.piiScrubProfile(spark, tmp).count())
     time("mix_domains")(SamplingOps.mixProfile(spark, tmp).count())
+    time("budget_select")(SamplingOps.budgetProfile(spark, tmp).count())
     time("pack_sequences")(PackingOps.packProfile(spark, tmp).count())
     time("pack_chunks")(PackingOps.chunkProfile(spark, tmp).count())
     time("len_quantiles")(SketchOps.lengthQuantiles(spark, tmp).count())

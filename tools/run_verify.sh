@@ -16,5 +16,11 @@ done
 OPENS="$OPENS --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED"
 OPENS="$OPENS --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 shift $(( $# > 2 ? 2 : $# ))
+# UTF-8 locale: Korean filenames (the reference RAW_DATA artifact) are
+# unmappable under the default POSIX locale's sun.jnu.encoding, which the
+# JVM derives from the environment at init — -D flags alone don't reach
+# the native path encoder
+export LC_ALL=C.UTF-8
 exec java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dsun.jnu.encoding=UTF-8 -Dfile.encoding=UTF-8 \
   -cp "$CP" "$MAIN" "$SF" "$OUT" "$@"

@@ -62,6 +62,15 @@ object AnalysisMain {
     if (new java.io.File(s"$data/documents.parquet").exists())
       s"$data/documents.parquet" else data
 
+  /** Load the document frame: .xlsx paths go through the workbook reader
+    * (the reference's EP2/EP3 consume Results/pre_dataframe.xlsx directly),
+    * everything else reads as parquet.
+    */
+  def loadDocs(spark: SparkSession, data: String)
+      : org.apache.spark.sql.DataFrame =
+    if (data.endsWith(".xlsx")) ExcelIO.readXlsx(spark, data)
+    else spark.read.parquet(docsPath(data))
+
   /** The CLI body on a caller-owned session (spec surface — main owns the
     * session lifecycle). Writes the report plus the reference's figures:
     * word-frequency bars, and for parquet reports the topic-overlap heatmap,
@@ -70,7 +79,7 @@ object AnalysisMain {
     */
   def run(spark: SparkSession, data: String, column: String, out: String,
           k: Int, maxIter: Int = 20, format: String = "parquet"): Unit = {
-    val docs = spark.read.parquet(docsPath(data))
+    val docs = loadDocs(spark, data)
     // the reference's fail-fast column diagnostic (LDA_Analysis.py:122-126)
     PreprocessPipeline.requireColumns(docs, Seq(column))
     println(s"[analysis] $k topics over $data ($column) -> $out")

@@ -53,7 +53,7 @@ object FullAnalysisMain {
       }
     // 1. cluster (BERTopic-analog) half — reference runs BERTopic first
     val clusterOk = attempt("bertopic (cluster path)") {
-      val docs = spark.read.parquet(AnalysisMain.docsPath(data))
+      val docs = AnalysisMain.loadDocs(spark, data)
       PreprocessPipeline.requireColumns(docs, Seq("doc_id", column))
       val embeddings = spark.read.parquet(s"$data/embeddings.parquet")
       AnalysisRunner.runClusterAnalysis(spark, docs, embeddings,

@@ -28,6 +28,33 @@ class GoldenSpec extends SparkSuite {
     assert(prepped.filter(prepped("cleaned_text").isNull).count() === 0L)
   }
 
+  test("EP1 CLI on the real workbook writes the reference's three report artifacts") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft-ep1").toString
+    graft.pipeline.PreprocessMain.run(spark, RawXlsx, "crawl",
+      Some("/root/reference/stopwords.txt"), out, top = 100)
+    val pre = graft.pipeline.ReportSink.readSheet(spark, out, "pre_dataframe")
+    assert(pre.count() === 4793L) // pre_dataframe.xlsx parity
+    val wf = graft.pipeline.ReportSink.readSheet(spark, out, "word_frequency")
+      .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+    assert(wf.length === 100) // word_frequency_analysis.xlsx shape
+    // the committed word_frequency_analysis.xlsx leads with (모델, 845)
+    // via the kiwi morphological tokenizer; whitespace tokenization finds
+    // the SAME top word at 745 (inflected/compound forms stay unsplit) —
+    // the sanctioned F4 divergence, quantified and pinned
+    assert(wf.head.getString(0) === "모델")
+    assert(wf.head.getLong(1) === 745L)
+    val freqs = wf.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    // no stopword survives the filter
+    val stopSet = PreprocessPipeline
+      .loadStopwords(spark, "/root/reference/stopwords.txt").toSet
+    assert(!wf.exists(r => stopSet.contains(r.getString(0))))
+    assert(graft.pipeline.ReportSink.readSheet(spark, out, "stopwords")
+      .count() === 1104L) // stopwords_list.xlsx parity
+    assert(Files.exists(Paths.get(out, "word_frequency.svg")))
+  }
+
   test("stopword manager reproduces stopwords_list.xlsx exactly: 1104 distinct entries") {
     // the reference commits Results/stopwords_list.xlsx with 1,104 rows —
     // the distinct non-blank lines of its 1,381-line stopwords.txt

@@ -256,6 +256,7 @@ object SparkEntry {
     }),
     // --- topic metrics, oracle-checked (SURVEY.md A6/A10/M4/D2) ---
     "topic_ctfidf" -> TopicMetricsOps.ctfidfByLang,
+    "topic_ctfidf_bigrams" -> TopicMetricsOps.ctfidfBigramsByLang,
     "topic_diversity" -> TopicMetricsOps.diversityByLang,
     "topic_keyword_dedup" -> TopicMetricsOps.dedupKeywordsByLang,
     "topic_umass" -> TopicMetricsOps.umassTop10,
@@ -982,6 +983,28 @@ object SparkEntry {
          |FROM p WHERE cos >= 0.4""".stripMargin,
     "topic_ctfidf" ->
       s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word, score,
+         |    CAST(row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS INT) AS rank
+         |  FROM scored)
+         |SELECT cls, rank, word, round(score, 4) AS score
+         |FROM r WHERE rank <= 10""".stripMargin,
+    // same scoring over the (1,2)-gram term space (unigrams ++ bigrams)
+    "topic_ctfidf_bigrams" ->
+      s"""WITH d AS (SELECT lang, $TOKS AS toks FROM documents),
+         |ex AS (
+         |  SELECT lang AS cls, unnest(toks ||
+         |    CASE WHEN len(toks) >= 2
+         |         THEN list_transform(range(1, len(toks)),
+         |                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+         |         ELSE [] END) AS word
+         |  FROM d),
          |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
          |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
          |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,9 +30,16 @@ object TopicMetricsOps {
   /** Per-class term frequencies joined with corpus frequencies and the
     * per-class average token count: the c-TF-IDF inputs, from ONE scan.
     */
-  def classTermScores(docs: DataFrame, classCol: String, textCol: String): DataFrame = {
+  def classTermScores(docs: DataFrame, classCol: String, textCol: String): DataFrame =
+    classTermScoresOf(docs, classCol, tokens(col(textCol)))
+
+  /** c-TF-IDF inputs over an arbitrary term-array expression — the seam the
+    * (1,2)-gram vectorizer parity path plugs into.
+    */
+  def classTermScoresOf(docs: DataFrame, classCol: String,
+                        terms: Column): DataFrame = {
     val tf = graft.Caching.track(docs
-      .select(col(classCol).as("cls"), explode(tokens(col(textCol))).as("word"))
+      .select(col(classCol).as("cls"), explode(terms).as("word"))
       .groupBy("cls", "word")
       .agg(count(lit(1)).as("tf")))
     val ft = tf.groupBy("word").agg(sum("tf").as("ft"))
@@ -46,9 +53,14 @@ object TopicMetricsOps {
 
   /** Top-k c-TF-IDF keywords per class. */
   def ctfidfKeywords(docs: DataFrame, classCol: String, textCol: String,
-                     k: Int): DataFrame = {
+                     k: Int): DataFrame =
+    ctfidfKeywordsOf(docs, classCol, tokens(col(textCol)), k)
+
+  /** Top-k c-TF-IDF keywords per class over an arbitrary term expression. */
+  def ctfidfKeywordsOf(docs: DataFrame, classCol: String, terms: Column,
+                       k: Int): DataFrame = {
     val w = Window.partitionBy("cls").orderBy(col("score").desc, col("word"))
-    classTermScores(docs, classCol, textCol)
+    classTermScoresOf(docs, classCol, terms)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("cls"), col("rank"), col("word"),
@@ -58,6 +70,18 @@ object TopicMetricsOps {
   /** Query: top-10 c-TF-IDF keywords per language class. */
   def ctfidfByLang(spark: SparkSession, dir: String): DataFrame =
     ctfidfKeywords(Tables.documents(spark, dir), "lang", "text", 10)
+
+  /** Query: top-10 c-TF-IDF keywords per language over the (1,2)-gram term
+    * space — the reference BERTopic vectorizer's ngram_range=(1,2)
+    * (/root/reference/BERTopic_Analysis.py:224-229): unigrams plus adjacent
+    * bigrams feed the same class-based scoring.
+    */
+  def ctfidfBigramsByLang(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+    ctfidfKeywordsOf(staged, "lang",
+      concat(col("toks"), TextAnalysisOps.tokenBigrams(col("toks"))), 10)
+  }
 
   /** Topic diversity (distinct/total) over per-class top-k keywords. */
   def topicDiversity(keywords: DataFrame): DataFrame =

@@ -29,6 +29,20 @@ class TopicMetricsSpec extends SparkSuite {
     assert(kw.count(_._3 == "shared") == 2)
   }
 
+  test("(1,2)-gram c-TF-IDF scores bigrams alongside unigrams (A8 ngram parity)") {
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.TextAnalysisOps
+    val staged = docs.select(col("cls"), tokens(col("text")).as("toks"))
+    val kw = TopicMetricsOps.ctfidfKeywordsOf(staged, "cls",
+      concat(col("toks"), TextAnalysisOps.tokenBigrams(col("toks"))), 10)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    // class-exclusive bigrams ("aa aa", "aa shared", …) enter the ranking
+    assert(kw.exists { case (c, w) => c == "c1" && w == "aa shared" })
+    assert(kw.exists { case (c, w) => c == "c2" && w == "bb shared" })
+    // unigrams still present in the same term space
+    assert(kw.exists { case (c, w) => c == "c1" && w == "aa" })
+  }
+
   test("diversity = distinct/total over class keyword sets") {
     val kw = TopicMetricsOps.ctfidfKeywords(docs, "cls", "text", 2)
     val d = TopicMetricsOps.topicDiversity(kw).collect()(0)

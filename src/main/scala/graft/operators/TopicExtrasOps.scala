@@ -176,12 +176,19 @@ object TopicExtrasOps {
     * the shared term dimension (no dense vectors materialize).
     */
   def tfidfCosineExamples(docs: DataFrame, classScores: DataFrame, idCol: String,
-                          textCol: String, classCol: String, k: Int): DataFrame = {
-    val docTf = graft.Caching.track(docs
+                          textCol: String, classCol: String, k: Int): DataFrame =
+    tfidfCosineExamplesFromTf(graft.Caching.track(docs
       .select(col(idCol).as("doc_id"), col(classCol).as("cls"),
         explode(tokens(col(textCol))).as("word"))
       .groupBy("doc_id", "cls", "word")
-      .agg(count(lit(1)).cast("double").as("tf")))
+      .agg(count(lit(1)).cast("double").as("tf"))), classScores, k)
+
+  /** Same ranking from a pre-aggregated (doc_id, cls, word, tf) frame —
+    * persisted by the caller; lets the class scores derive from the SAME
+    * frame so the corpus tokenizes once.
+    */
+  def tfidfCosineExamplesFromTf(docTf: DataFrame, classScores: DataFrame,
+                                k: Int): DataFrame = {
     val docNorm = docTf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("dn"))
     val clsNorm = classScores.groupBy("cls")
@@ -204,13 +211,21 @@ object TopicExtrasOps {
   }
 
   /** Query: top-3 example docs per lang by TF-IDF-cosine to the class's
-    * c-TF-IDF vector.
+    * c-TF-IDF vector. ONE tokenize pass: the doc-level TF is persisted and
+    * the class TF (its re-aggregation — exact: small integer-valued doubles)
+    * feeds the c-TF-IDF scoring.
     */
   def tfidfExamplesByLang(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val scores = TopicMetricsOps.classTermScores(docs, "lang", "text")
+    val docTf = graft.Caching.track(docs
+      .select(col("doc_id"), col("lang").as("cls"),
+        explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "cls", "word")
+      .agg(count(lit(1)).cast("double").as("tf")))
+    val scores = TopicMetricsOps.classTermScoresFromTf(
+      docTf.groupBy("cls", "word").agg(sum(col("tf")).cast("long").as("tf")))
       .select(col("cls"), col("word"), col("score"))
-    tfidfCosineExamples(docs, scores, "doc_id", "text", "lang", 3)
+    tfidfCosineExamplesFromTf(docTf, scores, 3)
   }
 
   // ---------------------------------------------------------------- A9

@@ -37,11 +37,17 @@ object TopicMetricsOps {
     * (1,2)-gram vectorizer parity path plugs into.
     */
   def classTermScoresOf(docs: DataFrame, classCol: String,
-                        terms: Column): DataFrame = {
-    val tf = graft.Caching.track(docs
+                        terms: Column): DataFrame =
+    classTermScoresFromTf(graft.Caching.track(docs
       .select(col(classCol).as("cls"), explode(terms).as("word"))
       .groupBy("cls", "word")
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))))
+
+  /** c-TF-IDF scores from a PRE-AGGREGATED (cls, word, tf) frame — the seam
+    * for consumers that already hold a doc-level TF (the class TF is its
+    * re-aggregation, so the corpus tokenizes once).
+    */
+  def classTermScoresFromTf(tf: DataFrame): DataFrame = {
     val ft = tf.groupBy("word").agg(sum("tf").as("ft"))
     val scalars = tf.agg(
       (sum("tf").cast("double") / countDistinct("cls")).as("avg_class_tokens"))

@@ -26,7 +26,11 @@ object ExcelIO {
 
   private val MaxRows = 1048575 // xlsx sheet limit minus header
 
-  /** Read one worksheet into a DataFrame of strings (first row = header). */
+  /** Read one worksheet into a DataFrame of strings (first row = header).
+    * `sheet` is an entry name (`sheet1`…`sheetN`) or a DISPLAY name — the
+    * reference addresses sheets by their (Korean) display names
+    * (pd.read_excel sheet_name; preprocessing.py:303), so both resolve.
+    */
   def readXlsx(spark: SparkSession, path: String,
                sheet: String = "sheet1"): DataFrame = {
     val zip = new ZipFile(path)
@@ -35,6 +39,8 @@ object ExcelIO {
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(IndexedSeq.empty)
       val entry = Option(zip.getEntry(s"xl/worksheets/$sheet.xml"))
+        .orElse(resolveDisplayName(zip, sheet)
+          .flatMap(p => Option(zip.getEntry(p))))
         .getOrElse(throw new IllegalArgumentException(
           s"no worksheet '$sheet' in $path; entries: " +
             zip.entries().asIterator().asScala
@@ -145,6 +151,41 @@ object ExcelIO {
       zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
     } finally zos.close()
+  }
+
+  /** Display name → worksheet part path, via workbook.xml (name → r:id)
+    * and workbook.xml.rels (r:id → target). None when the name is unknown
+    * or the workbook parts are absent.
+    */
+  private def resolveDisplayName(zip: ZipFile, name: String): Option[String] = {
+    def attrs(entry: String, element: String,
+              keys: Seq[String]): Seq[Map[String, String]] =
+      Option(zip.getEntry(entry)).map { e =>
+        val reader = XMLInputFactory.newInstance()
+          .createXMLStreamReader(zip.getInputStream(e))
+        val out = ArrayBuffer.empty[Map[String, String]]
+        while (reader.hasNext) {
+          if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+            reader.getLocalName == element) {
+            out += keys.flatMap { k =>
+              // r:id is namespaced; match on local name
+              (0 until reader.getAttributeCount)
+                .find(i => reader.getAttributeLocalName(i) == k)
+                .map(i => k -> reader.getAttributeValue(i))
+            }.toMap
+          }
+        }
+        reader.close()
+        out.toSeq
+      }.getOrElse(Seq.empty)
+    for {
+      decl <- attrs("xl/workbook.xml", "sheet", Seq("name", "id"))
+        .find(_.get("name").contains(name))
+      rid <- decl.get("id")
+      rel <- attrs("xl/_rels/workbook.xml.rels", "Relationship",
+        Seq("Id", "Target")).find(_.get("Id").contains(rid))
+      target <- rel.get("Target")
+    } yield if (target.startsWith("/")) target.drop(1) else s"xl/$target"
   }
 
   private def xmlEscape(s: String): String =

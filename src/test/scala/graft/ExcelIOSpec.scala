@@ -40,6 +40,11 @@ class ExcelIOSpec extends SparkSuite {
     assert(s1.columns.toSeq == Seq("항목", "값"))
     assert(s1.collect().map(_.toSeq).toSet == summary.collect().map(_.toSeq).toSet)
     assert(s2.collect().map(_.toSeq).toSet == topics.collect().map(_.toSeq).toSet)
+    // Korean DISPLAY names resolve through workbook.xml + rels, like
+    // pandas' sheet_name addressing
+    val byName = ExcelIO.readXlsx(spark, tmp, "토픽키워드")
+    assert(byName.collect().map(_.toSeq).toSet ==
+      topics.collect().map(_.toSeq).toSet)
   }
 
   test("workbook rejects invalid sheet names") {

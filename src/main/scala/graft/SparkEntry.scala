@@ -200,6 +200,7 @@ object SparkEntry {
     "rel_daily_stats" -> RelationalOps.dailyOrderStats,
     "rel_asof_join" -> RelationalOps.purchaseAsofClick,
     "rel_salted_join" -> RelationalOps.saltedOrderJoin,
+    "rel_range_join" -> RelationalOps.concurrentSessionActivity,
     "rel_string_funcs" -> RelationalOps.partTypeStats,
     "rel_hourly_counts" -> RelationalOps.hourlyEventCounts,
     // --- text suite (SURVEY.md §2.1–2.8 text path + LLM-pipeline text ops) ---
@@ -397,6 +398,34 @@ object SparkEntry {
         | CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY 1""".stripMargin,
+    // the oracle states the range join declaratively (BETWEEN join);
+    // the engine's bucketized plan must produce the identical pairing
+    "rel_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s0 AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 3600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s1 AS (
+        |  SELECT user_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s0),
+        |sess AS (
+        |  SELECT user_id, session_id, min(us) AS s_start, max(us) AS s_end
+        |  FROM s1 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT sess.user_id, sess.session_id, count(*) AS n_concurrent
+        |  FROM sess JOIN e ON e.us >= s_start AND e.us <= s_end
+        |                  AND e.user_id <> sess.user_id
+        |  GROUP BY 1, 2)
+        |SELECT sess.user_id, count(*) AS n_sessions,
+        |  CAST(coalesce(sum(n_concurrent), 0) AS BIGINT) AS n_concurrent
+        |FROM sess LEFT JOIN j USING (user_id, session_id)
+        |GROUP BY 1""".stripMargin,
     "rel_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
         | round(sum(l_quantity),2) AS sum_qty

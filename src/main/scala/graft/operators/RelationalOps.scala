@@ -241,6 +241,70 @@ object RelationalOps {
   def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame =
     asofJoin(Tables.events(spark, dir), "click", "purchase")
 
+  /** Per-user sessions as explicit [start, end] micros intervals — the
+    * interval face of userSessions' 1-hour-gap rule.
+    */
+  def userSessionIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 3600L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+  }
+
+  /** Bucketized point-in-interval RANGE join — the pattern Spark's planner
+    * would otherwise execute as a broadcast-nested-loop (no equi key):
+    * intervals explode into fixed-width buckets (len/width + 1 rows each),
+    * points hash into exactly one bucket, the join runs as a plain shuffle
+    * equi-join on the bucket key, and the exact containment predicate
+    * prunes edge hits. Shuffle volume ≈ points + Σ interval_len/width;
+    * pick `bucketWidth` near the typical interval length. Columns
+    * `pointCol`/`startCol`/`endCol` are numeric (e.g. epoch micros).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    // integer div (`div`), not `/`: Spark's / on longs yields DOUBLE
+    val p = points.withColumn("__bkt",
+      expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
+    val iv = intervals.withColumn("__bkt",
+      explode(sequence(expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
+        expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
+    p.join(iv, "__bkt")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bkt")
+  }
+
+  /** Query: concurrent activity per user — for each of a user's sessions,
+    * how many OTHER users' events fall inside its span; the session
+    * intervals come from the 1-hour-gap rule and the point-in-interval
+    * pairing runs through the bucketized range join (bucket = 1 h).
+    */
+  def concurrentSessionActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sessions = userSessionIntervals(ev)
+    val points = ev.select(col("user_id").as("p_user"),
+      unix_micros(col("ts")).as("p_us"))
+    val perSession = rangeJoin(points, sessions, "p_us", "s_start", "s_end",
+      bucketWidth = 3600L * 1000000L)
+      .filter(col("p_user") =!= col("user_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    sessions
+      .join(perSession, Seq("user_id", "session_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(coalesce(col("n_concurrent"), lit(0L))).cast("long")
+          .as("n_concurrent"))
+  }
+
   /** Skew-resistant equi-join: salt the (potentially skewed) fact side into
     * `salts` buckets and replicate the dimension side across them, so one
     * hot key spreads over `salts` tasks instead of one straggler. Result is

@@ -38,6 +38,18 @@ object ScaleProbe {
         (col("vec_id") * factor + col("copy")).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/embeddings.parquet")
+    // events: each copy is a parallel user population in the SAME time
+    // window — session counts scale linearly, range-join pair volume
+    // quadratically (denser concurrency is a data property, not a plan one)
+    Tables.events(spark, dir).crossJoin(copies)
+      .select(
+        (col("event_id") * factor + col("copy")).as("event_id"),
+        // Tables.events reads raw NANOS-as-long (the fixture's physical
+        // type) — write the replica in the same shape
+        (unix_micros(col("ts")) * 1000L).as("ts"),
+        (col("user_id") * factor + col("copy")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
 
     val n = spark.read.parquet(s"$tmp/documents.parquet").count()
     println(s"[scale] corpus ${n} docs (${factor}x of $dir)")
@@ -83,6 +95,8 @@ object ScaleProbe {
     time("len_quantiles")(SketchOps.lengthQuantiles(spark, tmp).count())
     time("repetition")(TextAnalysisOps.repetitionBySource(spark, tmp).count())
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())
+    time("range_join")(RelationalOps.concurrentSessionActivity(spark, tmp).count())
+    time("sessionize")(RelationalOps.userSessions(spark, tmp).count())
     spark.stop()
   }
 }

@@ -745,7 +745,7 @@ object SparkEntry {
          |    || CASE WHEN doc_id % 3 = 0
          |         THEN ' contact user' || doc_id || '@mail.example' ELSE '' END
          |    || CASE WHEN doc_id % 4 = 0
-         |         THEN ' see https://ex.org/p/' || doc_id ELSE '' END
+         |         THEN ' see https://example.org/p/' || doc_id ELSE '' END
          |    || CASE WHEN doc_id % 5 = 0
          |         THEN ' tel +82 10-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
          |         ELSE '' END AS t

@@ -127,7 +127,7 @@ object CurationOps {
           concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
           .otherwise(lit("")),
         when(col("doc_id") % 4 === 0,
-          concat(lit(" see https://ex.org/p/"), col("doc_id")))
+          concat(lit(" see https://example.org/p/"), col("doc_id")))
           .otherwise(lit("")),
         when(col("doc_id") % 5 === 0,
           concat(lit(" tel +82 10-"),

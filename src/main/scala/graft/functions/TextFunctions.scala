@@ -40,12 +40,13 @@ object TextFunctions {
     trim(regexp_replace(lower(coalesce(c, lit(""))), "[^a-z0-9가-힣]+", " "))
 
   /** F3/F5/P7 — whitespace tokens of `normalized`, keeping lengths in
-    * [minLen, maxLen]. Pure HOF chain: split + filter (no shuffle, no UDF).
+    * [minLen, maxLen]. Backed by the single-pass TextKernels.tokens
+    * codegen'd expression (the split+ArrayFilter HOF chain it replaces is
+    * CodegenFallback — interpreted per element; TextKernelsProps pins
+    * bit-equivalence between the two).
     */
   def tokens(c: Column, minLen: Int = 2, maxLen: Int = 15): Column =
-    filter(
-      split(normalized(c), " "),
-      t => length(t) >= minLen && length(t) <= maxLen)
+    TextExpressions.tokensK(coalesce(c, lit("")), minLen, maxLen)
 
   /** Korean-only token extraction (reference's simple analyzer,
     * preprocessing.py:266-277): runs of 가-힣, min length 2.

@@ -18,16 +18,13 @@ import graft.functions.TextFunctions._
 object TextAnalysisOps {
 
   /** Marker stopwords per language for the n-gram/marker-count heuristic.
-    * Deterministic, tiny, broadcast-as-literals.
+    * Deterministic, tiny, broadcast-as-literals. Single source:
+    * TextKernels (the quality kernel shares the set).
     */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
-    "es" -> Seq("el", "la", "de", "que", "en", "los", "del", "se", "las", "por"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
-    "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "des"))
+  val langMarkers: Map[String, Seq[String]] = graft.functions.TextKernels.langMarkers
 
   /** All marker words, deduped + sorted (deterministic for oracle SQL). */
-  val allMarkers: Seq[String] = langMarkers.values.flatten.toSeq.distinct.sorted
+  val allMarkers: Seq[String] = graft.functions.TextKernels.allMarkers
 
   private def markerHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(langMarkers(lang): _*)))
@@ -81,29 +78,17 @@ object TextAnalysisOps {
     * that any oracle reproduces bit-for-bit.
     */
   def qualityScoreCol(text: Column): Column =
-    qualityScoreFrom(text, normalized(text), tokens(text, 1, 100))
+    graft.functions.TextExpressions.qualityK(coalesce(text, lit("")))
 
-  /** Quality score over PRE-MATERIALIZED norm/toks columns. Compositions
-    * that also need norm/toks for other signals (AssemblyOps) must stage
-    * them as real columns first: inlining them here repeats the tokenize
-    * per reference, and the fresh lambda ids on the HOFs defeat Spark's
-    * subexpression elimination (measured ~17× slower in train_assembly).
+  /** Quality score, historically over PRE-MATERIALIZED norm/toks columns;
+    * now a single-pass codegen'd kernel over `text` alone (TextKernels
+    * .qualityScore — bit-equivalent to the old four-HOF formulation, see
+    * TextKernelsProps). The norm/toks parameters remain for source
+    * compatibility with compositions that stage them for OTHER signals
+    * (AssemblyOps' fingerprint/bigrams); the kernel no longer reads them.
     */
-  def qualityScoreFrom(text: Column, norm: Column, toks: Column): Column = {
-    val nToks = size(toks).cast("double")
-    val charsNoSpace = length(regexp_replace(norm, " ", "")).cast("double")
-    val avgTokLen = when(nToks > 0, charsNoSpace / nToks).otherwise(lit(0.0))
-    val stopHits = size(filter(toks, t => t.isin(allMarkers: _*))).cast("double")
-    val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
-    val alnumChars = length(regexp_replace(coalesce(text, lit("")), "[^a-zA-Z0-9가-힣]", "")).cast("double")
-    val totalChars = length(coalesce(text, lit(""))).cast("double")
-    val alnumRatio = when(totalChars > 0, alnumChars / totalChars).otherwise(lit(0.0))
-    val c1 = when(nToks >= 5 && nToks <= 1000, 0.25).otherwise(0.0)
-    val c2 = when(avgTokLen >= 2.0 && avgTokLen <= 12.0, 0.25).otherwise(0.0)
-    val c3 = when(stopRatio >= 0.01, 0.25).otherwise(0.0)
-    val c4 = when(alnumRatio >= 0.6, 0.25).otherwise(0.0)
-    c1 + c2 + c3 + c4
-  }
+  def qualityScoreFrom(text: Column, norm: Column, toks: Column): Column =
+    qualityScoreCol(text)
 
   /** Per-source quality profile (count, mean score, high-quality count). */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
@@ -185,11 +170,7 @@ object TextAnalysisOps {
   val BpeishPattern = "[0-9]+|[a-z]+|[가-힣]+|[^a-z0-9가-힣\\s]+"
 
   def bpeishTokenCount(text: Column): Column =
-    aggregate(
-      transform(
-        regexp_extract_all(lower(coalesce(text, lit(""))), lit(BpeishPattern), lit(0)),
-        r => ceil(length(r) / 8.0)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.TextExpressions.bpeishK(coalesce(text, lit("")))
 
   /** Per-source token-budget profile: whitespace tokens vs BPE-ish subword
     * count vs the chars/4 estimate.

@@ -85,12 +85,26 @@ object GraftExtensions {
     },
     "jaccard_long" -> { args =>
       arity("jaccard_long", args, 2); JaccardLong(args.head, args(1))
+    },
+    "graft_tokens" -> { args =>
+      arity("graft_tokens", args, 3)
+      graft.functions.TextExpressions.TokensOf(args.head,
+        intLit(args(1), "graft_tokens"), intLit(args(2), "graft_tokens"))
+    },
+    "quality_score" -> { args =>
+      arity("quality_score", args, 1)
+      graft.functions.TextExpressions.QualityScore(args.head)
+    },
+    "bpeish_count" -> { args =>
+      arity("bpeish_count", args, 1)
+      graft.functions.TextExpressions.BpeishCount(args.head)
     })
-  // NOTE: the text-prep compositions (cleanText/normalized/tokens) are NOT
-  // registrable this way — Column-DSL trees come back as unresolved
+  // NOTE: Column-DSL COMPOSITIONS (cleanText/normalized) are still not
+  // registrable this way — their trees come back as unresolved
   // ColumnNodeExpressions that a FunctionBuilder's output never re-enters
-  // analysis to resolve. SQL users spell those with the same built-ins
-  // (regexp_replace/split/filter); only the custom kernels need names here.
+  // analysis to resolve; SQL users spell those with the same built-ins.
+  // tokens/quality/bpeish joined the registry once they became real
+  // Expressions (TextExpressions).
 
   /** Inject the function set into an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -47,6 +47,18 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("text kernels in SQL: graft_tokens / quality_score / bpeish_count") {
+    import sql.implicits._
+    Seq("The quick brown fox and the lazy dog ran off 123")
+      .toDF("t").createOrReplaceTempView("t5")
+    val r = sql.sql(
+      """SELECT graft_tokens(t, 2, 15) AS toks, quality_score(t) AS q,
+        |       bpeish_count(t) AS bpe FROM t5""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0).take(3) == Seq("the", "quick", "brown"))
+    assert(r.getDouble(1) == 1.0) // 11 tokens, markers, clean ASCII
+    assert(r.getLong(2) > 0L)
+  }
+
   test("non-literal size argument is rejected") {
     import sql.implicits._
     Seq("x").toDF("t").createOrReplaceTempView("t4")

@@ -124,6 +124,56 @@ object TextKernels {
       (if (alnumRatio >= 0.6) 0.25 else 0.0)
   }
 
+  // ------------------------------------------------------------ intervals
+  // Window-coverage intervals for the sliding-window coherence family:
+  // a word occurring at (1-based) position p of a t-token doc sits in the
+  // windows [max(1, p-w+1), min(p, max(t-w+1, 1))]. The kernels below
+  // carry the UNION of those per-occurrence ranges as a packed
+  // [lo1,hi1,lo2,hi2,…] long array, so window-containment counts become
+  // interval arithmetic instead of an exploded (doc, word, window) table.
+
+  /** Merged coverage intervals of sorted occurrence positions (packed). */
+  def windowCover(sortedPos: ArrayData, t: Int, w: Int): ArrayData = {
+    val ps = sortedPos.toIntArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](ps.length * 2)
+    val hiCap = math.max(t - w + 1, 1)
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      val lo = math.max(1, p - w + 1).toLong
+      val hi = math.min(p, hiCap).toLong
+      if (out.nonEmpty && lo <= out(out.length - 1) + 1) {
+        if (hi > out(out.length - 1)) out(out.length - 1) = hi
+      } else { out += lo; out += hi }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.toArray)
+  }
+
+  /** Total window count covered by a packed interval array. */
+  def intervalTotal(iv: ArrayData): Long = {
+    val a = iv.toLongArray()
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i + 1) - a(i) + 1; i += 2 }
+    s
+  }
+
+  /** Size of the intersection of two packed interval arrays (both sorted,
+    * disjoint within themselves) — the shared-window count of a word pair.
+    */
+  def intervalIntersect(ivA: ArrayData, ivB: ArrayData): Long = {
+    val a = ivA.toLongArray(); val b = ivB.toLongArray()
+    var i = 0; var j = 0; var s = 0L
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i), b(j))
+      val hi = math.min(a(i + 1), b(j + 1))
+      if (lo <= hi) s += hi - lo + 1
+      if (a(i + 1) <= b(j + 1)) i += 2 else j += 2
+    }
+    s
+  }
+
   /** BPE-ish token count — Σ ceil(run/8) over same-class segment runs of
     * lower(s); classes digit / ascii-lower / hangul / other-non-space, with
     * Java regex \s (the 6 ASCII whitespace chars) as the only separator.

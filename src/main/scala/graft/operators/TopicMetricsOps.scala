@@ -333,15 +333,9 @@ object TopicMetricsOps {
     pairProbabilitiesByClass(docs, textCol,
       topWords.withColumn("cls", lit(0)), windowSize).drop("cls")
 
-  /** Grouped core: window-containment probabilities per (cls, pair). The
-    * class key rides the presence join, so scoring K topics costs the same
-    * corpus scan as scoring one.
-    *
-    * The pij presence self-join is deliberate: presence holds topic-word
-    * HITS only (≤ K·10 words), so Catalyst broadcasts one side and the
-    * "join" costs no shuffle. A measured alternative — collect_list per
-    * (doc, ws) + ordered-pair explode — forces a real shuffle of every
-    * presence row and benched ~40% SLOWER at sf0.1 (3.7s vs 2.4s warm).
+  /** Grouped wrapper: window-containment probabilities per (cls, pair)
+    * from raw documents — tokenizes, then defers to the interval-based
+    * core below.
     */
   def pairProbabilitiesByClass(docs: DataFrame, textCol: String,
                                topicWords: DataFrame,
@@ -353,23 +347,47 @@ object TopicMetricsOps {
     * several measures stage (and persist) the tokenization once.
     *
     * Window-containment probabilities are CLASS-INDEPENDENT (P(w) and
-    * P(wi,wj) are window counts), so the presence expansion and the pair
-    * counts run once over the DISTINCT topic words; the per-class pair list
-    * then joins the global counts — K topics sharing words never multiply
-    * the window explode or the presence self-join by K.
+    * P(wi,wj) are window counts), so the counts run once over the DISTINCT
+    * topic words; the per-class pair list then joins the global counts —
+    * K topics sharing words never multiply the corpus-side cost.
+    *
+    * Shape: window containment is carried as per-(doc, word) MERGED
+    * interval arrays (TextKernels.windowCover) instead of an exploded
+    * (doc, word, window) table — P(w) is the interval total and P(wi,wj)
+    * a kernel interval-intersection on the per-doc pair join. This removes
+    * both former heavy shuffles (the ~window-size-times-larger presence
+    * distinct and its (doc, ws) sort-merge self-join); the per-doc pair
+    * rows partial-aggregate map-side down to ≤ |words|² keys. Counts are
+    * identical by construction: |union of covered windows| and
+    * |intersection of two unions| are exactly the old distinct-row counts.
     */
   def pairProbabilitiesOfTokens(toks: DataFrame, topicWords: DataFrame,
                                 windowSize: Int): DataFrame = {
-    val (presence, totals) =
-      windowPresence(toks, topicWords.select("word").distinct(), windowSize)
-    val pw = presence.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    import graft.functions.TextExpressions.{intervalIntersectK, intervalTotalK, windowCoverK}
+    val words = topicWords.select("word").distinct()
+    val totals = toks.agg(
+      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
+    val hits = toks
+      .select(col("doc"), size(col("toks")).as("t"),
+        posexplode(col("toks")).as(Seq("pos0", "word")))
+      .join(broadcast(words), "word")
+    val perWord = graft.Caching.track(hits
+      .groupBy(col("doc"), col("word"))
+      .agg(max(col("t")).as("t"),
+        sort_array(collect_list(col("pos0") + 1)).as("ps"))
+      .select(col("doc"), col("word"),
+        windowCoverK(col("ps"), col("t"), windowSize).as("iv")))
+    val pw = perWord.groupBy(col("word"))
+      .agg(sum(intervalTotalK(col("iv"))).as("cw"))
     // canonical unordered pair counts (wa < wb); co-occurrence is symmetric
-    val pij = presence.as("a")
-      .join(presence.as("b"),
-        col("a.doc") === col("b.doc") && col("a.ws") === col("b.ws") &&
-          col("a.word") < col("b.word"))
-      .groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
-      .agg(count(lit(1)).as("cij"))
+    val pij = perWord.as("a")
+      .join(perWord.as("b"),
+        col("a.doc") === col("b.doc") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("wa"), col("b.word").as("wb"),
+        intervalIntersectK(col("a.iv"), col("b.iv")).as("x"))
+      .filter(col("x") > 0)
+      .groupBy(col("wa"), col("wb"))
+      .agg(sum(col("x")).as("cij"))
     val pairs = topicWords.as("i")
       .join(topicWords.as("j"),
         col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
@@ -386,28 +404,6 @@ object TopicMetricsOps {
         coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
       .withColumn("p_i", col("ci").cast("double") / col("n_windows"))
       .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
-  }
-
-  /** (presence of `words` in sliding windows as (doc, word, ws) rows — each
-    * hit once — and the total window count) from a pre-tokenized (doc, toks)
-    * corpus; persisted by the caller, since both outputs scan it.
-    */
-  private def windowPresence(toks: DataFrame, words: DataFrame,
-                             windowSize: Int): (DataFrame, DataFrame) = {
-    val totals = toks.agg(
-      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
-    val presence = toks
-      .select(col("doc"), size(col("toks")).as("t"),
-        posexplode(col("toks")).as(Seq("pos0", "word")))
-      .join(broadcast(words), "word")
-      .withColumn("p", col("pos0") + 1)
-      .select(col("doc"), col("word"),
-        explode(sequence(
-          greatest(lit(1), col("p") - (windowSize - 1)),
-          least(col("p"), greatest(col("t") - (windowSize - 1), lit(1)))))
-          .as("ws"))
-      .distinct()
-    (graft.Caching.track(presence), totals)
   }
 
   /** SO1 — pairwise Jaccard overlap of per-class keyword sets (the topic

@@ -98,4 +98,39 @@ object KernelProps extends Properties("HashKernels") {
       val sig = HashKernels.minhashSig(longs(hs), 32)
       toSeq(HashKernels.lshBands(sig, 8, 4)).length == 8
     }
+
+  // ---- window-coverage interval kernels vs brute-force window sets ----
+  import graft.functions.TextKernels
+  private def ints(xs: Seq[Int]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+  private def bruteWindows(ps: Seq[Int], t: Int, w: Int): Set[Long] =
+    ps.flatMap(p => math.max(1, p - w + 1).toLong to
+      math.min(p, math.max(t - w + 1, 1)).toLong).toSet
+  private val docGen = for {
+    t <- Gen.choose(1, 200)
+    n <- Gen.choose(1, 30)
+    ps <- Gen.listOfN(n, Gen.choose(1, t))
+    w <- Gen.choose(1, 120)
+  } yield (ps.distinct.sorted, t, w)
+
+  property("windowCover union == brute-force covered-window set") =
+    forAll(docGen) { case (ps, t, w) =>
+      val iv = TextKernels.windowCover(ints(ps), t, w).toLongArray()
+      val expanded = iv.grouped(2).flatMap(a => a(0) to a(1)).toSet
+      expanded == bruteWindows(ps, t, w) &&
+        TextKernels.intervalTotal(
+          TextKernels.windowCover(ints(ps), t, w)) == expanded.size.toLong
+    }
+
+  property("intervalIntersect == brute-force set intersection size") =
+    forAll(docGen, docGen) { case ((psA, tA, w), (psB, _, _)) =>
+      // same doc: same t and w for both words
+      val psB2 = psB.filter(_ <= tA)
+      (psB2.nonEmpty) ==> {
+        val a = TextKernels.windowCover(ints(psA), tA, w)
+        val b = TextKernels.windowCover(ints(psB2), tA, w)
+        TextKernels.intervalIntersect(a, b) ==
+          (bruteWindows(psA, tA, w) & bruteWindows(psB2, tA, w)).size.toLong
+      }
+    }
 }

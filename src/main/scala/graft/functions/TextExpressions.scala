@@ -49,6 +49,18 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class TfMap(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def nullSafeEval(toks: Any): Any =
+      TextKernels.tfMap(
+        toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tfMap($c)")
+    override protected def withNewChildInternal(newChild: Expression): TfMap =
+      copy(child = newChild)
+  }
+
   case class WindowCover(left: Expression, right: Expression, w: Int)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -98,6 +110,8 @@ object TextExpressions {
     GraftBridge.column(QualityScore(GraftBridge.expression(c)))
   def bpeishK(c: Column): Column =
     GraftBridge.column(BpeishCount(GraftBridge.expression(c)))
+  def tfMapK(toks: Column): Column =
+    GraftBridge.column(TfMap(GraftBridge.expression(toks)))
   def windowCoverK(ps: Column, t: Column, w: Int): Column =
     GraftBridge.column(WindowCover(GraftBridge.expression(ps),
       GraftBridge.expression(t), w))

@@ -124,6 +124,33 @@ object TextKernels {
       (if (alnumRatio >= 0.6) 0.25 else 0.0)
   }
 
+  /** Per-document term-frequency map of a token array — pre-aggregating TF
+    * inside the row means `explode(tfMap(toks))` yields final
+    * (word, tf) pairs with NO token-level shuffle (one row per DISTINCT
+    * word instead of one per occurrence, and no groupBy).
+    */
+  def tfMap(toks: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      val c = m.get(w)
+      m.put(w, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey; vals(j) = e.getValue; j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   // ------------------------------------------------------------ intervals
   // Window-coverage intervals for the sliding-window coherence family:
   // a word occurring at (1-based) position p of a t-token doc sits in the

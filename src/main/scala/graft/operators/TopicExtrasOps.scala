@@ -177,11 +177,20 @@ object TopicExtrasOps {
     */
   def tfidfCosineExamples(docs: DataFrame, classScores: DataFrame, idCol: String,
                           textCol: String, classCol: String, k: Int): DataFrame =
-    tfidfCosineExamplesFromTf(graft.Caching.track(docs
-      .select(col(idCol).as("doc_id"), col(classCol).as("cls"),
-        explode(tokens(col(textCol))).as("word"))
-      .groupBy("doc_id", "cls", "word")
-      .agg(count(lit(1)).cast("double").as("tf"))), classScores, k)
+    tfidfCosineExamplesFromTf(graft.Caching.track(
+      docTermFreq(docs, idCol, textCol, classCol)), classScores, k)
+
+  /** Per-doc term frequencies WITHOUT a token-level shuffle: the tfMap
+    * kernel pre-aggregates inside the row and explode yields final
+    * (doc_id, cls, word, tf) — one row per distinct word per doc, no
+    * groupBy (the old explode+groupBy shuffled every token occurrence).
+    */
+  def docTermFreq(docs: DataFrame, idCol: String, textCol: String,
+                  classCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(classCol).as("cls"),
+      explode(graft.functions.TextExpressions.tfMapK(tokens(col(textCol))))
+        .as(Seq("word", "tf")))
+      .withColumn("tf", col("tf").cast("double"))
 
   /** Same ranking from a pre-aggregated (doc_id, cls, word, tf) frame —
     * persisted by the caller; lets the class scores derive from the SAME
@@ -216,12 +225,8 @@ object TopicExtrasOps {
     * feeds the c-TF-IDF scoring.
     */
   def tfidfExamplesByLang(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val docTf = graft.Caching.track(docs
-      .select(col("doc_id"), col("lang").as("cls"),
-        explode(tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "cls", "word")
-      .agg(count(lit(1)).cast("double").as("tf")))
+    val docTf = graft.Caching.track(
+      docTermFreq(Tables.documents(spark, dir), "doc_id", "text", "lang"))
     val scores = TopicMetricsOps.classTermScoresFromTf(
       docTf.groupBy("cls", "word").agg(sum(col("tf")).cast("long").as("tf")))
       .select(col("cls"), col("word"), col("score"))
@@ -235,9 +240,12 @@ object TopicExtrasOps {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // per-doc TF via the tfMap kernel: no token-level shuffle (see
+    // docTermFreq)
     val tf = graft.Caching.track(docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextExpressions.tfMapK(tokens(col(textCol))))
+          .as(Seq("word", "tf"))))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -99,6 +99,17 @@ object KernelProps extends Properties("HashKernels") {
       toSeq(HashKernels.lshBands(sig, 8, 4)).length == 8
     }
 
+  property("tfMap counts every token exactly (== Scala groupBy)") =
+    forAll(Gen.listOf(word)) { ws =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(UTF8String.fromString).toArray[Any])
+      val m = graft.functions.TextKernels.tfMap(arr)
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString ->
+          m.valueArray().getLong(i)).toMap
+      got == ws.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    }
+
   // ---- window-coverage interval kernels vs brute-force window sets ----
   import graft.functions.TextKernels
   private def ints(xs: Seq[Int]): ArrayData =

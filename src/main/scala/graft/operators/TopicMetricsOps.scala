@@ -34,14 +34,18 @@ object TopicMetricsOps {
     classTermScoresOf(docs, classCol, tokens(col(textCol)))
 
   /** c-TF-IDF inputs over an arbitrary term-array expression — the seam the
-    * (1,2)-gram vectorizer parity path plugs into.
+    * (1,2)-gram vectorizer parity path plugs into. The tfMap kernel
+    * pre-aggregates per row, so the (cls, word) shuffle carries one row per
+    * distinct word per doc instead of one per occurrence.
     */
   def classTermScoresOf(docs: DataFrame, classCol: String,
                         terms: Column): DataFrame =
     classTermScoresFromTf(graft.Caching.track(docs
-      .select(col(classCol).as("cls"), explode(terms).as("word"))
+      .select(col(classCol).as("cls"),
+        explode(graft.functions.TextExpressions.tfMapK(terms))
+          .as(Seq("word", "tf_d")))
       .groupBy("cls", "word")
-      .agg(count(lit(1)).as("tf"))))
+      .agg(sum(col("tf_d")).as("tf"))))
 
   /** c-TF-IDF scores from a PRE-AGGREGATED (cls, word, tf) frame — the seam
     * for consumers that already hold a doc-level TF (the class TF is its

@@ -49,6 +49,17 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class MarkerHits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(toks: Any): Any =
+      TextKernels.markerHits(
+        toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.markerHits($c)")
+    override protected def withNewChildInternal(newChild: Expression): MarkerHits =
+      copy(child = newChild)
+  }
+
   case class TfMap(child: Expression) extends UnaryExpression {
     override def dataType: DataType =
       MapType(StringType, LongType, valueContainsNull = false)
@@ -112,6 +123,8 @@ object TextExpressions {
     GraftBridge.column(BpeishCount(GraftBridge.expression(c)))
   def tfMapK(toks: Column): Column =
     GraftBridge.column(TfMap(GraftBridge.expression(toks)))
+  def markerHitsK(toks: Column): Column =
+    GraftBridge.column(MarkerHits(GraftBridge.expression(toks)))
   def windowCoverK(ps: Column, t: Column, w: Int): Column =
     GraftBridge.column(WindowCover(GraftBridge.expression(ps),
       GraftBridge.expression(t), w))

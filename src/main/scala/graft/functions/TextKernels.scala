@@ -124,6 +124,38 @@ object TextKernels {
       (if (alnumRatio >= 0.6) 0.25 else 0.0)
   }
 
+  private val markerMask: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    val order = Seq("de", "en", "es", "fr") // alphabetical — langId tie order
+    order.zipWithIndex.foreach { case (lang, bit) =>
+      langMarkers(lang).foreach { w =>
+        val prev = m.getOrDefault(w, 0)
+        m.put(w, prev | (1 << bit))
+      }
+    }
+    m
+  }
+
+  /** Per-language marker-word hit counts of a token array, in alphabetical
+    * language order [de, en, es, fr] — one pass instead of four interpreted
+    * isin-filter HOFs (a word in several languages' sets counts for each).
+    */
+  def markerHits(toks: ArrayData): ArrayData = {
+    val out = new Array[Long](4)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val mask = markerMask.getOrDefault(toks.getUTF8String(i).toString, 0)
+      if (mask != 0) {
+        var b = 0
+        while (b < 4) { if ((mask & (1 << b)) != 0) out(b) += 1; b += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Per-document term-frequency map of a token array — pre-aggregating TF
     * inside the row means `explode(tfMap(toks))` yields final
     * (word, tf) pairs with NO token-level shuffle (one row per DISTINCT

@@ -26,51 +26,39 @@ object TextAnalysisOps {
   /** All marker words, deduped + sorted (deterministic for oracle SQL). */
   val allMarkers: Seq[String] = graft.functions.TextKernels.allMarkers
 
-  private def markerHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
-
   /** Language-ID heuristic: script detection (CJK/Hangul) first, then
     * marker-word argmax with alphabetical tie-break, "und" when no signal.
+    * Marker counts come from ONE kernel pass over the tokens (the four
+    * interpreted isin-filter HOFs it replaces each re-walked the array).
     */
   def langIdCol(text: Column): Column = {
-    val toks = tokens(text, 1, 100)
+    val hits = graft.functions.TextExpressions.markerHitsK(tokens(text, 1, 100))
+    langIdFromHits(text, hits)
+  }
+
+  private def langIdFromHits(text: Column, hits: Column): Column = {
     val langs = Seq("de", "en", "es", "fr") // alphabetical = tie-break order
-    val best = greatest(langs.map(l => markerHits(toks, l)): _*)
-    val byMarker = langs.foldRight(lit("und")) { (l, acc) =>
-      when(markerHits(toks, l) === best && best > 0, lit(l)).otherwise(acc)
+    def h(i: Int) = element_at(hits, i + 1)
+    val best = greatest(langs.indices.map(h): _*)
+    val byMarker = langs.zipWithIndex.foldRight(lit("und")) {
+      case ((l, i), acc) =>
+        when(h(i) === best && best > 0, lit(l)).otherwise(acc)
     }
     when(text.rlike("[\\u4E00-\\u9FFF]"), lit("zh"))
       .when(text.rlike("[\\uAC00-\\uD7A3]"), lit("ko"))
       .otherwise(byMarker)
   }
 
-  /** Predicted language distribution over the corpus.
-    *
-    * Staged projections (toks, then one hit-count column per language) keep
-    * each interpreted HOF evaluated once per row; inlining everything into a
-    * single expression (langIdCol) re-evaluates the tokenizer per marker set
-    * — ~13× slower at bench scale. Columns referenced more than once are
-    * never collapsed by CollapseProject, which is what makes this safe.
+  /** Predicted language distribution over the corpus — the hit-count array
+    * is staged as a real column so the kernel runs once per row.
     */
-  def langIdDistribution(spark: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("de", "en", "es", "fr") // alphabetical = tie-break order
-    val withHits = langs.foldLeft(
-      Tables.documents(spark, dir)
-        .withColumn("toks", tokens(col("text"), 1, 100))) { (df, l) =>
-      df.withColumn(s"s_$l", markerHits(col("toks"), l))
-    }
-    val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    val byMarker = langs.foldRight(lit("und")) { (l, acc) =>
-      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    withHits
-      .withColumn("pred_lang",
-        when(col("text").rlike("[\\u4E00-\\u9FFF]"), lit("zh"))
-          .when(col("text").rlike("[\\uAC00-\\uD7A3]"), lit("ko"))
-          .otherwise(byMarker))
+  def langIdDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hits", graft.functions.TextExpressions.markerHitsK(
+        tokens(col("text"), 1, 100)))
+      .withColumn("pred_lang", langIdFromHits(col("text"), col("hits")))
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Heuristic quality score in [0,1]: four 0.25-weight indicator components
     * (token count band, mean token length band, stopword ratio, alphanumeric

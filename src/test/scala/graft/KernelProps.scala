@@ -99,6 +99,17 @@ object KernelProps extends Properties("HashKernels") {
       toSeq(HashKernels.lshBands(sig, 8, 4)).length == 8
     }
 
+  property("markerHits == per-language filter counts (shared words count for each)") =
+    forAll(Gen.listOf(Gen.oneOf(
+      graft.functions.TextKernels.allMarkers ++ Seq("zz", "qq", "la", "de")))) { ws =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.TextKernels.markerHits(arr).toLongArray().toSeq
+      val want = Seq("de", "en", "es", "fr").map(l =>
+        ws.count(graft.functions.TextKernels.langMarkers(l).contains).toLong)
+      got == want
+    }
+
   property("tfMap counts every token exactly (== Scala groupBy)") =
     forAll(Gen.listOf(word)) { ws =>
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(

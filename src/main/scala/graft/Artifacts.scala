@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Model-artifact export seam for the correctness gate.
+  *
+  * The iterative fits (LDA, KMeans, Word2Vec, the IVF quantizer) are not
+  * SQL-expressible, but everything downstream of them — assignment joins,
+  * the mean+2σ noise rule, centroid cosines, probe rankings — is plain
+  * relational work. Persisting each seeded fit's artifacts as parquet lets
+  * the DuckDB oracle re-derive that downstream independently and
+  * hash-compare it, shrinking the rows-only surface to the fits alone
+  * (reference consumers: /root/reference/LDA_Analysis.py:433-469,
+  * /root/reference/BERTopic_Analysis.py:539-665).
+  *
+  * Lifecycle: `Verify` enables exports into a sibling of its output dir
+  * before running any query; each fit helper calls `save` as it
+  * materializes; `SparkEntry.oracleSql` (evaluated AFTER the query loop)
+  * embeds `ref(...)` paths into the oracle SQL it dumps. Outside Verify
+  * (Bench, specs, CLI mains) exports are disabled and `save` is a no-op —
+  * the hot path never pays the write.
+  */
+object Artifacts {
+
+  @volatile private var baseOpt: Option[String] = None
+  private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Route subsequent `save` calls to `<base>/<name>` (fresh registry). */
+  def enable(base: String): Unit = {
+    written.clear()
+    baseOpt = Some(base)
+  }
+
+  def disable(): Unit = {
+    baseOpt = None
+    written.clear()
+  }
+
+  def enabled: Boolean = baseOpt.isDefined
+
+  /** Write `df` once per enable() scope (idempotent across the queries that
+    * share a fit); no-op when disabled. The frame is tiny (fit-sized, not
+    * corpus-sized) so a single-file write keeps the oracle read trivial.
+    */
+  def save(name: String)(df: => DataFrame): Unit = baseOpt.foreach { base =>
+    written.getOrElseUpdate(name, {
+      val path = s"$base/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  /** DuckDB table expression for a saved artifact. Only resolves after the
+    * owning query ran (Verify dumps oracle SQL after the query loop); an
+    * unresolved ref yields SQL that fails loudly instead of silently
+    * comparing against the wrong table.
+    */
+  def ref(name: String): String =
+    written.get(name)
+      .map(path => s"read_parquet('$path/*.parquet')")
+      .getOrElse(s"artifact_not_materialized_$name")
+}

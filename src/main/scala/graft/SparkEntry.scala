@@ -271,7 +271,9 @@ object SparkEntry {
     "topic_examples" -> TopicExtrasOps.examplesByLang,
     "topic_examples_tfidf" -> TopicExtrasOps.tfidfExamplesByLang,
     "txt_tfidf" -> TopicExtrasOps.tfidfQuery,
-    // --- MLlib topic models, rows-only checks (SURVEY.md §2.9) ---
+    // --- MLlib topic models (SURVEY.md §2.9): fits export their artifacts
+    //     (Artifacts.scala) and the relational downstream is oracle-checked;
+    //     only lda_grid + topic_reduce stay rows-only ---
     "lda_topics" -> TopicModelOps.ldaTopicsQuery,
     "lda_dominant" -> TopicModelOps.ldaDominantTopics,
     "lda_top_docs" -> TopicModelOps.ldaTopDocs,
@@ -1418,5 +1420,240 @@ object SparkEntry {
          |                    c -> CAST(unicode(c) AS BIGINT))),
          |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
          |FROM n""".stripMargin,
+
+    // --- model-artifact oracles: the seeded fits persist their artifacts
+    //     (Artifacts.scala) and DuckDB re-derives the relational downstream —
+    //     assignment joins, argmax/threshold rules, centroid cosines, probe
+    //     rankings — from those exact parquet doubles. Only the iterative
+    //     fits themselves stay rows-only (lda_grid, topic_reduce).
+    "lda_topics" ->
+      s"""SELECT d.topic, CAST(d.pos + 1 AS INT) AS rank, v.term,
+         |  round(d.weight, 6) AS weight
+         |FROM ${Artifacts.ref("lda_topic_desc")} d
+         |JOIN ${Artifacts.ref("lda_vocab")} v USING (termId)""".stripMargin,
+    "lda_dominant" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, list_max(dist) AS maxp,
+         |    CAST(list_position(dist, list_max(dist)) - 1 AS INT) AS topic
+         |  FROM ${Artifacts.ref("lda_doc_topics")})
+         |SELECT topic, count(*) AS n_docs, round(avg(maxp), 4) AS avg_prob
+         |FROM dt WHERE maxp > 0.3 GROUP BY 1""".stripMargin,
+    "lda_top_docs" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, list_max(dist) AS prob,
+         |    CAST(list_position(dist, list_max(dist)) - 1 AS INT) AS topic
+         |  FROM ${Artifacts.ref("lda_doc_topics")}),
+         |r AS (
+         |  SELECT topic, doc_id, prob,
+         |    row_number() OVER (PARTITION BY topic ORDER BY prob DESC, doc_id) AS rk
+         |  FROM dt)
+         |SELECT topic, CAST(rk AS INT) AS rank, doc_id, round(prob, 4) AS prob,
+         |  substring(text, 1, 200) AS example
+         |FROM r JOIN documents USING (doc_id) WHERE rk <= 3""".stripMargin,
+    // u_mass ⋈ c_npmi per fitted topic — the same presence/window CTEs the
+    // c-TF-IDF coherence queries verify, word lists from the fit artifact
+    "lda_topic_coherence" ->
+      s"""WITH tw AS (
+         |  SELECT cls, word, CAST(rank AS INT) AS rank
+         |  FROM ${Artifacts.ref("lda_topic_words")}),
+         |words AS (SELECT DISTINCT word FROM tw),
+         |pairs AS (
+         |  SELECT i.cls AS cls, i.word AS wi, j.word AS wj
+         |  FROM tw i JOIN tw j ON i.cls = j.cls AND i.rank > j.rank),
+         |dpres AS (
+         |  SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS word FROM documents)
+         |  JOIN words USING (word)),
+         |dj AS (SELECT word, count(*) AS d FROM dpres GROUP BY 1),
+         |dij AS (
+         |  SELECT a.word AS wa, b.word AS wb, count(*) AS dij
+         |  FROM dpres a JOIN dpres b
+         |    ON a.doc_id = b.doc_id AND a.word < b.word
+         |  GROUP BY 1, 2),
+         |um AS (
+         |  SELECT cls, count(*) AS n_pairs, round(avg(ps), 4) AS umass
+         |  FROM (
+         |    SELECT cls, ln((coalesce(dij, 0) + 1.0) / d) AS ps
+         |    FROM pairs
+         |    LEFT JOIN dij ON wa = least(wi, wj) AND wb = greatest(wi, wj)
+         |    JOIN dj ON dj.word = wj)
+         |  GROUP BY 1),
+         |toks AS (
+         |  SELECT doc_id, toks FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |tot AS (
+         |  SELECT CAST(sum(greatest(len(toks) - 9, 1)) AS BIGINT) AS n_windows
+         |  FROM toks),
+         |hits AS (
+         |  SELECT h.doc_id, h.t, h.word, h.p
+         |  FROM (SELECT doc_id, len(toks) AS t, unnest(toks) AS word,
+         |          generate_subscripts(toks, 1) AS p
+         |        FROM toks) h JOIN words USING (word)),
+         |wpres AS (
+         |  SELECT DISTINCT doc_id, word,
+         |    unnest(range(greatest(1, p - 9),
+         |                 least(p, greatest(t - 9, 1)) + 1)) AS ws
+         |  FROM hits),
+         |pw AS (SELECT word, count(*) AS cw FROM wpres GROUP BY 1),
+         |pij AS (
+         |  SELECT a.word AS wa, b.word AS wb, count(*) AS cij
+         |  FROM wpres a JOIN wpres b
+         |    ON a.doc_id = b.doc_id AND a.ws = b.ws AND a.word < b.word
+         |  GROUP BY 1, 2),
+         |np AS (
+         |  SELECT cls, round(avg(ln((p_ij + 1e-12) / (p_i * p_j))
+         |                      / (-ln(p_ij + 1e-12))), 4) AS c_npmi
+         |  FROM (
+         |    SELECT cls,
+         |      coalesce(cij, 0) * 1.0 / n_windows AS p_ij,
+         |      pi.cw * 1.0 / n_windows AS p_i,
+         |      pj.cw * 1.0 / n_windows AS p_j
+         |    FROM pairs
+         |    LEFT JOIN pij ON wa = least(wi, wj) AND wb = greatest(wi, wj)
+         |    JOIN pw pi ON pi.word = wi
+         |    JOIN pw pj ON pj.word = wj, tot)
+         |  GROUP BY 1)
+         |SELECT um.cls AS topic, um.n_pairs, um.umass, np.c_npmi
+         |FROM um JOIN np ON um.cls = np.cls""".stripMargin,
+    "kmeans_profile" ->
+      s"""WITH a AS (SELECT vec_id, cluster, label FROM ${Artifacts.ref("kmeans_assign")}),
+         |bl AS (SELECT cluster, label, count(*) AS n FROM a GROUP BY 1, 2),
+         |top AS (
+         |  SELECT cluster, label AS top_label, n AS top_n
+         |  FROM (SELECT cluster, label, n,
+         |          row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk
+         |        FROM bl) WHERE rk = 1),
+         |sz AS (SELECT cluster, count(*) AS n_vecs FROM a GROUP BY 1)
+         |SELECT cluster, n_vecs, top_label,
+         |  round(top_n * 1.0 / n_vecs, 4) AS purity
+         |FROM sz JOIN top USING (cluster)""".stripMargin,
+    // the mean+2σ noise relabel re-derived from the persisted PCA coords:
+    // centroids, ordered-fold distances, thresholds, and shares all in SQL
+    "cluster_noise" ->
+      s"""WITH a AS (SELECT vec_id, cluster, p FROM ${Artifacts.ref("kmeans_pca_assign")}),
+         |cents AS (
+         |  SELECT cluster, list(m ORDER BY dim) AS centroid
+         |  FROM (SELECT cluster, dim, avg(x) AS m
+         |        FROM (SELECT cluster, generate_subscripts(p, 1) AS dim,
+         |                unnest(p) AS x FROM a)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |d AS (
+         |  SELECT vec_id, a.cluster,
+         |    sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(p) + 1),
+         |        i -> (p[i] - centroid[i]) * (p[i] - centroid[i]))),
+         |      (acc, x) -> acc + x)) AS d
+         |  FROM a JOIN cents USING (cluster)),
+         |thr AS (
+         |  SELECT cluster, avg(d) + 2.0 * stddev_pop(d) AS thr
+         |  FROM d GROUP BY 1),
+         |lab AS (
+         |  SELECT CASE WHEN d.d > thr.thr THEN -1 ELSE d.cluster END AS cluster
+         |  FROM d JOIN thr USING (cluster)),
+         |tot AS (SELECT count(*) AS n_total FROM lab)
+         |SELECT cluster, count(*) AS n_vecs,
+         |  round(count(*) * 1.0 / n_total, 4) AS share
+         |FROM lab, tot GROUP BY cluster, n_total""".stripMargin,
+    // c-TF-IDF over the noise-filtered fitted clusters — the same scoring
+    // CTEs as topic_ctfidf, classes from the assignment artifact
+    "bertopic_keywords" ->
+      s"""WITH cl AS (
+         |  SELECT vec_id AS doc_id, cluster
+         |  FROM ${Artifacts.ref("kmeans_noisy_assign")} WHERE cluster <> -1),
+         |ex AS (
+         |  SELECT cluster AS cls, unnest($TOKS) AS word
+         |  FROM documents JOIN cl USING (doc_id)),
+         |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |ft AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS a FROM tf),
+         |scored AS (
+         |  SELECT cls, word, tf * ln(1.0 + a / ft) AS score
+         |  FROM tf JOIN ft USING (word), sc),
+         |r AS (
+         |  SELECT cls, word, score,
+         |    CAST(row_number() OVER (PARTITION BY cls ORDER BY score DESC, word) AS INT) AS rank
+         |  FROM scored)
+         |SELECT cls, rank, word, round(score, 4) AS score
+         |FROM r WHERE rank <= 10""".stripMargin,
+    // IVF probe + in-list re-rank from the persisted quantizer artifacts —
+    // unit vectors and ordered-fold dots are bit-exact, so this one is
+    // hash-exact end to end, not just rounding-stable
+    "sim_ivf_ann" ->
+      s"""WITH $UNIT_CTE,
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 50),
+         |pr AS (
+         |  SELECT query_id, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("ivf_centroids")} c)),
+         |s AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("ivf_assign")} ix USING (list)
+         |  JOIN u cu ON cu.vec_id = ix.vec_id
+         |  WHERE prk <= 4 AND query_id <> ix.vec_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+         |FROM r WHERE rk <= 3""".stripMargin,
+    // centroid-cosine example ranking over the fitted k=8 assignment
+    "topic_examples_embed" ->
+      s"""WITH $UNIT_CTE,
+         |a AS (
+         |  SELECT ka.vec_id, ka.cluster, u.nv
+         |  FROM ${Artifacts.ref("kmeans_assign")} ka JOIN u ON u.vec_id = ka.vec_id),
+         |cents AS (
+         |  SELECT cluster, list(m ORDER BY dim) AS c
+         |  FROM (SELECT cluster, dim, avg(x) AS m
+         |        FROM (SELECT cluster, generate_subscripts(nv, 1) AS dim,
+         |                unnest(nv) AS x FROM a)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |cu AS (
+         |  SELECT cluster,
+         |    CASE WHEN sqrt(${dotSql("c", "c")}) = 0.0
+         |         THEN list_transform(c, x -> 0.0)
+         |         ELSE list_transform(c, x -> x / sqrt(${dotSql("c", "c")})) END AS nc
+         |  FROM cents),
+         |s AS (
+         |  SELECT a.cluster, a.vec_id,
+         |    (${dotSql("a.nv", "cu.nc")} + 1.0) / 2.0 AS score01
+         |  FROM a JOIN cu USING (cluster)),
+         |r AS (
+         |  SELECT cluster, vec_id, score01,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY score01 DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT cluster, CAST(rk AS INT) AS rank, vec_id, round(score01, 4) AS score01
+         |FROM r WHERE rk <= 3""".stripMargin,
+    // exact neighbor ranking over the fitted Word2Vec unit vectors
+    "w2v_neighbors" ->
+      s"""WITH a AS (SELECT vec_id, nv FROM ${Artifacts.ref("w2v_vectors")}),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM a q JOIN a c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 3),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+         |FROM r WHERE rk <= 5""".stripMargin,
+    // both embedders through the same norm profile: the precomputed side
+    // re-derives from the embeddings table, the w2v side from its artifact
+    "embedder_compare" ->
+      s"""WITH pre AS (
+         |  SELECT list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.doc_id < 100),
+         |w2v AS (SELECT embedding AS emb FROM ${Artifacts.ref("w2v_doc100")}),
+         |uni AS (
+         |  SELECT 'precomputed' AS embedder, emb FROM pre
+         |  UNION ALL SELECT 'word2vec' AS embedder, emb FROM w2v),
+         |n AS (SELECT embedder, sqrt(${dotSql("emb", "emb")}) AS norm FROM uni)
+         |SELECT embedder, count(*) AS n_docs, round(avg(norm), 4) AS avg_norm
+         |FROM n GROUP BY 1""".stripMargin,
   )
 }

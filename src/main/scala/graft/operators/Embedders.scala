@@ -64,13 +64,18 @@ object Embedders {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Shared unit-vector Word2Vec corpus over the documents fixture. */
-  private def w2vCorpus(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(s"w2v:$dir", {
+  private def w2vCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = cache.getOrElseUpdate(s"w2v:$dir", {
       val docs = Tables.documents(spark, dir)
       new Word2VecEmbedder().embed(docs, "doc_id", "text")
         .select(col("doc_id").as("vec_id"), unitVector(col("embedding")).as("nv"))
         .persist()
     })
+    // fitted doc vectors for the oracle: the neighbor ranking downstream is
+    // the same ordered-fold cosine SQL sim_topk_brute already verifies
+    graft.Artifacts.save("w2v_vectors")(corpus)
+    corpus
+  }
 
   /** Query: Word2Vec-embedded documents → exact top-5 neighbors for the
     * first 3 docs (the Embedder seam feeding the similarity operator;
@@ -92,6 +97,9 @@ object Embedders {
       .withColumn("embedder", lit("precomputed"))
     val w2v = new Word2VecEmbedder().embed(docs, "doc_id", "text")
       .withColumn("embedder", lit("word2vec"))
+    // the w2v side's fitted vectors export for the oracle; the precomputed
+    // side it re-derives straight from the embeddings table
+    graft.Artifacts.save("w2v_doc100")(w2v.select("doc_id", "embedding"))
     pre.unionByName(w2v)
       .select(col("embedder"),
         sqrt(graft.functions.HashExpressions.dotK(

@@ -158,6 +158,15 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val (indexed, cents) = ivfIndex(corpus, nLists)
+    ivfProbe(indexed, cents, queries, k, nProbe)
+  }
+
+  /** The relational half of the IVF search (everything downstream of the
+    * quantizer fit): probe the `nProbe` nearest lists, exact re-rank inside
+    * them. Split out so the oracle can verify it from the persisted index.
+    */
+  def ivfProbe(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("list"))
     val probed = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"))
@@ -178,12 +187,18 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** Query: IVF ANN top-3 for the first 50 vectors (rows-only — the KMeans
-    * quantizer is not SQL-expressible; BruteVsIvfSpec pins recall instead).
+  /** Query: IVF ANN top-3 for the first 50 vectors. The quantizer fit stays
+    * rows-only territory, but its artifacts (centroid table + list
+    * assignments) export for the oracle, which re-runs the probe ranking and
+    * the in-list exact re-rank bit-identically (unit vectors and ordered-fold
+    * dots are exact in DuckDB; BruteVsIvfSpec pins recall on top).
     */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
-    ivfTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
+    val (indexed, cents) = ivfIndex(corpus, nLists = 16)
+    graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
+    graft.Artifacts.save("ivf_centroids")(cents)
+    ivfProbe(indexed, cents, corpus.filter(col("vec_id") < 50), k = 3, nProbe = 4)
   }
 
   /** LSH-bucketed near-duplicate pairs: candidates share ≥1 sketch band,

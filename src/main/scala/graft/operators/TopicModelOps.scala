@@ -140,9 +140,25 @@ object TopicModelOps {
       .orderBy(col("topic"), col("rank"))
   }
 
-  /** Query: LDA k=5 topics over the documents fixture. */
+  /** Query: LDA k=5 topics over the documents fixture. The fit's artifacts
+    * (raw describeTopics matrix + vocabulary) export for the oracle, which
+    * re-derives the vocab join / rank / rounding downstream independently.
+    */
   def ldaTopicsQuery(spark: SparkSession, dir: String): DataFrame = {
     val (_, vocab, model) = fittedLda(spark, dir, 5, 20)
+    graft.Artifacts.save("lda_vocab") {
+      spark.createDataFrame(
+        vocab.zipWithIndex.map { case (t, i) => (i, t) }.toSeq)
+        .toDF("termId", "term")
+    }
+    graft.Artifacts.save("lda_topic_desc") {
+      model.describeTopics(10)
+        .select(col("topic"),
+          posexplode(arrays_zip(col("termIndices"), col("termWeights")))
+            .as(Seq("pos", "tw")))
+        .select(col("topic"), col("pos"),
+          col("tw.termIndices").as("termId"), col("tw.termWeights").as("weight"))
+    }
     describeJoined(spark, model, vocab, 10)
   }
 
@@ -151,17 +167,22 @@ object TopicModelOps {
     * model.transform over the corpus.
     */
   private def ldaInferred(spark: SparkSession, dir: String, k: Int,
-                          maxIter: Int): DataFrame =
-    cached(s"ldaT:$dir:$k:$maxIter") {
+                          maxIter: Int): DataFrame = {
+    val inferred = cached(s"ldaT:$dir:$k:$maxIter") {
       val (vecs, _, model) = fittedLda(spark, dir, k, maxIter)
       model.transform(vecs)
         .withColumn("dist", vector_to_array(col("topicDistribution")))
         .withColumn("maxp", array_max(col("dist")))
         .withColumn("topic",
           (array_position(col("dist"), col("maxp")) - 1).cast("int"))
-        .select("doc_id", "text", "topic", "maxp")
+        .select("doc_id", "text", "topic", "maxp", "dist")
         .persist()
     }
+    // raw doc-topic distributions for the oracle: it re-derives maxp/argmax/
+    // threshold/rank downstream itself from the exact persisted doubles
+    graft.Artifacts.save("lda_doc_topics")(inferred.select("doc_id", "dist"))
+    inferred
+  }
 
   /** Doc-topic inference + dominant-topic histogram (M2+A5): count docs per
     * dominant topic where the max probability clears the reference's 0.3 bar.
@@ -211,10 +232,15 @@ object TopicModelOps {
     * broadcast back.
     */
   def clusterEmbeddingsWithNoise(embs: DataFrame, k: Int, pcaDims: Int = 5,
-                                 noiseSigmas: Double = 2.0): DataFrame = {
+                                 noiseSigmas: Double = 2.0,
+                                 artifactName: Option[String] = None): DataFrame = {
     val assigned = graft.Caching.track(
       clusterEmbeddings(embs, k, pcaDims)
         .withColumn("p", vector_to_array(col("pca"))))
+    // pre-noise assignment + PCA coordinates: the oracle re-derives the
+    // centroids, distances, and the mean+2σ relabel entirely in SQL
+    artifactName.foreach(n => graft.Artifacts.save(n)(
+      assigned.select("vec_id", "cluster", "p")))
     val cents = assigned
       .select(col("cluster"), posexplode(col("p")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim").agg(avg("x").as("m"))
@@ -238,10 +264,17 @@ object TopicModelOps {
     * exact-k assignment stays available via fittedClusters/kmeansProfile).
     */
   private[operators] def fittedNoisyClusters(spark: SparkSession, dir: String,
-                                             k: Int): DataFrame =
-    cached(s"kmNoise:$dir:$k") {
-      clusterEmbeddingsWithNoise(Tables.embeddings(spark, dir), k).persist()
+                                             k: Int): DataFrame = {
+    val noisy = cached(s"kmNoise:$dir:$k") {
+      clusterEmbeddingsWithNoise(Tables.embeddings(spark, dir), k,
+        artifactName = Some("kmeans_pca_assign")).persist()
     }
+    // post-noise labels: bertopic_keywords' oracle starts here (the noise
+    // rule itself is verified once, by cluster_noise's pca_assign oracle)
+    graft.Artifacts.save("kmeans_noisy_assign")(
+      noisy.select("vec_id", "cluster"))
+    noisy
+  }
 
   /** Query: cluster sizes including the emulated noise cluster −1 (P9/M8
     * surface — the share column is the reference's outlier-rate report).
@@ -263,11 +296,16 @@ object TopicModelOps {
     * centroid examples) reads this one persisted frame instead of refitting.
     */
   private[operators] def fittedClusters(spark: SparkSession, dir: String,
-                                        k: Int): DataFrame =
-    cached(s"km:$dir:$k") {
+                                        k: Int): DataFrame = {
+    val assigned = cached(s"km:$dir:$k") {
       clusterEmbeddings(Tables.embeddings(spark, dir), k)
         .select("vec_id", "cluster", "label", "embedding").persist()
     }
+    // assignment table for the oracle (embeddings re-join by vec_id there)
+    graft.Artifacts.save("kmeans_assign")(
+      assigned.select("vec_id", "cluster", "label"))
+    assigned
+  }
 
   def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {
     val assigned = fittedClusters(spark, dir, 8)
@@ -323,6 +361,10 @@ object TopicModelOps {
   def ldaTopicCoherence(spark: SparkSession, dir: String): DataFrame = {
     val (_, vocab, model) = fittedLda(spark, dir, 5, 20)
     val topicWords = topicWordsDF(spark, model, vocab)
+    // per-topic word lists for the oracle: the coherence math downstream of
+    // the fit is the SAME presence/pair SQL the c-TF-IDF coherence queries
+    // already verify, just sourced from the fitted word lists
+    graft.Artifacts.save("lda_topic_words")(topicWords)
     val toks = graft.Caching.track(
       TopicMetricsOps.tokenizedDocs(Tables.documents(spark, dir), "text"))
     TopicMetricsOps.umassByClassOfTokens(toks, topicWords)

@@ -806,8 +806,9 @@ object SparkEntry {
          |      FROM d JOIN w USING (lang) GROUP BY 1, 2),
          |t AS (SELECT min(supply / w) AS tstar FROM s),
          |r AS (SELECT lang, n_total, supply,
-         |        CAST(least(10000, floor(w * tstar / supply * 10000)) AS BIGINT)
-         |          AS keep_bp
+         |        CAST(CASE WHEN supply / w = tstar THEN 10000
+         |             ELSE least(10000, floor(w * tstar / supply * 10000)) END
+         |          AS BIGINT) AS keep_bp
          |      FROM s, t),
          |k AS (SELECT d.lang, count(*) AS n_kept,
          |        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept

@@ -168,7 +168,10 @@ object TextKernels {
     while (i < n) {
       val w = toks.getUTF8String(i)
       val c = m.get(w)
-      m.put(w, if (c == null) 1L else c + 1L)
+      // clone on first insert: the element string may point into a reused
+      // UnsafeArrayData buffer, and the map's keys outlive this iteration
+      // (same copy discipline as the tokens kernel)
+      if (c == null) m.put(w.clone(), 1L) else m.put(w, c + 1L)
       i += 1
     }
     val keys = new Array[Any](m.size)

@@ -98,9 +98,12 @@ object CurationOps {
     ("phone", "\\+?[0-9]{2,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "[PHONE]"))
 
   /** Scrubbed text plus per-category redaction counts: one projection, all
-    * regexes codegen'd; patterns applied in PiiPatterns order (email before
-    * URL before phone, so an address inside a URL query string is counted
-    * once as the more specific category).
+    * regexes codegen'd. The REPLACEMENT applies the patterns sequentially in
+    * PiiPatterns order (email before URL before phone), so an address inside
+    * a URL is rewritten by the more specific pattern first; the COUNTS are
+    * independent per category over the ORIGINAL text — a match nested in a
+    * broader one (an email in a URL query string) counts in both categories.
+    * The oracle mirrors both choices.
     */
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat, _)) =>

@@ -102,10 +102,15 @@ object SamplingOps {
       .groupBy(col(domainCol), col("w"))
       .agg(count(lit(1)).as("n_total"), sum(tokensExpr).cast("long").as("supply"))
     val tstar = supply.agg(min(col("supply") / col("w")).as("tstar"))
+    // the binding domain (supply/w == T*) keeps everything BY CONSTRUCTION;
+    // pin it to 10000 bp explicitly — w·T*/supply can float to 0.9999…,
+    // flooring to 9999 and silently dropping ~0.01% of that domain
     supply.crossJoin(broadcast(tstar))
       .withColumn("keep_bp",
-        least(lit(10000L),
-          floor(col("w") * col("tstar") / col("supply") * 10000)).cast("long"))
+        when(col("supply") / col("w") === col("tstar"), lit(10000L))
+          .otherwise(least(lit(10000L),
+            floor(col("w") * col("tstar") / col("supply") * 10000))
+            .cast("long")))
   }
 
   def mixToTarget(df: DataFrame, idCol: String, domainCol: String,

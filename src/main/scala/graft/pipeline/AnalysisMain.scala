@@ -78,7 +78,11 @@ object AnalysisMain {
     * coherence-vs-k curve from a REAL grid search (LDA_Analysis.py:614-677).
     */
   def run(spark: SparkSession, data: String, column: String, out: String,
-          k: Int, maxIter: Int = 20, format: String = "parquet"): Unit = {
+          k: Int, maxIter: Int = 20,
+          format: String = "parquet"): Unit = graft.Caching.scoped {
+    // the whole body runs in one cache scope: frames tracked inside
+    // AnalysisRunner release when the report completes, so long-lived
+    // sessions calling this spec surface repeatedly don't accrete caches
     val docs = loadDocs(spark, data)
     // the reference's fail-fast column diagnostic (LDA_Analysis.py:122-126)
     PreprocessPipeline.requireColumns(docs, Seq(column))

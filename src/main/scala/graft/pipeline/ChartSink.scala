@@ -199,9 +199,13 @@ object ChartSink {
   def writeHtmlReport(dir: String, title: String): Unit = {
     import scala.jdk.CollectionConverters._
     val d = Paths.get(dir)
-    val svgs = Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".svg"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val svgs = {
+      val listing = Files.list(d) // must close: each stream holds a dir handle
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".svg"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
+    }
     val sections = svgs.map { p =>
       val name = p.getFileName.toString.stripSuffix(".svg").replace('_', ' ')
       s"""<section>\n<h2>${esc(name)}</h2>\n${Files.readString(p)}\n</section>"""

@@ -51,8 +51,10 @@ object FullAnalysisMain {
           System.err.println(s"[full-analysis] $label failed: ${e.getMessage}")
           false
       }
-    // 1. cluster (BERTopic-analog) half — reference runs BERTopic first
-    val clusterOk = attempt("bertopic (cluster path)") {
+    // 1. cluster (BERTopic-analog) half — reference runs BERTopic first.
+    // Scoped like AnalysisMain.run's body: tracked frames release when the
+    // half completes instead of surviving a long-lived caller session.
+    val clusterOk = attempt("bertopic (cluster path)") (graft.Caching.scoped {
       val docs = AnalysisMain.loadDocs(spark, data)
       PreprocessPipeline.requireColumns(docs, Seq("doc_id", column))
       val embeddings = spark.read.parquet(s"$data/embeddings.parquet")
@@ -67,7 +69,7 @@ object FullAnalysisMain {
         ChartSink.writeHtmlReport(s"$out/bertopic",
           s"Cluster (BERTopic-analog) analysis — $topics topics")
       }
-    }
+    })
     // 2. LDA half — same k (see the ±1 normalization note above)
     val ldaOk = attempt("lda") {
       AnalysisMain.run(spark, data, column, s"$out/lda", topics, maxIter,

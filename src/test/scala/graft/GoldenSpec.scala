@@ -63,4 +63,47 @@ class GoldenSpec extends SparkSuite {
     assert(words.length === 1104)
     assert(words === words.sorted, "reference sorts its stopword report")
   }
+
+  test("EP2 orchestrator on the real workbook + fixture embeddings: both halves OK, sheets + figures present") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Stage the reference corpus the way EP2 consumes a data dir: the
+    // prepped crawl as documents.parquet (with the doc_id key the cluster
+    // join needs) and an embeddings table beside it — the fixture vectors
+    // stand in for the sentence-embedding stage (SURVEY.md M6), covering
+    // the first 500 docs; the cluster half inner-joins to that subset,
+    // exactly as a partially-embedded corpus would behave.
+    val staged = Files.createTempDirectory("graft-ep2-golden").toString
+    val raw = ExcelIO.readXlsx(spark, RawXlsx)
+    PreprocessPipeline.prepareCrawl(raw)
+      .withColumn("doc_id",
+        (row_number().over(Window.orderBy("cleaned_text", "date")) - 1)
+          .cast("long"))
+      .select("doc_id", "cleaned_text")
+      .write.parquet(s"$staged/documents.parquet")
+    spark.read.parquet(s"${SparkSpec.FixtureDir}/embeddings.parquet")
+      .write.parquet(s"$staged/embeddings.parquet")
+
+    val out = Files.createTempDirectory("graft-ep2-golden-out").toString
+    val (clusterOk, ldaOk) = pipeline.FullAnalysisMain.run(
+      spark, staged, "cleaned_text", out, topics = 4, maxIter = 5)
+    assert(clusterOk && ldaOk, "both halves must report OK (BERTopic_LDA_usage.py:20-69)")
+
+    // cluster report: sheets + the similarity figure + the HTML page
+    Seq("keywords", "keywords_dedup", "sizes", "diversity", "similarity",
+      "examples", "interpretation", "summary").foreach { s =>
+      assert(pipeline.ReportSink.readSheet(spark, s"$out/bertopic", s).count() > 0,
+        s"bertopic sheet $s empty")
+    }
+    assert(Files.exists(Paths.get(out, "bertopic", "topic_similarity.svg")))
+    assert(Files.exists(Paths.get(out, "bertopic", "index.html")))
+    // LDA report: the topics sheet carries the shared k, figures present
+    assert(pipeline.ReportSink.readSheet(spark, s"$out/lda", "topics")
+      .select("topic").distinct().count() === 4L)
+    Seq("word_frequency.svg", "lda_coherence_curve.svg", "topic_overlap.svg",
+      "dominant_topics.svg", "index.html").foreach { f =>
+      assert(Files.exists(Paths.get(out, "lda", f)), s"lda figure $f missing")
+    }
+  }
 }

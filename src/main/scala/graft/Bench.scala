@@ -53,6 +53,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"queries":$qs,"sf":"$sfDir"}""")
+    // Complete per-query record, committed each round: the driver captures
+    // only the stdout tail, which truncates past ~64 queries ("parsed":null
+    // in BENCH_r05.json lost 23 timings) — this file is the full account.
+    val selfFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_SELF.json")
+    val slowest = results.toSeq.sortBy(-_._2).headOption
+    val sortedQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+    val self =
+      s"""{
+         |"sf": "$sfDir",
+         |"runs": $timedRuns,
+         |"n_queries": ${results.size},
+         |"total_sec": $total,
+         |"slowest": {"query": "${slowest.fold("")(_._1)}", "sec": ${slowest.fold(0.0)(_._2)}},
+         |"queries": $sortedQs
+         |}""".stripMargin
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfFile), self)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $selfFile: ${e.getMessage}")
+    }
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     spark.stop()
   }

@@ -68,6 +68,7 @@ object ScaleProbe {
     }
     import graft.operators._
     time("minhash_clusters")(DedupOps.minhashClusterProfile(spark, tmp).count())
+    time("simhash_clusters")(DedupOps.simhashClusterProfile(spark, tmp).count())
     time("minhash_lsh")(DedupOps.minhashDupPairs(spark, tmp).count())
     time("simhash")(DedupOps.simhashDupPairs(spark, tmp).count())
     time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())

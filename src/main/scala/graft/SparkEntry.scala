@@ -100,11 +100,14 @@ object SparkEntry {
   /** Rolling hash of each token of a string-list expression. */
   private def tokenHashes(toks: String): String =
     s"list_transform($toks, t -> ${polyFold(cps("t"))})"
-  /** 32-bit SimHash of a BIGINT hash-list expression. */
+  /** 60-bit SimHash of a BIGINT hash-list expression (mirror of
+    * HashKernels.simhashBits: per-bit affine-rehash PARITY votes — token
+    * hashes live below 2^30, so raw high bits carry no signal).
+    */
   private def simhashSql(hs: String): String =
-    s"""CAST(list_sum(list_transform(range(0, 32), b ->
+    s"""CAST(list_sum(list_transform(range(0, 60), b ->
        |  CASE WHEN list_sum(list_transform($hs, h ->
-       |         CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |         CASE WHEN ((8191*(b+1)*h + 524287*(b+1)) % $MOD) % 2 = 1 THEN 1 ELSE -1 END)) > 0
        |       THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
       .stripMargin
   /** Exact left-fold dot product of two DOUBLE-list expressions (same
@@ -244,6 +247,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
+    "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
@@ -939,8 +943,8 @@ object SparkEntry {
          |  WHERE len(toks) > 0),
          |buckets AS (
          |  SELECT doc_id, simhash, j AS band,
-         |    (simhash % CAST(power(2, j*8 + 8) AS BIGINT))
-         |      - (simhash % CAST(power(2, j*8) AS BIGINT)) AS band_val
+         |    (simhash % CAST(power(2, j*15 + 15) AS BIGINT))
+         |      - (simhash % CAST(power(2, j*15) AS BIGINT)) AS band_val
          |  FROM fps, range(0, 4) t(j)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -949,6 +953,46 @@ object SparkEntry {
          |    ON a.band = b.band AND a.band_val = b.band_val
          |   AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // hamming-verified pair edges as 2-member buckets, then the same
+    // 3-round bucket-min propagation as dedup_minhash_clusters
+    "dedup_simhash_clusters" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, ${simhashSql(tokenHashes("toks"))} AS simhash
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |buckets AS (
+         |  SELECT doc_id, simhash, j AS band,
+         |    (simhash % CAST(power(2, j*15 + 15) AS BIGINT))
+         |      - (simhash % CAST(power(2, j*15) AS BIGINT)) AS band_val
+         |  FROM fps, range(0, 4) t(j)),
+         |e AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |    FROM buckets a JOIN buckets b
+         |      ON a.band = b.band AND a.band_val = b.band_val
+         |     AND a.doc_id < b.doc_id)
+         |  WHERE hamming <= 3),
+         |b AS (
+         |  SELECT doc_a AS doc_id, doc_a AS band, doc_b AS band_hash FROM e
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS band, doc_b AS band_hash FROM e),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
+         |m1 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l0 USING (doc_id) GROUP BY 1, 2),
+         |l1 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m1 USING (band, band_hash) GROUP BY 1),
+         |m2 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l1 USING (doc_id) GROUP BY 1, 2),
+         |l2 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m2 USING (band, band_hash) GROUP BY 1),
+         |m3 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l2 USING (doc_id) GROUP BY 1, 2),
+         |l3 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m3 USING (band, band_hash) GROUP BY 1)
+         |SELECT label AS cluster_rep, count(*) AS n_docs,
+         |  max(doc_id) AS max_doc_id
+         |FROM l3 GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH grams AS (
          |  SELECT doc_id, g AS grams FROM (

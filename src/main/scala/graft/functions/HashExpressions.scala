@@ -74,6 +74,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class SimhashBits(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(arr: Any): Any =
+      HashKernels.simhashBits(arr.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashBits($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+      copy(child = newChild)
+  }
+
   case class LshBands(child: Expression, bands: Int, rows: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -164,6 +175,8 @@ object HashExpressions {
     GraftBridge.column(MinhashSig(GraftBridge.expression(c), k))
   def simhash32(c: Column): Column =
     GraftBridge.column(Simhash32(GraftBridge.expression(c)))
+  def simhashK(c: Column, bits: Int): Column =
+    GraftBridge.column(SimhashBits(GraftBridge.expression(c), bits))
   def lshBands(c: Column, bands: Int, rows: Int): Column =
     GraftBridge.column(LshBands(GraftBridge.expression(c), bands, rows))
   def tokenHashesK(c: Column, minLen: Int = 2, maxLen: Int = 15): Column =

@@ -109,15 +109,38 @@ object HashFunctions {
         acc + when(votes > 0, p2).otherwise(0L)
       })
 
+  /** HOF twin of HashKernels.simhashBits (the ScalaCheck bit-equality
+    * reference): per-bit affine-rehash parity votes — see the kernel's
+    * scaladoc for why raw bits beyond ~30 carry no signal.
+    */
+  def simhashBitsHof(hashes: Column, bits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, b) => {
+        val votes = aggregate(hashes, lit(0L), (a2, h) =>
+          a2 + when(((lit(8191L) * (b + 1) * h + lit(524287L) * (b + 1))
+            % lit(1000000007L)) % 2 === 1, 1L).otherwise(-1L))
+        acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
+      })
+
   /** Byte-band keys of a 32-bit simhash for Hamming-neighbor blocking:
     * value of byte j, kept scaled by 2^(8j) (equality semantics identical,
     * avoids integer division). Two values within Hamming distance d < 4
     * share at least one of the 4 byte bands (pigeonhole).
     */
-  def simhashByteBands(sh: Column): Column =
-    transform(sequence(lit(0), lit(3)), j => {
-      val lo = pow(lit(2.0), j * 8).cast("long")
-      val hi = pow(lit(2.0), j * 8 + 8).cast("long")
+  def simhashByteBands(sh: Column): Column = simhashBands(sh, 4, 8)
+
+  /** Generalized band keys: value of the j-th `bandBits`-wide slice, kept
+    * scaled by 2^(bandBits·j). The pigeonhole guarantee (Hamming < nBands ⇒
+    * ≥1 shared band) holds for any widths; wider bands cut random bucket
+    * collisions by 2^bandBits — the blocking knob that keeps candidate
+    * volume ∝ genuine duplicates as the corpus grows.
+    */
+  def simhashBands(sh: Column, nBands: Int, bandBits: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)), j => {
+      val lo = pow(lit(2.0), j * bandBits).cast("long")
+      val hi = pow(lit(2.0), j * bandBits + bandBits).cast("long")
       (sh % hi) - (sh % lo)
     })
 }

@@ -104,6 +104,35 @@ object HashKernels {
     out
   }
 
+  /** `bits`-bit SimHash (bits ≤ 62). Token hashes are polynomial folds mod
+    * P ≈ 2^30, so RAW bits beyond ~30 carry no signal — each output bit b
+    * votes on the PARITY of a per-bit affine rehash
+    * g_b(h) = (8191·(b+1)·h + 524287·(b+1)) mod P instead (the minhash
+    * permutation family), giving `bits` independent votes per token.
+    * Wider fingerprints buy proportionally wider blocking bands: 4×15-bit
+    * bands cut candidate volume 32768× per band vs 256× for byte bands,
+    * while the 4-band pigeonhole guarantee for Hamming ≤ 3 is unchanged.
+    */
+  def simhashBits(hashes: ArrayData, bits: Int): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < bits) {
+        val g = (8191L * (b + 1) * h + 524287L * (b + 1)) % 1000000007L
+        if ((g & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Rolling hash of every whitespace token of a NORMALIZED string (single
     * spaces, no leading/trailing) whose codepoint length lies in
     * [minLen, maxLen] — tokenize + hash fused into one pass, no token

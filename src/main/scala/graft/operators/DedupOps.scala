@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.functions.HashFunctions.{signatureSimilarity, simhashByteBands}
+import graft.functions.HashFunctions.{signatureSimilarity, simhashBands}
 import graft.functions.HashExpressions._
 
 /** Near-duplicate detection suite — the LLM-training-pipeline dedup family
@@ -17,8 +17,12 @@ import graft.functions.HashExpressions._
   *   - MinHash + LSH:   shingle → signature → band bucket-join. Cost is
   *     O(n·shingles) map-side + one shuffle on (band, hash); candidate pairs
   *     only ever meet inside a bucket, never O(n²).
-  *   - SimHash:         32-bit fingerprint + byte-band blocking; Hamming ≤ 3
-  *     neighbors guaranteed found (pigeonhole over 4 bands).
+  *   - SimHash:         60-bit fingerprint + 4×15-bit band blocking;
+  *     Hamming ≤ 3 neighbors guaranteed found (pigeonhole over 4 bands).
+  *     Band width is the scaling knob: 8-bit byte bands only cut random
+  *     candidate collisions 256× (the 10× probe spent 392 s on ~20M
+  *     spurious candidates from 50k docs); 15-bit bands cut 32768×, so
+  *     candidate volume tracks genuine duplicates, not n²/2^bandBits.
   *   - n-gram Jaccard:  inverted-index blocking on uncommon token 3-grams
   *     (doc-frequency ≤ maxDf kills the quadratic hot-ngram buckets — the
   *     "stop-ngram" trick), exact Jaccard on the survivors.
@@ -90,21 +94,25 @@ object DedupOps {
   /** Per-doc 32-bit SimHash fingerprints (term-frequency weighted). Token
     * hashing is the fused one-pass kernel — no token strings materialize.
     */
+  val SimhashWidth = 60
+  val SimhashBandBits = 15
+
   def simhashFingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("tok_hashes", tokenHashesK(normalized(col(textCol))))
       .filter(size(col("tok_hashes")) > 0)
-      .withColumn("simhash", simhash32(col("tok_hashes")))
+      .withColumn("simhash", simhashK(col("tok_hashes"), SimhashWidth))
 
-  /** SimHash near-dup pairs: byte-band blocking then exact Hamming ≤ maxDist.
-    * Finds ALL pairs at Hamming ≤ 3 (4 bands, pigeonhole); one shuffle on the
-    * (band, value) key.
+  /** SimHash near-dup pairs: 15-bit band blocking then exact Hamming ≤
+    * maxDist. Finds ALL pairs at Hamming ≤ 3 (4 bands, pigeonhole); one
+    * shuffle on the (band, value) key, and random band collisions are
+    * 2^15-rare so the candidate set tracks genuine near-dups.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val fps = graft.Caching.track(simhashFingerprints(docs, textCol)
       .select(col(idCol).as("doc_id"), col("simhash"),
-        simhashByteBands(col("simhash")).as("bands")))
+        simhashBands(col("simhash"), 4, SimhashBandBits).as("bands")))
     val buckets = fps.select(
       col("doc_id"), col("simhash"),
       posexplode(col("bands")).as(Seq("band", "band_val")))
@@ -187,14 +195,41 @@ object DedupOps {
     propagateLabels(buckets, rounds)
   }
 
-  /** SimHash sibling of minhashClusters: clusters over byte-band buckets. */
+  /** SimHash sibling of minhashClusters. Unlike a 32-bit minhash band hash,
+    * a byte band is NOT a near-dup criterion on its own — 256 values per
+    * band means every bucket chains transitively at corpus scale (the 10×
+    * scale probe collapsed 50k docs into ONE cluster through raw byte-band
+    * buckets) — so propagation runs over hamming-VERIFIED pair edges: each
+    * surviving pair is its own 2-member bucket, keyed by the pair. Pair
+    * volume stays quadratic in duplicate multiplicity (the documented
+    * simhash pair-path property); the cluster output is linear and docs
+    * without a verified partner keep their own label.
+    */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
-                      rounds: Int = 3): DataFrame = {
-    val buckets = simhashFingerprints(docs, textCol)
-      .select(col(idCol).as("doc_id"),
-        posexplode(simhashByteBands(col("simhash"))).as(Seq("band", "band_hash")))
+                      rounds: Int = 3, maxDist: Int = 3): DataFrame = {
+    val ids = simhashFingerprints(docs, textCol)
+      .select(col(idCol).as("doc_id"))
+    val edges = graft.Caching.track(
+      simhashPairs(docs, idCol, textCol, maxDist)
+        .select(col("doc_a"), col("doc_b")))
+    val buckets = edges
+      .select(col("doc_a").as("doc_id"),
+        col("doc_a").as("band"), col("doc_b").as("band_hash"))
+      .union(edges.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("band"), col("doc_b").as("band_hash")))
     propagateLabels(buckets, rounds)
+      .join(ids, Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
+
+  /** Query: hamming-verified SimHash duplicate-cluster profile — the
+    * simhash tier's dedup-ACTION view, like minhashClusterProfile.
+    */
+  def simhashClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    simhashClusters(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+      .filter(col("n_docs") > 1)
 
   /** Bounded-round single-linkage: min-label flows bucket→member→bucket.
     * `rounds` bounds the transitive-chain length collapsed per run; each

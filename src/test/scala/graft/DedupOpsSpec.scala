@@ -67,6 +67,17 @@ class DedupOpsSpec extends SparkSuite {
     assert(clusters(4L) == 4L && clusters(5L) == 5L)
   }
 
+  test("simhashClusters links only hamming-verified pairs, keeps unrelated docs apart") {
+    val clusters = DedupOps.simhashClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the identical pair must share a label with representative = min id;
+    // the unrelated docs must NOT merge (the raw-byte-band formulation
+    // collapsed everything into one cluster at corpus scale — regression)
+    assert(clusters(1L) == 1L && clusters(2L) == 1L)
+    assert(clusters(4L) == 4L && clusters(5L) == 5L)
+    assert(clusters.size == 5) // every fingerprinted doc keeps a label
+  }
+
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
     val dupIds = pairs.select("doc_b").distinct()

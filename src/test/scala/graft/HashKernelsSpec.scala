@@ -63,6 +63,14 @@ class HashKernelsSpec extends SparkSuite {
     assert(kern == hof)
   }
 
+  test("simhashBits(60) kernel == HOF affine-parity vote") {
+    val df = texts.filter(_.nonEmpty).toDF("t")
+    val toks = graft.functions.TextFunctions.tokens(col("t"), 1, 100)
+    val kern = col1(df.select(K.simhashK(K.rollingHashArray(toks), 60)))
+    val hof = col1(df.select(H.simhashBitsHof(K.rollingHashArray(toks), 60)))
+    assert(kern == hof)
+  }
+
   test("identical texts collide on every detector's key") {
     val df = Seq("spark engine test", "spark engine test").toDF("t")
     val sigs = df.select(

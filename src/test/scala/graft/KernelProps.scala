@@ -85,6 +85,12 @@ object KernelProps extends Properties("HashKernels") {
       h >= 0L && h < (1L << 32) && h == HashKernels.simhash32(longs(hs))
     }
 
+  property("simhashBits(60) uses only 60 bits and is deterministic") =
+    forAll(hashList.suchThat(_.nonEmpty)) { hs =>
+      val h = HashKernels.simhashBits(longs(hs), 60)
+      h >= 0L && h < (1L << 60) && h == HashKernels.simhashBits(longs(hs), 60)
+    }
+
   property("unitVector has norm 1 for nonzero input") =
     forAll(Gen.listOfN(8, Gen.choose(-100.0, 100.0))
       .suchThat(v => v.exists(_ != 0.0))) { v =>

@@ -1560,6 +1560,44 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT um.cls AS topic, um.n_pairs, um.umass, np.c_npmi
          |FROM um JOIN np ON um.cls = np.cls""".stripMargin,
+    // the grid's scoring downstream — per-class u_mass of each k's fitted
+    // word lists, class-averaged, argmax marked — over the per-k artifacts
+    "lda_grid" ->
+      s"""WITH tw AS (
+         |  SELECT 2 AS k, cls, word, CAST(rank AS INT) AS rank
+         |  FROM ${Artifacts.ref("lda_grid_words_2")}
+         |  UNION ALL SELECT 3, cls, word, CAST(rank AS INT)
+         |  FROM ${Artifacts.ref("lda_grid_words_3")}
+         |  UNION ALL SELECT 5, cls, word, CAST(rank AS INT)
+         |  FROM ${Artifacts.ref("lda_grid_words_5")}
+         |  UNION ALL SELECT 8, cls, word, CAST(rank AS INT)
+         |  FROM ${Artifacts.ref("lda_grid_words_8")}),
+         |words AS (SELECT DISTINCT word FROM tw),
+         |dpres AS (
+         |  SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS word FROM documents)
+         |  JOIN words USING (word)),
+         |dj AS (SELECT word, count(*) AS d FROM dpres GROUP BY 1),
+         |dij AS (
+         |  SELECT a.word AS wa, b.word AS wb, count(*) AS dij
+         |  FROM dpres a JOIN dpres b
+         |    ON a.doc_id = b.doc_id AND a.word < b.word
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i.k AS k, i.cls AS cls, i.word AS wi, j.word AS wj
+         |  FROM tw i JOIN tw j
+         |    ON i.k = j.k AND i.cls = j.cls AND i.rank > j.rank),
+         |perclass AS (
+         |  SELECT k, cls, round(avg(ps), 4) AS umass
+         |  FROM (
+         |    SELECT k, cls, ln((coalesce(dij, 0) + 1.0) / d) AS ps
+         |    FROM pairs
+         |    LEFT JOIN dij ON wa = least(wi, wj) AND wb = greatest(wi, wj)
+         |    JOIN dj ON dj.word = wj)
+         |  GROUP BY 1, 2),
+         |perk AS (SELECT k, round(avg(umass), 4) AS umass FROM perclass GROUP BY 1)
+         |SELECT k, umass, CAST(umass = max(umass) OVER () AS INT) AS best
+         |FROM perk""".stripMargin,
     "kmeans_profile" ->
       s"""WITH a AS (SELECT vec_id, cluster, label FROM ${Artifacts.ref("kmeans_assign")}),
          |bl AS (SELECT cluster, label, count(*) AS n FROM a GROUP BY 1, 2),
@@ -1672,6 +1710,14 @@ object SparkEntry {
          |  FROM s)
          |SELECT cluster, CAST(rk AS INT) AS rank, vec_id, round(score01, 4) AS score01
          |FROM r WHERE rk <= 3""".stripMargin,
+    // the reduction's distributed downstream (relabel join + sizes); the
+    // driver-side K×K agglomerative merge itself is the fit analog and
+    // exports its merge map as the artifact
+    "topic_reduce" ->
+      s"""SELECT m.new_cluster AS cluster, count(*) AS n_docs
+         |FROM ${Artifacts.ref("kmeans_assign")} a
+         |JOIN ${Artifacts.ref("topic_reduce_map")} m USING (cluster)
+         |GROUP BY 1""".stripMargin,
     // exact neighbor ranking over the fitted Word2Vec unit vectors
     "w2v_neighbors" ->
       s"""WITH a AS (SELECT vec_id, nv FROM ${Artifacts.ref("w2v_vectors")}),

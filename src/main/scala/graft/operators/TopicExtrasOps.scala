@@ -30,7 +30,8 @@ object TopicExtrasOps {
     * (id, cluster, vector double-array) columns. Returns (id, cluster) with
     * merged clusters renumbered 0..K'-1 in min-original-id order.
     */
-  def reduceTopics(assigned: DataFrame, target: Int): DataFrame = {
+  def reduceTopics(assigned: DataFrame, target: Int,
+                   artifactName: Option[String] = None): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val centroids = assigned
@@ -65,6 +66,10 @@ object TopicExtrasOps {
     }
     val relabel = groups.toSeq.sortBy(_._2.min).zipWithIndex
       .flatMap { case ((_, members), idx) => members.map(_ -> idx) }
+    // the driver-side merge is the "fit" here; its output map exports so
+    // the oracle can verify the distributed relabel join + aggregation
+    artifactName.foreach(n =>
+      graft.Artifacts.save(n)(relabel.toDF("cluster", "new_cluster")))
     val mapDf = broadcast(relabel.toDF("cluster", "new_cluster"))
     assigned.join(mapDf, "cluster")
       .select(col("id"), col("new_cluster").as("cluster"))
@@ -77,7 +82,7 @@ object TopicExtrasOps {
     val assigned = TopicModelOps.fittedClusters(spark, dir, k = 8)
       .select(col("vec_id").as("id"), col("cluster"),
         asDouble(col("embedding")).as("vector"))
-    reduceTopics(assigned, target = 4)
+    reduceTopics(assigned, target = 4, artifactName = Some("topic_reduce_map"))
       .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
       .orderBy("cluster")
   }

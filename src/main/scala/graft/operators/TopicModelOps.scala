@@ -400,7 +400,11 @@ object TopicModelOps {
     // order, so scores varied run-to-run). Scored per topic in ONE corpus
     // scan, then averaged — gensim's per-topic aggregation
     // (LDA_Analysis.py:286-308).
-    (k, meanUmass(toks, topicWordsDF(spark, model, vocab)))
+    val topicWords = topicWordsDF(spark, model, vocab)
+    // each grid point's word lists export for the oracle, which re-runs
+    // the u_mass scoring + argmax downstream over all k's in one query
+    graft.Artifacts.save(s"lda_grid_words_$k")(topicWords)
+    (k, meanUmass(toks, topicWords))
   }
 
   private def meanUmass(toks: DataFrame, topicWords: DataFrame): Double =

@@ -17,8 +17,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Model-artifact exports land in a SIBLING of outDir (the driver
     // enumerates outDir's children as query outputs, so nothing extra may
-    // live inside it); oracleSql embeds the absolute paths at dump time.
-    Artifacts.enable(s"${outDir.stripSuffix("/")}_artifacts")
+    // live inside it). The base is ABSOLUTIZED because oracleSql embeds it
+    // into read_parquet() paths the driver's DuckDB may resolve from a
+    // different working directory than this JVM's.
+    Artifacts.enable(
+      new java.io.File(s"${outDir.stripSuffix("/")}_artifacts")
+        .getAbsolutePath)
     // SPARK_GRAFT_QUERIES=a,b,c restricts the dump (and the oracle JSON) to
     // the named queries — focused local re-checks don't pay the full sweep.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")

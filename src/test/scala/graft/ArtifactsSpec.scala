@@ -1,0 +1,35 @@
+package graft
+
+/** Contract of the model-artifact export seam (Artifacts.scala): disabled
+  * by default (Bench/specs never pay the write), idempotent per enable
+  * scope, and refs resolve only after the owning save ran.
+  */
+class ArtifactsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("disabled: save is a no-op and ref does not resolve") {
+    Artifacts.disable()
+    var evaluated = false
+    Artifacts.save("never") { evaluated = true; Seq(1).toDF("x") }
+    assert(!evaluated && !Artifacts.enabled)
+    assert(Artifacts.ref("never").startsWith("artifact_not_materialized"))
+  }
+
+  test("enabled: writes once per scope, ref points at the parquet, re-enable resets") {
+    val base = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    Artifacts.enable(base)
+    try {
+      var evals = 0
+      Artifacts.save("t") { evals += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+      Artifacts.save("t") { evals += 1; Seq((9L, "z")).toDF("id", "v") } // dup: skipped
+      assert(evals === 1)
+      assert(Artifacts.ref("t") === s"read_parquet('$base/t/*.parquet')")
+      assert(spark.read.parquet(s"$base/t").count() === 2L)
+      // a fresh enable() starts a new registry: the same name writes again
+      Artifacts.enable(base)
+      assert(Artifacts.ref("t").startsWith("artifact_not_materialized"))
+      Artifacts.save("t")(Seq((9L, "z")).toDF("id", "v"))
+      assert(spark.read.parquet(s"$base/t").count() === 1L)
+    } finally Artifacts.disable()
+  }
+}

@@ -109,10 +109,19 @@ object DedupOps {
     * 2^15-rare so the candidate set tracks genuine near-dups.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val fps = graft.Caching.track(simhashFingerprints(docs, textCol)
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsOfFps(bandedFps(docs, idCol, textCol), maxDist)
+
+  /** Persisted (doc_id, simhash, bands) staging frame — shared by the pair
+    * and cluster paths so the corpus tokenizes and fingerprints once.
+    */
+  private def bandedFps(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    graft.Caching.track(simhashFingerprints(docs, textCol)
       .select(col(idCol).as("doc_id"), col("simhash"),
         simhashBands(col("simhash"), 4, SimhashBandBits).as("bands")))
+
+  private def simhashPairsOfFps(fps: DataFrame, maxDist: Int): DataFrame = {
     val buckets = fps.select(
       col("doc_id"), col("simhash"),
       posexplode(col("bands")).as(Seq("band", "band_val")))
@@ -207,11 +216,11 @@ object DedupOps {
     */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       rounds: Int = 3, maxDist: Int = 3): DataFrame = {
-    val ids = simhashFingerprints(docs, textCol)
-      .select(col(idCol).as("doc_id"))
+    // one persisted fingerprint pass feeds the id list AND the pair join
+    val fps = bandedFps(docs, idCol, textCol)
+    val ids = fps.select(col("doc_id"))
     val edges = graft.Caching.track(
-      simhashPairs(docs, idCol, textCol, maxDist)
-        .select(col("doc_a"), col("doc_b")))
+      simhashPairsOfFps(fps, maxDist).select(col("doc_a"), col("doc_b")))
     val buckets = edges
       .select(col("doc_a").as("doc_id"),
         col("doc_a").as("band"), col("doc_b").as("band_hash"))

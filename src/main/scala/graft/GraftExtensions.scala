@@ -69,6 +69,10 @@ object GraftExtensions {
     "simhash32" -> { args =>
       arity("simhash32", args, 1); Simhash32(args.head)
     },
+    "simhash_bits" -> { args =>
+      arity("simhash_bits", args, 2)
+      SimhashBits(args.head, intLit(args(1), "simhash_bits"))
+    },
     "lsh_bands" -> { args =>
       arity("lsh_bands", args, 3)
       LshBands(args.head, intLit(args(1), "lsh_bands"), intLit(args(2), "lsh_bands"))

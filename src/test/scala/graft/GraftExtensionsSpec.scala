@@ -37,6 +37,19 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(viaSql === viaCol)
   }
 
+  test("simhash_bits SQL == Column API at 60 bits") {
+    import sql.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+    df.createOrReplaceTempView("tsim")
+    val viaSql = sql.sql(
+      "SELECT simhash_bits(rolling_hash_array(graft_tokens(t, 2, 15)), 60) FROM tsim")
+      .collect()(0).getLong(0)
+    val viaCol = df.select(K.simhashK(K.rollingHashArray(
+      graft.functions.TextFunctions.tokens(col("t"))), 60))
+      .collect()(0).getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("vector kernels: unit_vector + dot_product in SQL") {
     import sql.implicits._
     Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")

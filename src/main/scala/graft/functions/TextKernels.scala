@@ -163,7 +163,9 @@ object TextKernels {
     */
   def tfMap(toks: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
     val n = toks.numElements()
-    val m = new java.util.LinkedHashMap[UTF8String, Long]()
+    // boxed value type: with scala Long the absent-key null would unbox to
+    // 0L and a null check could never fire
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 0
     while (i < n) {
       val w = toks.getUTF8String(i)
@@ -171,7 +173,8 @@ object TextKernels {
       // clone on first insert: the element string may point into a reused
       // UnsafeArrayData buffer, and the map's keys outlive this iteration
       // (same copy discipline as the tokens kernel)
-      if (c == null) m.put(w.clone(), 1L) else m.put(w, c + 1L)
+      if (c == null) m.put(w.clone(), java.lang.Long.valueOf(1L))
+      else m.put(w, java.lang.Long.valueOf(c.longValue + 1L))
       i += 1
     }
     val keys = new Array[Any](m.size)
@@ -180,7 +183,7 @@ object TextKernels {
     var j = 0
     while (it.hasNext) {
       val e = it.next()
-      keys(j) = e.getKey; vals(j) = e.getValue; j += 1
+      keys(j) = e.getKey; vals(j) = e.getValue.longValue; j += 1
     }
     new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
       new GenericArrayData(keys), new GenericArrayData(vals))

@@ -44,4 +44,35 @@ class QualityBandSpec extends SparkSuite {
     assert(diversity >= 0.5,
       f"diversity $diversity%.4f below the reference's fair-or-better bar (0.5)")
   }
+
+  test("seed-42 LDA on the reference's own corpus lands in its quality bands") {
+    // the bands were written FOR this data: the reference's real crawl
+    // workbook, prepped by the EP1 pipeline (GoldenSpec pins the ingest)
+    val raw = graft.pipeline.ExcelIO.readXlsx(spark,
+      "/root/reference/RAW_DATA/2025_6_28_22_56_49_4600_channel_download_ai광고.xlsx")
+    val docs = graft.pipeline.PreprocessPipeline.prepareCrawl(raw)
+      .select(col("cleaned_text")).cache()
+    val topics = TopicModelOps.ldaTopics(spark, docs, "cleaned_text",
+      k = 5, maxIter = 10)
+      .select(col("topic").as("cls"), col("term").as("word"), col("rank"))
+      .cache()
+    val diversity = TopicMetricsOps.topicDiversity(topics)
+      .select(col("diversity")).collect()(0).getDouble(0)
+    val toks = graft.Caching.track(
+      TopicMetricsOps.tokenizedDocs(docs, "cleaned_text"))
+    val cvs = (0 until 5).map { t =>
+      TopicMetricsOps.cvCoherenceOfTokens(toks,
+        topics.filter(col("cls") === t).select(col("word"), col("rank")))
+        .select(col("c_v")).collect()(0).getDouble(0)
+    }
+    graft.Caching.releaseAll()
+    topics.unpersist(); docs.unpersist()
+    val meanCv = cvs.sum / cvs.size
+    info(f"real-corpus mean c_v = $meanCv%.4f (per-topic: ${cvs.map(v => f"$v%.3f").mkString(", ")})")
+    info(f"real-corpus diversity = $diversity%.4f")
+    assert(meanCv >= 0.3,
+      f"mean c_v $meanCv%.4f below the reference's fair-or-better bar (0.3)")
+    assert(diversity >= 0.5,
+      f"diversity $diversity%.4f below the reference's fair-or-better bar (0.5)")
+  }
 }

@@ -248,6 +248,7 @@ object SparkEntry {
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
+    "dedup_incremental" -> DedupOps.incrementalDupProfile,
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
@@ -936,6 +937,39 @@ object SparkEntry {
          |  JOIN withbands sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(est, 4) AS est_jaccard, round(jac, 4) AS jaccard
          |FROM scored WHERE est >= 0.5""".stripMargin,
+    // index+delta near-dup: the last decile arrives as the new batch and
+    // band-joins the first 90%'s signature index; best match per new doc
+    "dedup_incremental" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(quantile_cont(doc_id, 0.9)) AS BIGINT) AS cut
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |withbands AS (
+         |  SELECT doc_id, sh, sig, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |ib AS (
+         |  SELECT doc_id AS old_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, cut, range(0, 8) t(j) WHERE doc_id <= cut),
+         |nb AS (
+         |  SELECT doc_id AS new_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, cut, range(0, 8) t(j) WHERE doc_id > cut),
+         |cands AS (SELECT DISTINCT new_id, old_id FROM nb JOIN ib USING (band, band_hash)),
+         |scored AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(range(1, 33), i -> sn.sig[CAST(i AS INT)] = so.sig[CAST(i AS INT)])) / 32.0 AS est,
+         |    len(list_intersect(sn.sh, so.sh)) * 1.0
+         |      / len(list_distinct(list_concat(sn.sh, so.sh))) AS jac
+         |  FROM cands
+         |  JOIN withbands sn ON sn.doc_id = new_id
+         |  JOIN withbands so ON so.doc_id = old_id),
+         |best AS (
+         |  SELECT new_id, old_id AS dup_of, est, jac,
+         |    row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rk
+         |  FROM scored WHERE jac >= 0.5)
+         |SELECT new_id, dup_of, round(est, 4) AS est_jaccard, round(jac, 4) AS jaccard
+         |FROM best WHERE rk = 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH fps AS (
          |  SELECT doc_id, ${simhashSql(tokenHashes("toks"))} AS simhash

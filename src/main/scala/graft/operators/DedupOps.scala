@@ -269,6 +269,60 @@ object DedupOps {
     labels
   }
 
+  /** Incremental near-dup detection — the index+delta shape a 100 TB corpus
+    * actually runs: the existing corpus's MinHash band table is a
+    * pre-materialized INDEX (built once, stored bucketed by (band, hash));
+    * each new batch computes its own signatures and band-joins against the
+    * index only — the historical corpus is never re-paired. Returns, per
+    * new doc, its best indexed near-match at `minJaccard` (estimated from
+    * signature agreement, exact Jaccard on the shingle sets).
+    */
+  def incrementalDupCheck(index: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String,
+                          minJaccard: Double = 0.5): DataFrame = {
+    val idx = graft.Caching.track(minhashSignatures(index, textCol)
+      .select(col(idCol).as("old_id"), col("sh_hashes").as("sh_old"),
+        col("sig").as("sig_old"), col("bands")))
+    val neu = graft.Caching.track(minhashSignatures(batch, textCol)
+      .select(col(idCol).as("new_id"), col("sh_hashes").as("sh_new"),
+        col("sig").as("sig_new"), col("bands")))
+    val idxBuckets = idx.select(col("old_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val newBuckets = neu.select(col("new_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val cands = newBuckets.join(idxBuckets, Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val scored = cands
+      .join(neu.select(col("new_id"), col("sh_new"), col("sig_new")), "new_id")
+      .join(idx.select(col("old_id"), col("sh_old"), col("sig_old")), "old_id")
+      .withColumn("est", signatureSimilarity(col("sig_new"), col("sig_old")))
+      .withColumn("jac", jaccardLongK(col("sh_new"), col("sh_old")))
+      .filter(col("jac") >= minJaccard)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("new_id"))
+      .orderBy(col("jac").desc, col("old_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("new_id"), col("old_id").as("dup_of"),
+        round(col("est"), 4).as("est_jaccard"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Query: the last 10% of doc ids arrive as the "new batch" against the
+    * first 90% as the indexed corpus — new docs flagged with their best
+    * indexed near-match.
+    */
+  def incrementalDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // floor() explicitly: a bare long cast truncates in Spark but ROUNDS in
+    // DuckDB — floor keeps the two sides' cut identical
+    val cut = docs.agg(
+      org.apache.spark.sql.functions.expr("floor(percentile(doc_id, 0.9))")
+        .cast("long"))
+      .collect()(0).getLong(0)
+    incrementalDupCheck(docs.filter(col("doc_id") <= cut),
+      docs.filter(col("doc_id") > cut), "doc_id", "text")
+  }
+
   /** Query: duplicate-cluster profile — clusters with >1 member, their size
     * and representative (min id), over the documents fixture.
     */

@@ -82,6 +82,26 @@ class PartitioningSpec extends SparkSuite {
     assert(tokenizes <= 3, s"tokenize inlined $tokenizes times")
   }
 
+  test("near-dup candidate joins are equi-joins on band keys, never cartesian") {
+    // every dedup detector's candidate stage must plan as a hash/sort-merge
+    // equi-join on the fixed-width (band, hash) keys — a BroadcastNestedLoop
+    // or Cartesian here would be the O(n²) plan the blocking exists to avoid
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      operators.DedupOps.minhashPairs(docs, "doc_id", "text", 0.5),
+      operators.DedupOps.simhashPairs(docs, "doc_id", "text", 3),
+      operators.DedupOps.simhashClusters(docs, "doc_id", "text"),
+      operators.DedupOps.incrementalDupCheck(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+    ).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    }
+    graft.Caching.releaseAll()
+  }
+
   test("bucketed tables co-locate the fact join: zero shuffle exchanges") {
     // the repeated-join posture for 100 TB fact↔fact joins (DEPLOY.md):
     // bucketBy the join key at write time, pay the shuffle once, and every

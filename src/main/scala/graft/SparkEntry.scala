@@ -246,6 +246,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
+    "dedup_embed_clusters" -> SimilarityOps.lshDupClusterProfile,
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
@@ -1091,6 +1092,48 @@ object SparkEntry {
          |  JOIN sk sb ON sb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
          |FROM p WHERE cos >= 0.4""".stripMargin,
+    // cosine-verified pair edges + the 3-round propagation unroll — the
+    // embedding tier's cluster view, same shape as the minhash/simhash ones
+    "dedup_embed_clusters" ->
+      s"""WITH $UNIT_CTE,
+         |sk AS (SELECT vec_id, nv, ${sketchSql("nv")} AS sketch FROM u),
+         |bb AS (
+         |  SELECT vec_id, j AS band,
+         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
+         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
+         |  FROM sk, range(0, 4) t(j)),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM bb a JOIN bb b2
+         |    ON a.band = b2.band AND a.band_val = b2.band_val
+         |   AND a.vec_id < b2.vec_id),
+         |edges AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb.nv")} AS cos
+         |    FROM cands
+         |    JOIN sk sa ON sa.vec_id = vec_a
+         |    JOIN sk sb ON sb.vec_id = vec_b)
+         |  WHERE cos >= 0.4),
+         |b AS (
+         |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
+         |  UNION ALL
+         |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
+         |m1 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l0 USING (doc_id) GROUP BY 1, 2),
+         |l1 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m1 USING (band, band_hash) GROUP BY 1),
+         |m2 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l1 USING (doc_id) GROUP BY 1, 2),
+         |l2 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m2 USING (band, band_hash) GROUP BY 1),
+         |m3 AS (SELECT band, band_hash, min(label) AS bl
+         |       FROM b JOIN l2 USING (doc_id) GROUP BY 1, 2),
+         |l3 AS (SELECT doc_id, min(bl) AS label
+         |       FROM b JOIN m3 USING (band, band_hash) GROUP BY 1)
+         |SELECT label AS cluster_rep, count(*) AS n_vecs,
+         |  max(doc_id) AS max_vec_id
+         |FROM l3 GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "topic_ctfidf" ->
       s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
          |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),

@@ -247,7 +247,8 @@ object DedupOps {
     * executor storage holds at most two label frames at any time, not one
     * per round.
     */
-  private def propagateLabels(bucketsIn: DataFrame, rounds: Int): DataFrame = {
+  private[operators] def propagateLabels(bucketsIn: DataFrame,
+                                         rounds: Int): DataFrame = {
     val buckets = graft.Caching.track(bucketsIn)
     var labels = buckets.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id"))

@@ -241,4 +241,27 @@ object SimilarityOps {
       withSketch(unitCorpus(Tables.embeddings(spark, dir))))
     lshCosinePairs(corpus, minCosine = 0.4)
   }
+
+  /** Query: embedding near-dup CLUSTERS — the dedup-ACTION view of the LSH
+    * pair path, completing the cluster trio next to minhash/simhash:
+    * cosine-verified pairs (≥ the dedup_embed_lsh threshold) are the edges,
+    * min-label propagation collapses chains, clusters with > 1 member
+    * report size and representative. Linear output at any duplicate
+    * multiplicity.
+    */
+  def lshDupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(
+      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+    val edges = graft.Caching.track(
+      lshCosinePairs(corpus, minCosine = 0.4).select("vec_a", "vec_b"))
+    val buckets = edges
+      .select(col("vec_a").as("doc_id"),
+        col("vec_a").as("band"), col("vec_b").as("band_hash"))
+      .union(edges.select(col("vec_b").as("doc_id"),
+        col("vec_a").as("band"), col("vec_b").as("band_hash")))
+    DedupOps.propagateLabels(buckets, rounds = 3)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("doc_id")).as("max_vec_id"))
+      .filter(col("n_vecs") > 1)
+  }
 }

@@ -77,9 +77,10 @@ object GraftExtensions {
       arity("lsh_bands", args, 3)
       LshBands(args.head, intLit(args(1), "lsh_bands"), intLit(args(2), "lsh_bands"))
     },
-    "lsh_sketch" -> { args =>
-      arity("lsh_sketch", args, 2)
-      LshSketch(args.head, intLit(args(1), "lsh_sketch"))
+    "plane_bands" -> { args =>
+      arity("plane_bands", args, 3)
+      PlaneBands(args.head, intLit(args(1), "plane_bands"),
+        intLit(args(2), "plane_bands"))
     },
     "unit_vector" -> { args =>
       arity("unit_vector", args, 1); UnitVector(args.head)

@@ -172,15 +172,26 @@ object SparkEntry {
        |  JOIN (SELECT word AS wj, cw AS cj FROM pw) USING (wj), tot)""".stripMargin
   }
 
-  /** 16-bit random-hyperplane sketch (mirror of HashKernels.lshSketch). */
-  private def sketchSql(nv: String): String =
-    s"""CAST(list_sum(list_transform(range(0, 16), p ->
-       |  CASE WHEN list_reduce(list_prepend(0.0,
-       |         list_transform(range(1, len($nv) + 1), d ->
-       |           $nv[CAST(d AS INT)]
-       |             * (CAST((8191*(p*64 + d) + 524287) % $MOD AS DOUBLE) - 500000003.5))),
-       |         (acc, x) -> acc + x) > 0
-       |       THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+  /** Banded 3-round-LCG hyperplane sketch (mirror of
+    * HashKernels.planeBands): band j packs `bits` sign bits of
+    * v · plane_{j·bits+i}, planes from f³(p·131 + d) with
+    * f(x) = (48271·x + 524287) mod P, centered at (P−1)/2.
+    */
+  private def bandsSql(nv: String, bands: Int, bits: Int): String =
+    s"""list_transform(range(0, $bands), j ->
+       |  CAST(list_sum(list_transform(range(0, $bits), i ->
+       |    CASE WHEN list_reduce(list_prepend(0.0,
+       |           list_transform(range(1, len($nv) + 1), d ->
+       |             $nv[CAST(d AS INT)]
+       |               * (CAST((48271*((48271*((48271*((j*$bits + i)*131 + d) + 524287) % $MOD) + 524287) % $MOD) + 524287) % $MOD AS DOUBLE)
+       |                  - 500000003.0))),
+       |           (acc, x) -> acc + x) > 0
+       |         THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT))""".stripMargin
+
+  /** Explodes the `bands` list of `sk` into (vec_id, band, band_val) rows. */
+  private def bandRowsSql(bands: Int): String =
+    s"""SELECT vec_id, j AS band, bands[CAST(j + 1 AS INT)] AS band_val
+       |  FROM sk, range(0, $bands) t(j)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational suite (SURVEY.md §2.2–2.7) ---
@@ -1073,12 +1084,9 @@ object SparkEntry {
          |FROM p WHERE cos >= 0.4""".stripMargin,
     "dedup_embed_lsh" ->
       s"""WITH $UNIT_CTE,
-         |sk AS (SELECT vec_id, label, nv, ${sketchSql("nv")} AS sketch FROM u),
-         |b AS (
-         |  SELECT vec_id, j AS band,
-         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
-         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
-         |  FROM sk, range(0, 4) t(j)),
+         |sk AS (SELECT vec_id, label, nv,
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.DedupBandBits)} AS bands FROM u),
+         |b AS (${bandRowsSql(SimilarityOps.DedupBands)}),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
          |  FROM b a JOIN b b2
@@ -1096,12 +1104,9 @@ object SparkEntry {
     // embedding tier's cluster view, same shape as the minhash/simhash ones
     "dedup_embed_clusters" ->
       s"""WITH $UNIT_CTE,
-         |sk AS (SELECT vec_id, nv, ${sketchSql("nv")} AS sketch FROM u),
-         |bb AS (
-         |  SELECT vec_id, j AS band,
-         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
-         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
-         |  FROM sk, range(0, 4) t(j)),
+         |sk AS (SELECT vec_id, nv,
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.DedupBandBits)} AS bands FROM u),
+         |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
          |  FROM bb a JOIN bb b2
@@ -1459,16 +1464,17 @@ object SparkEntry {
          |FROM r WHERE rk <= 10""".stripMargin,
     "sim_lsh_ann" ->
       s"""WITH $UNIT_CTE,
-         |sk AS (SELECT vec_id, nv, ${sketchSql("nv")} AS sketch FROM u),
-         |b AS (
-         |  SELECT vec_id, sketch, j AS band,
-         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
-         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
-         |  FROM sk, range(0, 4) t(j)),
+         |sk AS (SELECT vec_id, nv,
+         |  ${bandsSql("nv", SimilarityOps.AnnBands, SimilarityOps.AnnBandBits)} AS bands FROM u),
+         |b AS (${bandRowsSql(SimilarityOps.AnnBands)}),
+         |fl AS (SELECT unnest(${SimilarityOps.AnnFlips.mkString("[", ", ", "]")}) AS flip),
+         |qp AS (
+         |  SELECT vec_id AS query_id, band, xor(band_val, flip) AS band_val
+         |  FROM b, fl WHERE vec_id < 50),
          |cands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM b q JOIN b c ON q.band = c.band AND q.band_val = c.band_val
-         |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |  SELECT DISTINCT query_id, c.vec_id AS vec_id
+         |  FROM qp JOIN b c ON qp.band = c.band AND qp.band_val = c.band_val
+         |  WHERE query_id <> c.vec_id),
          |s AS (
          |  SELECT query_id, cands.vec_id, ${dotSql("uq.nv", "uc.nv")} AS cos
          |  FROM cands
@@ -1495,16 +1501,17 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |    FROM s)
          |  WHERE rk <= 10),
-         |sk AS (SELECT vec_id, nv, ${sketchSql("nv")} AS sketch FROM u),
-         |b AS (
-         |  SELECT vec_id, sketch, j AS band,
-         |    (sketch % CAST(power(2, j*4 + 4) AS BIGINT))
-         |      - (sketch % CAST(power(2, j*4) AS BIGINT)) AS band_val
-         |  FROM sk, range(0, 4) t(j)),
+         |sk AS (SELECT vec_id, nv,
+         |  ${bandsSql("nv", SimilarityOps.AnnBands, SimilarityOps.AnnBandBits)} AS bands FROM u),
+         |b AS (${bandRowsSql(SimilarityOps.AnnBands)}),
+         |fl AS (SELECT unnest(${SimilarityOps.AnnFlips.mkString("[", ", ", "]")}) AS flip),
+         |qp AS (
+         |  SELECT vec_id AS query_id, band, xor(band_val, flip) AS band_val
+         |  FROM b, fl WHERE vec_id < 5),
          |cands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM b q JOIN b c ON q.band = c.band AND q.band_val = c.band_val
-         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |  SELECT DISTINCT query_id, c.vec_id AS vec_id
+         |  FROM qp JOIN b c ON qp.band = c.band AND qp.band_val = c.band_val
+         |  WHERE query_id <> c.vec_id),
          |s2 AS (
          |  SELECT query_id, cands.vec_id, ${dotSql("uq.nv", "uc.nv")} AS cos
          |  FROM cands
@@ -1518,7 +1525,8 @@ object SparkEntry {
          |  WHERE rk <= 10)
          |SELECT br.query_id, count(*) AS n_brute,
          |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall
+         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
+         |  '${SimilarityOps.AnnBands}x${SimilarityOps.AnnBandBits}' AS index_cfg
          |FROM br LEFT JOIN an
          |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
          |GROUP BY 1""".stripMargin,

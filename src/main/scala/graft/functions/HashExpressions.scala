@@ -129,14 +129,14 @@ object HashExpressions {
       copy(child = newChild)
   }
 
-  case class LshSketch(child: Expression, planes: Int)
+  case class PlaneBands(child: Expression, bands: Int, bits: Int)
       extends UnaryExpression {
-    override def dataType: DataType = LongType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(arr: Any): Any =
-      HashKernels.lshSketch(arr.asInstanceOf[ArrayData], planes)
+      HashKernels.planeBands(arr.asInstanceOf[ArrayData], bands, bits)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.lshSketch($c, $planes)")
-    override protected def withNewChildInternal(newChild: Expression): LshSketch =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.planeBands($c, $bands, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): PlaneBands =
       copy(child = newChild)
   }
 
@@ -187,8 +187,8 @@ object HashExpressions {
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def unitVector(c: Column): Column =
     GraftBridge.column(UnitVector(GraftBridge.expression(c)))
-  def lshSketch(c: Column, planes: Int): Column =
-    GraftBridge.column(LshSketch(GraftBridge.expression(c), planes))
+  def planeBands(c: Column, bands: Int, bits: Int): Column =
+    GraftBridge.column(PlaneBands(GraftBridge.expression(c), bands, bits))
   def jaccardLongK(a: Column, b: Column): Column =
     GraftBridge.column(JaccardLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -241,19 +241,40 @@ object DedupOps {
       .filter(col("n_docs") > 1)
 
   /** Bounded-round single-linkage: min-label flows bucket→member→bucket.
-    * `rounds` bounds the transitive-chain length collapsed per run; each
+    * `maxRounds` bounds the transitive-chain length collapsed per run; each
     * round is two shuffles on fixed-width keys. Each round's labels are
     * materialized and the SUPERSEDED round's cache released immediately —
     * executor storage holds at most two label frames at any time, not one
     * per round.
+    *
+    * Convergence is observable, not silent: the per-round materializing
+    * action doubles as a changed-label count, the loop stops as soon as a
+    * round changes nothing (chains shorter than the bound never pay for the
+    * unused rounds), and the returned `roundsUsed`/`converged` tell a dedup
+    * ACTION consumer whether the clustering reached its fixed point or hit
+    * the bound with labels still moving (under-merge). The oracle unrolls
+    * the same bound; early-stopping at the fixed point cannot diverge from
+    * it because further rounds are no-ops by definition.
     */
-  private[operators] def propagateLabels(bucketsIn: DataFrame,
-                                         rounds: Int): DataFrame = {
+  final case class Propagation(labels: DataFrame, roundsUsed: Int,
+                               converged: Boolean)
+
+  private[graft] def propagateLabelsTracked(bucketsIn: DataFrame,
+                                            maxRounds: Int): Propagation = {
     val buckets = graft.Caching.track(bucketsIn)
     var labels = buckets.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var prevPersisted: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
+    var used = 0
+    var converged = false
+    // labels only ever DECREASE (min-propagation), so the label sum is a
+    // strictly monotone progress measure: an unchanged sum ⟺ no label moved.
+    // That turns convergence detection into the round's materializing
+    // aggregate — no prev-label join, no extra shuffle. decimal(38,0)
+    // keeps the sum exact at any corpus size (1e12 ids × 1e12 docs
+    // overflows a Long).
+    var prevSum: java.math.BigDecimal = null
+    while (used < maxRounds && !converged) {
       val bucketMin = buckets.join(labels, "doc_id")
         .groupBy("band", "band_hash")
         .agg(min(col("label")).as("bucket_label"))
@@ -261,14 +282,25 @@ object DedupOps {
         .groupBy("doc_id")
         .agg(min(col("bucket_label")).as("label"))
       next.persist()
-      next.count() // materialize before dropping the parent round's cache
+      // the one action per round: materializes `next` AND measures progress
+      val curSum = next
+        .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
       prevPersisted.foreach(_.unpersist(false))
       prevPersisted = Some(next)
       labels = next
+      used += 1
+      converged = curSum == null || // empty input: nothing to propagate
+        (prevSum != null && curSum.compareTo(prevSum) == 0)
+      prevSum = curSum
     }
     prevPersisted.foreach(graft.Caching.register)
-    labels
+    Propagation(labels, used, converged)
   }
+
+  private[operators] def propagateLabels(bucketsIn: DataFrame,
+                                         rounds: Int): DataFrame =
+    propagateLabelsTracked(bucketsIn, rounds).labels
 
   /** Incremental near-dup detection — the index+delta shape a 100 TB corpus
     * actually runs: the existing corpus's MinHash band table is a

@@ -18,18 +18,50 @@ import graft.functions.HashExpressions._
   *     broadcast; the corpus streams through one codegen'd dot product per
   *     (query, vector) pair. O(|Q|·n) — the correctness baseline, and the
   *     right plan whenever |Q| is small (centroid scoring, eval probes).
-  *   - lshTopK: random-hyperplane LSH sketches, banded for recall; only
-  *     bucket-mates are scored. At 100 TB the sketch+band columns become a
-  *     pre-materialized index table and the bucket join is the only shuffle —
-  *     candidate sets stay ~constant per query as the corpus grows.
+  *   - lshTopK: random-hyperplane LSH band values (planeBands), multiprobed
+  *     for recall; only bucket-mates are scored. At 100 TB the band columns
+  *     become a pre-materialized index table and the bucket join is the only
+  *     shuffle. Per-query candidate volume ≈ nProbe · B · n / 2^b, so the
+  *     band width b is the scaling knob (same as the simhash tier): hold
+  *     b ≳ log2(B·n / targetCandidates) as the corpus grows and candidate
+  *     sets stay ~constant per query.
   *
-  * All arithmetic (unit vectors, ordered-fold dots, LCG hyperplanes) is
-  * bit-reproducible in the DuckDB oracle.
+  * Band-config math (sign-agreement probability p = 1 − θ/π for a pair at
+  * angle θ): a pair shares a b-bit band with prob. p^b, any of B bands with
+  * 1 − (1 − p^b)^B; random pairs (p ≈ ½) collide at ≈ B/2^b. The dedup tier
+  * (16 bands × 12 bits) finds cos ≥ 0.9 near-dups (p ≈ .857) with ~94%
+  * recall at a 16/4096 ≈ 0.4% random-collision floor; the ANN tier
+  * (12 bands × 10 bits, Hamming ≤ 2 multiprobe) holds recall at the
+  * fixture's much harder cos ≈ 0.4–0.6 operating point (θ ≈ 60°, p ≈ .67 —
+  * near-orthogonal vectors, so ANY sub-quadratic index trades recall;
+  * measured frontier in DEPLOY.md). All arithmetic (unit vectors,
+  * ordered-fold dots, 3-round-LCG hyperplanes) is bit-reproducible in the
+  * DuckDB oracle.
   */
 object SimilarityOps {
 
-  val SketchBits = 16
-  val SketchBands = 4 // 4 bands × 4 bits
+  /** Embedding near-dup tier: wide bands, no probing — sized for true
+    * near-duplicates (cos ≥ 0.9), random-collision floor B/2^b ≈ 0.4%.
+    */
+  val DedupBands = 16
+  val DedupBandBits = 12
+
+  /** ANN tier: narrower bands + Hamming ≤ 2 multiprobe on the query side —
+    * sized for moderate-similarity top-k on near-orthogonal corpora.
+    */
+  val AnnBands = 12
+  val AnnBandBits = 10
+
+  /** Multiprobe flip masks: every XOR mask of Hamming weight ≤ 2 within an
+    * AnnBandBits-wide band (1 + 10 + 45 = 56 probes per band).
+    */
+  val AnnFlips: Seq[Long] =
+    Seq(0L) ++
+      (0 until AnnBandBits).map(i => 1L << i) ++
+      (for {
+        i <- 0 until AnnBandBits
+        k <- (i + 1) until AnnBandBits
+      } yield (1L << i) | (1L << k))
 
   /** Corpus with unit vectors (norm computed once per row). */
   private def unitCorpus(embs: DataFrame): DataFrame =
@@ -57,33 +89,31 @@ object SimilarityOps {
     bruteForceTopK(corpus, corpus.filter(col("vec_id") < 5), 10)
   }
 
-  /** Sketch + band columns for the LSH index. 4-bit band values are kept
-    * scaled by 2^(4j) (equality-preserving, no division).
+  /** Banded-sketch column for the LSH index: `bands` = array of `bands`
+    * Long band values, each packing `bits` hyperplane sign bits.
     */
-  def withSketch(corpus: DataFrame): DataFrame = {
-    val bandExprs = transform(sequence(lit(0), lit(SketchBands - 1)), j => {
-      val lo = pow(lit(2.0), j * 4).cast("long")
-      val hi = pow(lit(2.0), j * 4 + 4).cast("long")
-      (col("sketch") % hi) - (col("sketch") % lo)
-    })
-    corpus
-      .withColumn("sketch", lshSketch(col("nv"), SketchBits))
-      .withColumn("bands", bandExprs)
-  }
+  def withBands(corpus: DataFrame, bands: Int, bits: Int): DataFrame =
+    corpus.withColumn("bands", planeBands(col("nv"), bands, bits))
 
-  /** LSH-bucketed approximate top-k: candidates share ≥1 of 4 sketch bands
-    * with the query; exact cosine re-rank on the (small) candidate set.
+  /** LSH-bucketed approximate top-k: the query side probes every band value
+    * within Hamming ≤ 2 of its own (56 probes per band — multiprobe trades
+    * map-side probe rows, which are free, for recall that would otherwise
+    * need 56× more bands in the index); candidates share ≥1 probed bucket,
+    * then exact cosine re-rank on the (small) candidate set.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cbuckets = corpus.select(col("vec_id"), col("nv"),
+    val cbuckets = corpus.select(col("vec_id"),
       posexplode(col("bands")).as(Seq("band", "band_val")))
-    val qbuckets = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"),
-      posexplode(col("bands")).as(Seq("band", "band_val")))
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("bands")).as(Seq("band", "band_val")))
+      .withColumn("flip", explode(typedLit(AnnFlips)))
+      .select(col("query_id"), col("band"),
+        col("band_val").bitwiseXOR(col("flip")).as("band_val"))
     // distinct over ids only — deduping rows that carry the 64-dim vectors
     // would hash the arrays themselves; vectors re-attach after the dedup
-    val cands = qbuckets.select(col("query_id"), col("band"), col("band_val"))
-      .join(cbuckets.select(col("vec_id"), col("band"), col("band_val")),
-        Seq("band", "band_val"))
+    val cands = qprobes
+      .join(cbuckets, Seq("band", "band_val"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
@@ -103,19 +133,19 @@ object SimilarityOps {
   /** Query: LSH ANN top-3 for the first 50 vectors. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.Caching.track(
-      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+      withBands(unitCorpus(Tables.embeddings(spark, dir)), AnnBands, AnnBandBits))
     lshTopK(corpus, corpus.filter(col("vec_id") < 50), 3)
   }
 
   /** Query: recall@10 of the LSH-ANN tier against the exact brute-force
     * answer on the probe query set — the quality gauge an ANN deployment
-    * ships alongside its index parameters (bands/bits here; nprobe/nlists
-    * for the IVF tier). Both sides are deterministic, so the recall itself
-    * sits under the exact oracle.
+    * ships alongside its index parameters (recorded in the output: bands ×
+    * bits here; nprobe/nlists for the IVF tier). Both sides are
+    * deterministic, so the recall itself sits under the exact oracle.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.Caching.track(
-      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+      withBands(unitCorpus(Tables.embeddings(spark, dir)), AnnBands, AnnBandBits))
     val queries = corpus.filter(col("vec_id") < 5)
     val brute = bruteForceTopK(corpus, queries, 10)
       .select(col("query_id"), col("vec_id"))
@@ -126,6 +156,8 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_brute"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
+      .withColumn("index_cfg",
+        concat_ws("x", lit(AnnBands), lit(AnnBandBits)))
   }
 
   /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns
@@ -205,9 +237,14 @@ object SimilarityOps {
     * survivors keep exact cosine ≥ minCosine. The scale path for embedding
     * dedup (DedupOps.embeddingDupPairs is the quadratic verification
     * baseline): the only shuffle is the (band, band_val) self-equi-join on
-    * fixed-width keys, so candidate volume tracks bucket occupancy — not n² —
-    * and at 100 TB the sketch+band columns are a pre-materialized index.
-    * `corpus` needs (vec_id, nv, label, bands) — see withSketch.
+    * fixed-width keys. With 12-bit bands the random-collision floor is
+    * B/2^b ≈ 0.4% of pairs and TRUE near-dups (cos ≥ 0.9, the real dedup
+    * operating point — the fixture's 0.4 threshold sits at θ ≈ 66° where
+    * band agreement is inherently weak) collide with ~94% probability, so
+    * candidate volume tracks genuine duplicates plus that floor, and at
+    * 100 TB the band columns are a pre-materialized index with b grown as
+    * log2(n) to pin the floor (the ScaleProbe drives exactly that knob).
+    * `corpus` needs (vec_id, nv, label, bands) — see withBands.
     */
   def lshCosinePairs(corpus: DataFrame, minCosine: Double): DataFrame = {
     val buckets = corpus.select(col("vec_id"),
@@ -238,7 +275,8 @@ object SimilarityOps {
     */
   def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.Caching.track(
-      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+      withBands(unitCorpus(Tables.embeddings(spark, dir)),
+        DedupBands, DedupBandBits))
     lshCosinePairs(corpus, minCosine = 0.4)
   }
 
@@ -251,7 +289,8 @@ object SimilarityOps {
     */
   def lshDupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.Caching.track(
-      withSketch(unitCorpus(Tables.embeddings(spark, dir))))
+      withBands(unitCorpus(Tables.embeddings(spark, dir)),
+        DedupBands, DedupBandBits))
     val edges = graft.Caching.track(
       lshCosinePairs(corpus, minCosine = 0.4).select("vec_a", "vec_b"))
     val buckets = edges

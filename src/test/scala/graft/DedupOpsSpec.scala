@@ -78,6 +78,38 @@ class DedupOpsSpec extends SparkSuite {
     assert(clusters.size == 5) // every fingerprinted doc keeps a label
   }
 
+  test("propagateLabelsTracked: early-stops at the fixed point and reports rounds used") {
+    // two disjoint pairs: one merging round, then a round that changes
+    // nothing -> converged at 2 of the 3 allowed rounds
+    val pairBuckets = Seq(
+      (1L, 100L, 100L), (2L, 100L, 100L),
+      (7L, 200L, 200L), (8L, 200L, 200L)
+    ).toDF("doc_id", "band", "band_hash")
+    val p = DedupOps.propagateLabelsTracked(pairBuckets, maxRounds = 3)
+    assert(p.converged && p.roundsUsed == 2)
+    val labels = p.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(2L) == 1L && labels(8L) == 7L)
+  }
+
+  test("propagateLabelsTracked: a chain longer than the bound reports non-convergence") {
+    // path 1-2-3-4-5-6-7-8 as pair-edge buckets: the min label needs more
+    // than 3 bucket hops to reach the tail, so the bound is hit with labels
+    // still moving -- the under-merge is OBSERVABLE, not silent
+    val chain = (1L until 8L).flatMap { a =>
+      Seq((a, a, a + 1), (a + 1, a, a + 1))
+    }.toDF("doc_id", "band", "band_hash")
+    val p = DedupOps.propagateLabelsTracked(chain, maxRounds = 3)
+    assert(!p.converged && p.roundsUsed == 3)
+    val labels = p.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L)
+    assert(labels.values.toSet.size > 1, "bounded rounds under-merge the chain")
+    // with a bound that covers the chain's diameter it converges fully
+    val full = DedupOps.propagateLabelsTracked(chain, maxRounds = 8)
+    assert(full.converged && full.roundsUsed <= 8)
+    val fl = full.labels.collect().map(r => r.getLong(1)).toSet
+    assert(fl == Set(1L))
+  }
+
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
     val dupIds = pairs.select("doc_b").distinct()

@@ -138,12 +138,24 @@ class HashKernelsSpec extends SparkSuite {
     assert(r == 1.0)
   }
 
-  test("lshSketch is deterministic and within 16 bits") {
+  test("planeBands is deterministic, band values within `bits`, bands distinct") {
     val r = col1(Seq(Seq.tabulate(64)(i => math.sin(i + 1)), Seq.tabulate(64)(i => math.sin(i + 1)))
-      .toDF("v").select(K.lshSketch(col("v"), 16)))
-      .map(_.asInstanceOf[Long])
+      .toDF("v").select(K.planeBands(col("v"), 16, 12)))
+      .map(_.asInstanceOf[scala.collection.Seq[Long]])
     assert(r(0) == r(1))
-    assert(r(0) >= 0L && r(0) < (1L << 16))
+    assert(r(0).length == 16)
+    assert(r(0).forall(b => b >= 0L && b < (1L << 12)))
+    // the 3-round LCG must decorrelate bands: a degenerate (affine) plane
+    // family packs every band with near-identical monotone bit runs
+    assert(r(0).distinct.length > 8, s"bands look degenerate: ${r(0)}")
+  }
+
+  test("planeBands sign bits flip with the vector") {
+    val v = Seq.tabulate(64)(i => math.cos(i * 1.7))
+    val r = col1(Seq(v, v.map(-_)).toDF("v").select(K.planeBands(col("v"), 4, 10)))
+      .map(_.asInstanceOf[scala.collection.Seq[Long]])
+    // sign(−v · p) = −sign(v · p): negating the vector complements every band
+    r(0).zip(r(1)).foreach { case (a, b) => assert((a ^ b) == (1L << 10) - 1) }
   }
 
   test("codepoints agree with the kernel on supplementary-plane chars; normalized() strips them anyway") {

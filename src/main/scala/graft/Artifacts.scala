@@ -50,6 +50,12 @@ object Artifacts {
     })
   }
 
+  /** Filesystem path of a saved artifact, for queries that read their own
+    * persisted table back (build-once/probe-many index shapes). None when
+    * disabled or not yet materialized.
+    */
+  def path(name: String): Option[String] = written.get(name)
+
   /** DuckDB table expression for a saved artifact. Only resolves after the
     * owning query ran (Verify dumps oracle SQL after the query loop); an
     * unresolved ref yields SQL that fails loudly instead of silently

@@ -56,8 +56,9 @@ object Bench {
     // Complete per-query record, committed each round: the driver captures
     // only the stdout tail, which truncates past ~64 queries ("parsed":null
     // in BENCH_r05.json lost 23 timings) — this file is the full account.
-    val selfFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_SELF.json")
+    // default is cwd-relative so any checkout location works; the env var
+    // overrides for out-of-tree runs
+    val selfFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
     val slowest = results.toSeq.sortBy(-_._2).headOption
     val sortedQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")

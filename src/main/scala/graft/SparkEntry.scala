@@ -950,32 +950,37 @@ object SparkEntry {
          |SELECT doc_a, doc_b, round(est, 4) AS est_jaccard, round(jac, 4) AS jaccard
          |FROM scored WHERE est >= 0.5""".stripMargin,
     // index+delta near-dup: the last decile arrives as the new batch and
-    // band-joins the first 90%'s signature index; best match per new doc
+    // band-joins the PERSISTED signature index of the first 90% (the
+    // build-once/probe-many shape — the index artifact is the table the
+    // Spark probe itself read); cut = metadata boundary, no sort
     "dedup_incremental" ->
       s"""WITH cut AS (
-         |  SELECT CAST(floor(quantile_cont(doc_id, 0.9)) AS BIGINT) AS cut
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
          |  FROM documents),
-         |sigs AS (
+         |idx AS (SELECT old_id, sh_hashes AS sh, sig, bands
+         |        FROM ${Artifacts.ref("dedup_index")}),
+         |nsigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
+         |        FROM documents, cut WHERE doc_id > cut)
          |  WHERE len(sh) > 0),
-         |withbands AS (
-         |  SELECT doc_id, sh, sig, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |nwb AS (
+         |  SELECT doc_id, sh, sig, ${lshBandsSql("sig")} AS bands FROM nsigs),
          |ib AS (
-         |  SELECT doc_id AS old_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
-         |  FROM withbands, cut, range(0, 8) t(j) WHERE doc_id <= cut),
+         |  SELECT old_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM idx, range(0, 8) t(j)),
          |nb AS (
          |  SELECT doc_id AS new_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
-         |  FROM withbands, cut, range(0, 8) t(j) WHERE doc_id > cut),
+         |  FROM nwb, range(0, 8) t(j)),
          |cands AS (SELECT DISTINCT new_id, old_id FROM nb JOIN ib USING (band, band_hash)),
          |scored AS (
-         |  SELECT new_id, old_id,
+         |  SELECT new_id, cands.old_id AS old_id,
          |    len(list_filter(range(1, 33), i -> sn.sig[CAST(i AS INT)] = so.sig[CAST(i AS INT)])) / 32.0 AS est,
          |    len(list_intersect(sn.sh, so.sh)) * 1.0
          |      / len(list_distinct(list_concat(sn.sh, so.sh))) AS jac
          |  FROM cands
-         |  JOIN withbands sn ON sn.doc_id = new_id
-         |  JOIN withbands so ON so.doc_id = old_id),
+         |  JOIN nwb sn ON sn.doc_id = new_id
+         |  JOIN idx so ON so.old_id = cands.old_id),
          |best AS (
          |  SELECT new_id, old_id AS dup_of, est, jac,
          |    row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rk

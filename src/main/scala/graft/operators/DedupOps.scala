@@ -302,19 +302,29 @@ object DedupOps {
                                          rounds: Int): DataFrame =
     propagateLabelsTracked(bucketsIn, rounds).labels
 
+  /** The stored MinHash index of a corpus — the build-once half of
+    * incremental dedup: (old_id, sh_hashes, sig, bands), written once and
+    * band-probed by every subsequent batch. At 100 TB this is a bucketed
+    * warehouse table keyed by the band hashes; here it round-trips through
+    * an `Artifacts` parquet so the probe genuinely reads a stored index.
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashSignatures(docs, textCol)
+      .select(col(idCol).as("old_id"), col("sh_hashes"), col("sig"), col("bands"))
+
   /** Incremental near-dup detection — the index+delta shape a 100 TB corpus
-    * actually runs: the existing corpus's MinHash band table is a
-    * pre-materialized INDEX (built once, stored bucketed by (band, hash));
-    * each new batch computes its own signatures and band-joins against the
-    * index only — the historical corpus is never re-paired. Returns, per
-    * new doc, its best indexed near-match at `minJaccard` (estimated from
-    * signature agreement, exact Jaccard on the shingle sets).
+    * actually runs: `index` is the pre-built minhashIndex table (built once,
+    * stored bucketed by (band, hash)); each new batch computes its own
+    * signatures and band-joins against the index only — the historical
+    * corpus is never re-paired or re-signed. Returns, per new doc, its best
+    * indexed near-match at `minJaccard` (estimated from signature
+    * agreement, exact Jaccard on the shingle sets).
     */
   def incrementalDupCheck(index: DataFrame, batch: DataFrame, idCol: String,
                           textCol: String,
                           minJaccard: Double = 0.5): DataFrame = {
-    val idx = graft.Caching.track(minhashSignatures(index, textCol)
-      .select(col(idCol).as("old_id"), col("sh_hashes").as("sh_old"),
+    val idx = graft.Caching.track(index
+      .select(col("old_id"), col("sh_hashes").as("sh_old"),
         col("sig").as("sig_old"), col("bands")))
     val neu = graft.Caching.track(minhashSignatures(batch, textCol)
       .select(col(idCol).as("new_id"), col("sh_hashes").as("sh_new"),
@@ -340,20 +350,27 @@ object DedupOps {
         round(col("est"), 4).as("est_jaccard"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** Query: the last 10% of doc ids arrive as the "new batch" against the
-    * first 90% as the indexed corpus — new docs flagged with their best
-    * indexed near-match.
+  /** Query: the last decile of doc ids arrives as the "new batch" against
+    * the first 90% as the indexed corpus — new docs flagged with their best
+    * indexed near-match. The cut is a metadata boundary (floor of
+    * 0.9 · max id — a real ingest has a watermark; an exact percentile
+    * would cost a full sort for nothing), and the index is persisted via
+    * the Artifacts seam and READ BACK for the probe, so the query
+    * demonstrates the build-once/probe-many shape end to end. floor()
+    * explicitly: a bare long cast truncates in Spark but ROUNDS in DuckDB.
     */
   def incrementalDupProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // floor() explicitly: a bare long cast truncates in Spark but ROUNDS in
-    // DuckDB — floor keeps the two sides' cut identical
-    val cut = docs.agg(
-      org.apache.spark.sql.functions.expr("floor(percentile(doc_id, 0.9))")
-        .cast("long"))
+    val cut = docs
+      .agg(floor(max(col("doc_id")) * 0.9).cast("long"))
       .collect()(0).getLong(0)
-    incrementalDupCheck(docs.filter(col("doc_id") <= cut),
-      docs.filter(col("doc_id") > cut), "doc_id", "text")
+    val index = minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
+    graft.Artifacts.save("dedup_index")(index)
+    val stored = graft.Artifacts.path("dedup_index")
+      .map(spark.read.parquet(_)) // probe-many: read the stored table
+      .getOrElse(index)
+    incrementalDupCheck(stored, docs.filter(col("doc_id") > cut),
+      "doc_id", "text")
   }
 
   /** Query: duplicate-cluster profile — clusters with >1 member, their size

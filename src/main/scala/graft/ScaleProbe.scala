@@ -73,6 +73,17 @@ object ScaleProbe {
     time("simhash")(DedupOps.simhashDupPairs(spark, tmp).count())
     time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())
     time("lsh_ann")(SimilarityOps.lshAnn(spark, tmp).count())
+    // embedding dedup tier: pair/cluster cost plus the raw candidate
+    // volume, with the corpus-scaled band width and with the fixture width
+    // pinned (shows the fixed-width floor growing as n²/2^bits — the knob
+    // is what keeps the tier linear)
+    time("embed_lsh_pairs")(SimilarityOps.lshDupPairs(spark, tmp).count())
+    time("embed_clusters")(SimilarityOps.lshDupClusterProfile(spark, tmp).count())
+    time("embed_cands_scaled")(
+      SimilarityOps.dedupCandidateVolume(spark, tmp).count())
+    time("embed_cands_fixed12")(
+      SimilarityOps.dedupCandidateVolume(spark, tmp, Some(12)).count())
+    time("embed_cosine_brute")(DedupOps.embeddingDups(spark, tmp).count())
     time("ivf_ann")(SimilarityOps.ivfAnn(spark, tmp).count())
     time("exact_fp_dedup")(SparkEntry.queries("dedup_exact_fp")(spark, tmp).count())
     time("ctfidf")(TopicMetricsOps.ctfidfByLang(spark, tmp).count())

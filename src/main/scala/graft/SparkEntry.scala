@@ -1090,7 +1090,7 @@ object SparkEntry {
     "dedup_embed_lsh" ->
       s"""WITH $UNIT_CTE,
          |sk AS (SELECT vec_id, label, nv,
-         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.DedupBandBits)} AS bands FROM u),
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.lastDedupBits)} AS bands FROM u),
          |b AS (${bandRowsSql(SimilarityOps.DedupBands)}),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
@@ -1110,7 +1110,7 @@ object SparkEntry {
     "dedup_embed_clusters" ->
       s"""WITH $UNIT_CTE,
          |sk AS (SELECT vec_id, nv,
-         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.DedupBandBits)} AS bands FROM u),
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.lastDedupBits)} AS bands FROM u),
          |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b

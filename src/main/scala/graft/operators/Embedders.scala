@@ -95,7 +95,11 @@ object Embedders {
       Tables.embeddings(spark, dir), "vec_id", "embedding")
       .embed(docs, "doc_id", "text")
       .withColumn("embedder", lit("precomputed"))
-    val w2v = new Word2VecEmbedder().embed(docs, "doc_id", "text")
+    // the seeded 100-doc fit joins the fitted-embedding registry like every
+    // other deterministic fit (w2vCorpus, the LDA/KMeans caches) — repeat
+    // invocations re-read the persisted vectors instead of re-training
+    val w2v = cache.getOrElseUpdate(s"w2v100:$dir",
+        new Word2VecEmbedder().embed(docs, "doc_id", "text").persist())
       .withColumn("embedder", lit("word2vec"))
     // the w2v side's fitted vectors export for the oracle; the precomputed
     // side it re-derives straight from the embeddings table

@@ -41,10 +41,35 @@ import graft.functions.HashExpressions._
 object SimilarityOps {
 
   /** Embedding near-dup tier: wide bands, no probing — sized for true
-    * near-duplicates (cos ≥ 0.9), random-collision floor B/2^b ≈ 0.4%.
+    * near-duplicates (cos ≥ 0.9). Band WIDTH is the corpus-size knob
+    * (exactly like the simhash tier's band bits and the n-gram tier's df
+    * cap): the random-collision floor is ≈ DedupBands · n / 2^bits
+    * candidates per doc, so bits grows as log2(n) to pin per-doc candidate
+    * volume — candidate totals then scale linearly with the corpus, and
+    * recall at the operating point degrades gracefully (exact copies
+    * always share all bands; cos 0.95 pairs collide at ≥ 96% even at
+    * bits = 16).
     */
   val DedupBands = 16
+
+  /** Default width at fixture scale; queries override via dedupBandBits. */
   val DedupBandBits = 12
+
+  /** log2-scaled band width targeting ~10 random-collision candidates per
+    * doc: smallest bits with 2^bits ≥ DedupBands · n / 10, clamped to
+    * [10, 30].
+    */
+  def dedupBandBits(n: Long): Int = {
+    val target = math.max(1.0, DedupBands.toDouble * n / 10.0)
+    val b = math.ceil(math.log(target) / math.log(2.0)).toInt
+    math.min(30, math.max(10, b))
+  }
+
+  /** Band width the last dedup-tier query actually used — read by the
+    * oracle-SQL dump, which is rendered AFTER the query loop (the
+    * Artifacts pattern: late-bound so Spark and DuckDB agree per run).
+    */
+  @volatile var lastDedupBits: Int = DedupBandBits
 
   /** ANN tier: narrower bands + Hamming ≤ 2 multiprobe on the query side —
     * sized for moderate-similarity top-k on near-orthogonal corpora.
@@ -274,10 +299,40 @@ object SimilarityOps {
     * view trades recall on sub-band-collision pairs for linear scaling).
     */
   def lshDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    lshCosinePairs(dedupCorpus(spark, dir), minCosine = 0.4)
+  }
+
+  /** Unit corpus with corpus-scaled dedup bands (records the width used so
+    * the oracle renders the same sketch).
+    */
+  private def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val bits = dedupBandBits(embs.count())
+    lastDedupBits = bits
+    graft.Caching.track(withBands(unitCorpus(embs), DedupBands, bits))
+  }
+
+  /** Probe gauge: distinct candidate pairs the dedup-tier bands generate
+    * BEFORE cosine verification — the volume the band-width knob must pin.
+    * ScaleProbe measures its growth at 10×/30× with the corpus-scaled
+    * width and with a pinned `bitsOverride` (to show the fixed-width
+    * floor growing as n²/2^bits).
+    */
+  def dedupCandidateVolume(spark: SparkSession, dir: String,
+                           bitsOverride: Option[Int] = None): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val bits = bitsOverride.getOrElse(dedupBandBits(embs.count()))
     val corpus = graft.Caching.track(
-      withBands(unitCorpus(Tables.embeddings(spark, dir)),
-        DedupBands, DedupBandBits))
-    lshCosinePairs(corpus, minCosine = 0.4)
+      withBands(unitCorpus(embs), DedupBands, bits))
+    val buckets = corpus.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band", "band_val")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
   }
 
   /** Query: embedding near-dup CLUSTERS — the dedup-ACTION view of the LSH
@@ -288,9 +343,7 @@ object SimilarityOps {
     * multiplicity.
     */
   def lshDupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(
-      withBands(unitCorpus(Tables.embeddings(spark, dir)),
-        DedupBands, DedupBandBits))
+    val corpus = dedupCorpus(spark, dir)
     val edges = graft.Caching.track(
       lshCosinePairs(corpus, minCosine = 0.4).select("vec_a", "vec_b"))
     val buckets = edges

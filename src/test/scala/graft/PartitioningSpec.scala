@@ -92,8 +92,9 @@ class PartitioningSpec extends SparkSuite {
       operators.DedupOps.simhashPairs(docs, "doc_id", "text", 3),
       operators.DedupOps.simhashClusters(docs, "doc_id", "text"),
       operators.DedupOps.incrementalDupCheck(
-        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
-        "doc_id", "text")
+        operators.DedupOps.minhashIndex(
+          docs.filter(col("doc_id") < 400), "doc_id", "text"),
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
     ).foreach { q =>
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")

@@ -188,6 +188,22 @@ object SparkEntry {
        |           (acc, x) -> acc + x) > 0
        |         THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT))""".stripMargin
 
+  /** Bucket-min label-propagation CTE chain over bucket table `b`
+    * (doc_id, band, band_hash): l0 = identity labels, then `rounds`
+    * bucket-min/member-min rounds — the unroll of
+    * DedupOps.propagateLabels. Rounds past the fixed point are no-ops, so
+    * Spark's early-stop and this full unroll agree by construction.
+    */
+  private def propagationCtes(rounds: Int): String =
+    "l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b)" +
+      (1 to rounds).map { i =>
+        s""",
+           |m$i AS (SELECT band, band_hash, min(label) AS bl
+           |       FROM b JOIN l${i - 1} USING (doc_id) GROUP BY 1, 2),
+           |l$i AS (SELECT doc_id, min(bl) AS label
+           |       FROM b JOIN m$i USING (band, band_hash) GROUP BY 1)""".stripMargin
+      }.mkString
+
   /** Explodes the `bands` list of `sk` into (vec_id, band, band_val) rows. */
   private def bandRowsSql(bands: Int): String =
     s"""SELECT vec_id, j AS band, bands[CAST(j + 1 AS INT)] AS band_val
@@ -896,7 +912,7 @@ object SparkEntry {
          |  CAST(sum(bpe) AS BIGINT) AS n_tokens,
          |  round(avg(q), 4) AS avg_quality
          |FROM s GROUP BY 1""".stripMargin,
-    // bounded-round label propagation unrolled: 3 rounds of
+    // bounded-round label propagation unrolled to ClusterRounds rounds of
     // bucket-min -> member-min, exactly DedupOps.propagateLabels
     "dedup_minhash_clusters" ->
       s"""WITH sigs AS (
@@ -908,22 +924,10 @@ object SparkEntry {
          |b AS (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
          |  FROM withbands, range(0, 8) t(j)),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
-         |m1 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l0 USING (doc_id) GROUP BY 1, 2),
-         |l1 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m1 USING (band, band_hash) GROUP BY 1),
-         |m2 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l1 USING (doc_id) GROUP BY 1, 2),
-         |l2 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m2 USING (band, band_hash) GROUP BY 1),
-         |m3 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l2 USING (doc_id) GROUP BY 1, 2),
-         |l3 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m3 USING (band, band_hash) GROUP BY 1)
+         |${propagationCtes(DedupOps.ClusterRounds)}
          |SELECT label AS cluster_rep, count(*) AS n_docs,
          |  max(doc_id) AS max_doc_id
-         |FROM l3 GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+         |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
@@ -1005,7 +1009,7 @@ object SparkEntry {
          |   AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     // hamming-verified pair edges as 2-member buckets, then the same
-    // 3-round bucket-min propagation as dedup_minhash_clusters
+    // bounded bucket-min propagation as dedup_minhash_clusters
     "dedup_simhash_clusters" ->
       s"""WITH fps AS (
          |  SELECT doc_id, ${simhashSql(tokenHashes("toks"))} AS simhash
@@ -1028,22 +1032,10 @@ object SparkEntry {
          |  SELECT doc_a AS doc_id, doc_a AS band, doc_b AS band_hash FROM e
          |  UNION ALL
          |  SELECT doc_b AS doc_id, doc_a AS band, doc_b AS band_hash FROM e),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
-         |m1 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l0 USING (doc_id) GROUP BY 1, 2),
-         |l1 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m1 USING (band, band_hash) GROUP BY 1),
-         |m2 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l1 USING (doc_id) GROUP BY 1, 2),
-         |l2 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m2 USING (band, band_hash) GROUP BY 1),
-         |m3 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l2 USING (doc_id) GROUP BY 1, 2),
-         |l3 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m3 USING (band, band_hash) GROUP BY 1)
+         |${propagationCtes(DedupOps.ClusterRounds)}
          |SELECT label AS cluster_rep, count(*) AS n_docs,
          |  max(doc_id) AS max_doc_id
-         |FROM l3 GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+         |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH grams AS (
          |  SELECT doc_id, g AS grams FROM (
@@ -1105,7 +1097,7 @@ object SparkEntry {
          |  JOIN sk sb ON sb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos, same_label
          |FROM p WHERE cos >= 0.4""".stripMargin,
-    // cosine-verified pair edges + the 3-round propagation unroll — the
+    // cosine-verified pair edges + the bounded propagation unroll — the
     // embedding tier's cluster view, same shape as the minhash/simhash ones
     "dedup_embed_clusters" ->
       s"""WITH $UNIT_CTE,
@@ -1128,22 +1120,10 @@ object SparkEntry {
          |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
          |  UNION ALL
          |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b),
-         |m1 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l0 USING (doc_id) GROUP BY 1, 2),
-         |l1 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m1 USING (band, band_hash) GROUP BY 1),
-         |m2 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l1 USING (doc_id) GROUP BY 1, 2),
-         |l2 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m2 USING (band, band_hash) GROUP BY 1),
-         |m3 AS (SELECT band, band_hash, min(label) AS bl
-         |       FROM b JOIN l2 USING (doc_id) GROUP BY 1, 2),
-         |l3 AS (SELECT doc_id, min(bl) AS label
-         |       FROM b JOIN m3 USING (band, band_hash) GROUP BY 1)
+         |${propagationCtes(DedupOps.ClusterRounds)}
          |SELECT label AS cluster_rep, count(*) AS n_vecs,
          |  max(doc_id) AS max_vec_id
-         |FROM l3 GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+         |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "topic_ctfidf" ->
       s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
          |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),

@@ -39,6 +39,16 @@ object DedupOps {
   val LshRows = 4
   val ShingleN = 5
 
+  /** Round bound for cluster label propagation. Sized ABOVE the measured
+    * fixture convergence depth (minhash chains reach their fixed point in
+    * 6 rounds at sf0.01, 7 at sf0.1 — pinned by spec) so the shipped
+    * cluster queries emit true single-linkage components, while the
+    * early-stop in propagateLabelsTracked means unused headroom costs
+    * nothing; on deeper corpora the bound caps the shuffle count and the
+    * convergence report makes any residual under-merge observable.
+    */
+  val ClusterRounds = 8
+
   /** Per-doc MinHash signature + LSH band hashes over hashed char 5-shingles
     * of the normalized text. Docs with no shingles (shorter than n after
     * normalization) are dropped — they are trivial duplicates handled by
@@ -133,8 +143,11 @@ object DedupOps {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup exchange: the hamming test needs only the
+      // join row itself, so random band collisions die map-side instead of
+      // shuffling into the distinct (same final set either way)
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Query: SimHash near-dup pairs over the documents fixture. */
@@ -197,7 +210,7 @@ object DedupOps {
     * (keep = one representative per cluster).
     */
   def minhashClusters(docs: DataFrame, idCol: String, textCol: String,
-                      rounds: Int = 3): DataFrame = {
+                      rounds: Int = ClusterRounds): DataFrame = {
     val buckets = minhashSignatures(docs, textCol)
       .select(col(idCol).as("doc_id"),
         posexplode(col("bands")).as(Seq("band", "band_hash")))
@@ -215,7 +228,7 @@ object DedupOps {
     * without a verified partner keep their own label.
     */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
-                      rounds: Int = 3, maxDist: Int = 3): DataFrame = {
+                      rounds: Int = ClusterRounds, maxDist: Int = 3): DataFrame = {
     // one persisted fingerprint pass feeds the id list AND the pair join
     val fps = bandedFps(docs, idCol, textCol)
     val ids = fps.select(col("doc_id"))

@@ -351,7 +351,7 @@ object SimilarityOps {
         col("vec_a").as("band"), col("vec_b").as("band_hash"))
       .union(edges.select(col("vec_b").as("doc_id"),
         col("vec_a").as("band"), col("vec_b").as("band_hash")))
-    DedupOps.propagateLabels(buckets, rounds = 3)
+    DedupOps.propagateLabels(buckets, DedupOps.ClusterRounds)
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_vecs"), max(col("doc_id")).as("max_vec_id"))
       .filter(col("n_vecs") > 1)

@@ -110,6 +110,45 @@ class DedupOpsSpec extends SparkSuite {
     assert(fl == Set(1L))
   }
 
+  test("shipped cluster queries reach their fixed point inside ClusterRounds (sf0.01)") {
+    // the cluster queries run with maxRounds = ClusterRounds; this pins
+    // that the bound is NOT binding at the correctness-gate scale — the
+    // early-stop fires with rounds to spare, so the oracle's full unroll
+    // and the true single-linkage fixed point coincide. (Measured depths:
+    // minhash 6 at sf0.01 / 7 at sf0.1 — a 3-round bound silently
+    // under-merged, which this spec would now catch.)
+    val dir = "/root/testdata/sf0.01"
+    val fdocs = Tables.documents(spark, dir)
+    val buckets = DedupOps.minhashSignatures(fdocs, "text")
+      .select(functionsCol("doc_id"),
+        org.apache.spark.sql.functions.posexplode(functionsCol("bands"))
+          .as(Seq("band", "band_hash")))
+    val p = DedupOps.propagateLabelsTracked(buckets, DedupOps.ClusterRounds)
+    info(s"minhash buckets: converged=${p.converged} roundsUsed=${p.roundsUsed}")
+    assert(p.converged && p.roundsUsed < DedupOps.ClusterRounds)
+    graft.Caching.releaseAll()
+    val sedges = DedupOps.simhashPairs(fdocs, "doc_id", "text", 3)
+      .select(functionsCol("doc_a"), functionsCol("doc_b"))
+    val sbuckets = sedges.select(functionsCol("doc_a").as("doc_id"),
+        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash"))
+      .union(sedges.select(functionsCol("doc_b").as("doc_id"),
+        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash")))
+    val sp = DedupOps.propagateLabelsTracked(sbuckets, DedupOps.ClusterRounds)
+    info(s"simhash edges: converged=${sp.converged} roundsUsed=${sp.roundsUsed}")
+    assert(sp.converged && sp.roundsUsed < DedupOps.ClusterRounds)
+    graft.Caching.releaseAll()
+    val eedges = operators.SimilarityOps.lshDupPairs(spark, dir)
+      .select(functionsCol("vec_a"), functionsCol("vec_b"))
+    val ebuckets = eedges.select(functionsCol("vec_a").as("doc_id"),
+        functionsCol("vec_a").as("band"), functionsCol("vec_b").as("band_hash"))
+      .union(eedges.select(functionsCol("vec_b").as("doc_id"),
+        functionsCol("vec_a").as("band"), functionsCol("vec_b").as("band_hash")))
+    val ep = DedupOps.propagateLabelsTracked(ebuckets, DedupOps.ClusterRounds)
+    info(s"embed edges: converged=${ep.converged} roundsUsed=${ep.roundsUsed}")
+    assert(ep.converged && ep.roundsUsed < DedupOps.ClusterRounds)
+    graft.Caching.releaseAll()
+  }
+
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
     val dupIds = pairs.select("doc_b").distinct()

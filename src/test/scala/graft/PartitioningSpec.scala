@@ -94,7 +94,9 @@ class PartitioningSpec extends SparkSuite {
       operators.DedupOps.incrementalDupCheck(
         operators.DedupOps.minhashIndex(
           docs.filter(col("doc_id") < 400), "doc_id", "text"),
-        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+        docs.filter(col("doc_id") >= 400), "doc_id", "text"),
+      operators.SimilarityOps.lshDupPairs(spark, dir),
+      operators.SimilarityOps.lshAnn(spark, dir)
     ).foreach { q =>
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")

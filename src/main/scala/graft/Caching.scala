@@ -25,13 +25,13 @@ import org.apache.spark.sql.DataFrame
 object Caching {
 
   private final class Scope {
-    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def add(df: DataFrame): Unit = synchronized { frames += df }
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def add(r: () => Unit): Unit = synchronized { releases += r }
     def release(): Unit = synchronized {
-      frames.foreach(_.unpersist(false))
-      frames.clear()
+      releases.foreach(r => r())
+      releases.clear()
     }
-    def size: Int = synchronized(frames.size)
+    def size: Int = synchronized(releases.size)
   }
 
   private val global = new Scope
@@ -42,15 +42,22 @@ object Caching {
   /** Persist `df` and register it with the active scope. */
   def track(df: DataFrame): DataFrame = {
     df.persist()
-    current.value.add(df)
+    current.value.add(() => df.unpersist(false))
     df
   }
 
   /** Register an already-persisted frame with the active scope. */
   def register(df: DataFrame): DataFrame = {
-    current.value.add(df)
+    current.value.add(() => df.unpersist(false))
     df
   }
+
+  /** Register an already-persisted bare RDD with the active scope — for
+    * frames whose storage lives outside the SQL cache manager (the
+    * lineage-broken label rounds in DedupOps.propagateLabelsTracked).
+    */
+  def registerRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    current.value.add(() => { rdd.unpersist(false); () })
 
   /** Run `body` in a fresh cache scope; everything tracked on this thread
     * inside it is unpersisted (non-blocking) when the block exits.

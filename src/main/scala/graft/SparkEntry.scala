@@ -189,19 +189,25 @@ object SparkEntry {
        |         THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT))""".stripMargin
 
   /** Bucket-min label-propagation CTE chain over bucket table `b`
-    * (doc_id, band, band_hash): l0 = identity labels, then `rounds`
-    * bucket-min/member-min rounds — the unroll of
-    * DedupOps.propagateLabels. Rounds past the fixed point are no-ops, so
-    * Spark's early-stop and this full unroll agree by construction.
+    * (doc_id, band, band_hash): l0 = identity labels, then `rounds` rounds
+    * of bucket-min → member-min → pointer-jump (label ← label(label)) —
+    * the unroll of DedupOps.propagateLabels. Rounds past the fixed point
+    * are no-ops, so Spark's early-stop and this full unroll agree by
+    * construction.
     */
   private def propagationCtes(rounds: Int): String =
-    "l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM b)" +
+    // MATERIALIZED: b and each p_i are referenced more than once per round;
+    // inlining would double the plan tree every round (exponential scans —
+    // DuckDB ran out of file handles on the 12-round unroll)
+    "l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS label FROM b)" +
       (1 to rounds).map { i =>
         s""",
-           |m$i AS (SELECT band, band_hash, min(label) AS bl
+           |m$i AS MATERIALIZED (SELECT band, band_hash, min(label) AS bl
            |       FROM b JOIN l${i - 1} USING (doc_id) GROUP BY 1, 2),
-           |l$i AS (SELECT doc_id, min(bl) AS label
-           |       FROM b JOIN m$i USING (band, band_hash) GROUP BY 1)""".stripMargin
+           |p$i AS MATERIALIZED (SELECT doc_id, min(bl) AS label
+           |       FROM b JOIN m$i USING (band, band_hash) GROUP BY 1),
+           |l$i AS MATERIALIZED (SELECT a.doc_id, coalesce(j.label, a.label) AS label
+           |       FROM p$i a LEFT JOIN p$i j ON a.label = j.doc_id)""".stripMargin
       }.mkString
 
   /** Explodes the `bands` list of `sk` into (vec_id, band, band_val) rows. */
@@ -921,7 +927,7 @@ object SparkEntry {
          |  WHERE len(sh) > 0),
          |withbands AS (
          |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
-         |b AS (
+         |b AS MATERIALIZED (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
          |  FROM withbands, range(0, 8) t(j)),
          |${propagationCtes(DedupOps.ClusterRounds)}
@@ -1028,7 +1034,7 @@ object SparkEntry {
          |      ON a.band = b.band AND a.band_val = b.band_val
          |     AND a.doc_id < b.doc_id)
          |  WHERE hamming <= 3),
-         |b AS (
+         |b AS MATERIALIZED (
          |  SELECT doc_a AS doc_id, doc_a AS band, doc_b AS band_hash FROM e
          |  UNION ALL
          |  SELECT doc_b AS doc_id, doc_a AS band, doc_b AS band_hash FROM e),
@@ -1116,7 +1122,7 @@ object SparkEntry {
          |    JOIN sk sa ON sa.vec_id = vec_a
          |    JOIN sk sb ON sb.vec_id = vec_b)
          |  WHERE cos >= 0.4),
-         |b AS (
+         |b AS MATERIALIZED (
          |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
          |  UNION ALL
          |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),

@@ -40,14 +40,15 @@ object DedupOps {
   val ShingleN = 5
 
   /** Round bound for cluster label propagation. Sized ABOVE the measured
-    * fixture convergence depth (minhash chains reach their fixed point in
-    * 6 rounds at sf0.01, 7 at sf0.1 — pinned by spec) so the shipped
-    * cluster queries emit true single-linkage components, while the
-    * early-stop in propagateLabelsTracked means unused headroom costs
-    * nothing; on deeper corpora the bound caps the shuffle count and the
-    * convergence report makes any residual under-merge observable.
+    * fixture convergence depth (with pointer jumping the deepest case is
+    * the sf0.1 simhash chain at 10 rounds; sf0.01 converges in ≤6 —
+    * pinned by spec) so the shipped cluster queries emit true
+    * single-linkage components, while the early-stop in
+    * propagateLabelsTracked means unused headroom costs nothing; on deeper
+    * corpora the bound caps the shuffle count and the convergence report
+    * makes any residual under-merge observable.
     */
-  val ClusterRounds = 8
+  val ClusterRounds = 12
 
   /** Per-doc MinHash signature + LSH band hashes over hashed char 5-shingles
     * of the normalized text. Docs with no shingles (shorter than n after
@@ -253,61 +254,91 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
       .filter(col("n_docs") > 1)
 
-  /** Bounded-round single-linkage: min-label flows bucket→member→bucket.
-    * `maxRounds` bounds the transitive-chain length collapsed per run; each
-    * round is two shuffles on fixed-width keys. Each round's labels are
-    * materialized and the SUPERSEDED round's cache released immediately —
-    * executor storage holds at most two label frames at any time, not one
-    * per round.
+  /** Bounded-round single-linkage: min-label flows bucket→member→bucket,
+    * then POINTER-JUMPS — each round ends with `label(v) ← label(label(v))`
+    * (the map-reduce connected-components doubling step), making
+    * convergence logarithmic in chain depth instead of linear. On
+    * ID-ordered chains the covered depth doubles per round (a 600-deep
+    * path converges in 6 rounds); on adversarially SHUFFLED ids the
+    * contraction is weaker (~1.6× per round — label regions merge along
+    * the region graph, and pointer depth is not the limiter) but still
+    * geometric, so rounds grow as log of chain depth either way. Plain
+    * hop-per-round propagation stalled outright on the sf0.1 simhash
+    * fixture: one near-dup chain ~500 docs deep needs 10 jump-rounds,
+    * which sets the ClusterRounds = 12 bound.
     *
-    * Convergence is observable, not silent: the per-round materializing
-    * action doubles as a changed-label count, the loop stops as soon as a
-    * round changes nothing (chains shorter than the bound never pay for the
-    * unused rounds), and the returned `roundsUsed`/`converged` tell a dedup
-    * ACTION consumer whether the clustering reached its fixed point or hit
-    * the bound with labels still moving (under-merge). The oracle unrolls
-    * the same bound; early-stopping at the fixed point cannot diverge from
-    * it because further rounds are no-ops by definition.
+    * Each round's labels are materialized as a PLAN-INDEPENDENT RDD-backed
+    * frame (persisted RDD + `createDataFrame`), and the superseded round's
+    * blocks are freed immediately — at most two label frames of executor
+    * storage at any time. The lineage break matters: a CacheManager
+    * `unpersist` of the previous round is non-cascading, which CLEARS the
+    * buffers of any dependent cached plan — with plan-chained rounds that
+    * wiped the just-built round every iteration and each round recomputed
+    * the whole chain from raw text (measured quadratic blowup: 17 s for 8
+    * rounds over a 1 025-edge graph). An RDD unpersist invalidates nothing.
+    *
+    * Convergence is observable, not silent: labels only ever DECREASE
+    * (min-propagation; the jump target label(label(v)) ≤ label(v) by the
+    * same invariant), so the exact decimal(38,0) label sum is a strictly
+    * monotone progress measure — an unchanged sum ⟺ fixed point. The loop
+    * stops one round after the fixed point, and the returned
+    * `roundsUsed`/`converged` tell a dedup ACTION consumer whether the
+    * clustering converged or hit the bound with labels still moving
+    * (under-merge). The oracle unrolls the same rounds; early-stop cannot
+    * diverge from the full unroll because rounds past the fixed point are
+    * no-ops (bucket-min, member-min, and the jump are all identities there).
     */
   final case class Propagation(labels: DataFrame, roundsUsed: Int,
                                converged: Boolean)
 
+  /** One pointer-jump step: label(v) ← label(label(v)). */
+  private def jump(lab: DataFrame): DataFrame =
+    lab.join(lab.select(col("doc_id").as("label"), col("label").as("ll")),
+        Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
+
   private[graft] def propagateLabelsTracked(bucketsIn: DataFrame,
                                             maxRounds: Int): Propagation = {
+    val spark = bucketsIn.sparkSession
     val buckets = graft.Caching.track(bucketsIn)
     var labels = buckets.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    var prevPersisted: Option[DataFrame] = None
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var used = 0
     var converged = false
-    // labels only ever DECREASE (min-propagation), so the label sum is a
-    // strictly monotone progress measure: an unchanged sum ⟺ no label moved.
-    // That turns convergence detection into the round's materializing
-    // aggregate — no prev-label join, no extra shuffle. decimal(38,0)
-    // keeps the sum exact at any corpus size (1e12 ids × 1e12 docs
-    // overflows a Long).
     var prevSum: java.math.BigDecimal = null
     while (used < maxRounds && !converged) {
       val bucketMin = buckets.join(labels, "doc_id")
         .groupBy("band", "band_hash")
         .agg(min(col("label")).as("bucket_label"))
-      val next = buckets.join(bucketMin, Seq("band", "band_hash"))
+      val memberMin = buckets.join(bucketMin, Seq("band", "band_hash"))
         .groupBy("doc_id")
         .agg(min(col("bucket_label")).as("label"))
-      next.persist()
-      // the one action per round: materializes `next` AND measures progress
+      // pointer jump: follow the label one more step. Every label value is
+      // itself a doc_id in the bucket domain, so the lookup is a self
+      // equi-join (left join + coalesce keeps the algebra total). A second
+      // jump per round was measured to NOT cut rounds on adversarially
+      // ordered ids (region merging, not pointer depth, is the limiter) —
+      // it only added joins, so one jump it is.
+      val jumped = jump(memberMin)
+      val rdd = jumped.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(rdd, jumped.schema)
+      // the one action per round: materializes the round AND measures
+      // progress via the exact label sum (decimal(38,0) — 1e12 ids × 1e12
+      // docs overflows a Long)
       val curSum = next
         .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
-      prevPersisted.foreach(_.unpersist(false))
-      prevPersisted = Some(next)
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(rdd)
       labels = next
       used += 1
       converged = curSum == null || // empty input: nothing to propagate
         (prevSum != null && curSum.compareTo(prevSum) == 0)
       prevSum = curSum
     }
-    prevPersisted.foreach(graft.Caching.register)
+    prevRdd.foreach(graft.Caching.registerRdd)
     Propagation(labels, used, converged)
   }
 

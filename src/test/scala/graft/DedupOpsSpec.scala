@@ -92,20 +92,20 @@ class DedupOpsSpec extends SparkSuite {
   }
 
   test("propagateLabelsTracked: a chain longer than the bound reports non-convergence") {
-    // path 1-2-3-4-5-6-7-8 as pair-edge buckets: the min label needs more
-    // than 3 bucket hops to reach the tail, so the bound is hit with labels
-    // still moving -- the under-merge is OBSERVABLE, not silent
-    val chain = (1L until 8L).flatMap { a =>
+    // path 1-2-…-40 as pair-edge buckets: even with pointer jumping the
+    // min label covers only ~2^(rounds+1) hops, so a 2-round bound is hit
+    // with labels still moving -- the under-merge is OBSERVABLE, not silent
+    val chain = (1L until 40L).flatMap { a =>
       Seq((a, a, a + 1), (a + 1, a, a + 1))
     }.toDF("doc_id", "band", "band_hash")
-    val p = DedupOps.propagateLabelsTracked(chain, maxRounds = 3)
-    assert(!p.converged && p.roundsUsed == 3)
+    val p = DedupOps.propagateLabelsTracked(chain, maxRounds = 2)
+    assert(!p.converged && p.roundsUsed == 2)
     val labels = p.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(1L) == 1L)
     assert(labels.values.toSet.size > 1, "bounded rounds under-merge the chain")
-    // with a bound that covers the chain's diameter it converges fully
-    val full = DedupOps.propagateLabelsTracked(chain, maxRounds = 8)
-    assert(full.converged && full.roundsUsed <= 8)
+    // with a bound that covers the chain's depth it converges fully
+    val full = DedupOps.propagateLabelsTracked(chain, maxRounds = 12)
+    assert(full.converged && full.roundsUsed <= 12)
     val fl = full.labels.collect().map(r => r.getLong(1)).toSet
     assert(fl == Set(1L))
   }
@@ -114,9 +114,10 @@ class DedupOpsSpec extends SparkSuite {
     // the cluster queries run with maxRounds = ClusterRounds; this pins
     // that the bound is NOT binding at the correctness-gate scale — the
     // early-stop fires with rounds to spare, so the oracle's full unroll
-    // and the true single-linkage fixed point coincide. (Measured depths:
-    // minhash 6 at sf0.01 / 7 at sf0.1 — a 3-round bound silently
-    // under-merged, which this spec would now catch.)
+    // and the true single-linkage fixed point coincide. (The deepest
+    // measured case overall is the sf0.1 simhash chain at 10 jump-rounds;
+    // the original 3-round hop-per-round bound silently under-merged,
+    // which this spec would now catch.)
     val dir = "/root/testdata/sf0.01"
     val fdocs = Tables.documents(spark, dir)
     val buckets = DedupOps.minhashSignatures(fdocs, "text")

@@ -97,6 +97,48 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Exploded (doc, band, band_hash) rows of `docs` that collide with the
+    * stored index's band buckets — the shared core of the incremental-dedup
+    * faces. The semi join is stream-static capable: the stream side only
+    * computes signatures per incoming row (stateless codegen'd kernels) and
+    * probes the index; the historical corpus is never re-signed or
+    * re-paired.
+    */
+  private def indexHits(docs: DataFrame, indexBuckets: DataFrame,
+                        textCol: String, keep: Seq[String]): DataFrame =
+    graft.operators.DedupOps.minhashSignatures(docs, textCol)
+      .select(keep.map(col) :+
+        posexplode(col("bands")).as(Seq("band", "band_hash")): _*)
+      .join(indexBuckets, Seq("band", "band_hash"), "left_semi")
+      // the USING join hoists (band, band_hash) first — re-project the
+      // caller's columns so both faces see (id[, ts]) rows
+      .select(keep.map(col): _*)
+
+  /** Near-dup flags against a stored MinHash index, batch face: the
+    * distinct ids of batch docs sharing ≥1 LSH band with the historical
+    * index — exactly the candidate probe of DedupOps.incrementalDupCheck
+    * (the index+delta shape; generalizes the reference re-running
+    * drop_duplicates per batch, /root/reference/preprocessing.py:344-346).
+    */
+  def indexDupBatch(docs: DataFrame, indexBuckets: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    indexHits(docs, indexBuckets, textCol, Seq(idCol)).dropDuplicates(idCol)
+
+  /** Near-dup flags against a stored MinHash index, streaming face —
+    * dedup-at-ingest against the WAREHOUSE, not just the recent window:
+    * each incoming doc signature-bands in-stream and band-probes the static
+    * index via a stream-static left-semi join (stateless), then the per-doc
+    * flag dedups within the watermark, so streaming state tracks the recent
+    * window while the historical knowledge lives in the stored index table.
+    * Composes with `dedupStream` (exact intra-stream dups) upstream.
+    */
+  def indexDupStream(docs: DataFrame, indexBuckets: DataFrame, idCol: String,
+                     textCol: String, tsCol: String,
+                     delay: String = "1 hour"): DataFrame =
+    indexHits(docs, indexBuckets, textCol, Seq(idCol, tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** True microsecond epoch of a Timestamp — getTime truncates to millis, so
     * sub-millisecond gaps need the nanos field (keeps this sessionizer in
     * exact agreement with the batch twin's unix_micros,

@@ -50,6 +50,18 @@ class CachingSpec extends SparkSuite {
     }
   }
 
+  test("registerRdd frees a bare persisted RDD on scope exit") {
+    import spark.implicits._
+    val rdd = Seq(1, 2, 3).toDF("x").rdd
+    rdd.persist()
+    rdd.count()
+    Caching.scoped {
+      Caching.registerRdd(rdd)
+      assert(rdd.getStorageLevel.useMemory)
+    }
+    assert(!rdd.getStorageLevel.useMemory, "scope exit must unpersist the RDD")
+  }
+
   test("releaseAll drains only the global fallback scope") {
     import spark.implicits._
     Caching.scoped {

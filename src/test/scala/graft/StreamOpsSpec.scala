@@ -152,6 +152,50 @@ class StreamOpsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("incremental dedup probes the stored index in-stream (index+delta at ingest)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a completely different historical document about spark shuffles"),
+      (3L, "yet another corpus entry with its own distinctive shingle set")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.DedupOps.minhashIndex(hist, "doc_id", "text")
+    val idxBuckets = index
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash"))).distinct()
+    val input = MemoryStream[StreamDoc]
+    val query = StreamOps.indexDupStream(input.toDF(), idxBuckets,
+        "doc_id", "text", "ts")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("index_dup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // replay of indexed doc 1 -> flagged
+        StreamDoc(10, ts(9, 0), "the quick brown fox jumps over the lazy dog near the river bank"),
+        StreamDoc(11, ts(9, 5), "novel text that shares no shingles with anything stored before"))
+      query.processAllAvailable()
+      input.addData(
+        // replay of indexed doc 2 in a later micro-batch -> still flagged
+        StreamDoc(12, ts(9, 30), "a completely different historical document about spark shuffles"),
+        StreamDoc(13, ts(9, 35), "further fresh material arriving later in the ingest stream here"))
+      query.processAllAvailable()
+      val flagged = spark.table("index_dup_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(10L, 12L))
+      // the batch face computes the same flags on the same delta
+      val delta = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (11L, "novel text that shares no shingles with anything stored before"),
+        (12L, "a completely different historical document about spark shuffles"),
+        (13L, "further fresh material arriving later in the ingest stream here")
+      ).toDF("doc_id", "text")
+      val batchFlags = StreamOps.indexDupBatch(delta, idxBuckets, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchFlags === flagged)
+    } finally query.stop()
+  }
+
   test("windowed keyword counts track per-class word frequencies in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamClsDoc]

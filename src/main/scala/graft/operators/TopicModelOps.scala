@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.ml.clustering.{KMeans, LDA}
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, PCA}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,8 +54,8 @@ object TopicModelOps {
     */
   def clearModelCache(): Unit = {
     cache.values.foreach {
-      case df: DataFrame => df.unpersist(false)
-      case (vecs: DataFrame, _, _) => vecs.unpersist(false)
+      case df: Dataset[_] => df.unpersist(false)
+      case (vecs: Dataset[_], _, _) => vecs.unpersist(false)
       case _ => ()
     }
     cache.clear()

@@ -283,6 +283,21 @@ object SparkEntry {
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
+    // batch face of StreamOps.indexDupStream: band-collision flags of the
+    // delta against the historical index (same 90/10 cut as
+    // dedup_incremental; no jaccard re-rank — this is the ingest-time flag)
+    "dedup_index_flags" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(floor(max(col("doc_id")) * 0.9).cast("long"))
+        .collect()(0).getLong(0)
+      val idxBuckets = operators.DedupOps
+        .minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
+        .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
+        .distinct()
+      graft.streaming.StreamOps.indexDupBatch(
+        docs.filter(col("doc_id") > cut), idxBuckets, "doc_id", "text")
+    }),
     // --- similarity search (SURVEY.md §2.9 M14 + LLM-pipeline north star) ---
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
@@ -997,6 +1012,32 @@ object SparkEntry {
          |  FROM scored WHERE jac >= 0.5)
          |SELECT new_id, dup_of, round(est, 4) AS est_jaccard, round(jac, 4) AS jaccard
          |FROM best WHERE rk = 1""".stripMargin,
+    // the streaming ingest flag's batch face: delta docs sharing >=1 LSH
+    // band with the historical index — the cand probe without the jaccard
+    // re-rank (both index and delta sides self-contained, no artifact)
+    "dedup_index_flags" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
+         |  FROM documents),
+         |isigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
+         |        FROM documents, cut WHERE doc_id <= cut)
+         |  WHERE len(sh) > 0),
+         |iwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM isigs),
+         |ib AS MATERIALIZED (
+         |  SELECT DISTINCT j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM iwb, range(0, 8) t(j)),
+         |nsigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
+         |        FROM documents, cut WHERE doc_id > cut)
+         |  WHERE len(sh) > 0),
+         |nwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM nsigs),
+         |nb AS (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM nwb, range(0, 8) t(j))
+         |SELECT DISTINCT doc_id FROM nb JOIN ib USING (band, band_hash)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH fps AS (
          |  SELECT doc_id, ${simhashSql(tokenHashes("toks"))} AS simhash

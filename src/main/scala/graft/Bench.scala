@@ -37,7 +37,12 @@ object Bench {
     // Sorted order: Map iteration order varies with the query set, so an
     // unsorted sweep reshuffles which heavy query precedes which light one
     // every round — per-query times would not be comparable across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to named queries — focused A/B
+    // timing runs; the full sweep (and its committed record) never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     ordered.foreach { case (name, fn) => run(name, fn, gc = false) }
     val samples = (1 to timedRuns).map { _ =>
       ordered.map { case (name, fn) => name -> run(name, fn) }.toMap
@@ -46,7 +51,7 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = ordered.map { case (name, _) =>
       name -> median(samples.map(_(name)).toSeq)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -71,10 +76,12 @@ object Bench {
          |"slowest": {"query": "${slowest.fold("")(_._1)}", "sec": ${slowest.fold(0.0)(_._2)}},
          |"queries": $sortedQs
          |}""".stripMargin
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfFile), self)
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $selfFile: ${e.getMessage}")
-    }
+    // a filtered A/B run must not clobber the committed full record
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfFile), self)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $selfFile: ${e.getMessage}")
+      }
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     spark.stop()
   }

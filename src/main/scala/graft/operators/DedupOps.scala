@@ -233,14 +233,8 @@ object DedupOps {
     // one persisted fingerprint pass feeds the id list AND the pair join
     val fps = bandedFps(docs, idCol, textCol)
     val ids = fps.select(col("doc_id"))
-    val edges = graft.Caching.track(
-      simhashPairsOfFps(fps, maxDist).select(col("doc_a"), col("doc_b")))
-    val buckets = edges
-      .select(col("doc_a").as("doc_id"),
-        col("doc_a").as("band"), col("doc_b").as("band_hash"))
-      .union(edges.select(col("doc_b").as("doc_id"),
-        col("doc_a").as("band"), col("doc_b").as("band_hash")))
-    propagateLabels(buckets, rounds)
+    val edges = simhashPairsOfFps(fps, maxDist).select(col("doc_a"), col("doc_b"))
+    propagateEdges(edges, rounds)
       .join(ids, Seq("doc_id"), "right")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
@@ -299,21 +293,61 @@ object DedupOps {
 
   private[graft] def propagateLabelsTracked(bucketsIn: DataFrame,
                                             maxRounds: Int): Propagation = {
-    val spark = bucketsIn.sparkSession
     val buckets = graft.Caching.track(bucketsIn)
-    var labels = buckets.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    val step = (labels: DataFrame) => {
+      val bucketMin = buckets.join(labels, "doc_id")
+        .groupBy("band", "band_hash")
+        .agg(min(col("label")).as("bucket_label"))
+      buckets.join(bucketMin, Seq("band", "band_hash"))
+        .groupBy("doc_id")
+        .agg(min(col("bucket_label")).as("label"))
+    }
+    propagateLoop(buckets.select(col("doc_id")).distinct(), step, maxRounds)
+  }
+
+  /** Edge-specialized twin of propagateLabelsTracked for graphs that arrive
+    * as verified PAIR edges (the simhash and embedding cluster paths). For a
+    * 2-member bucket, bucket-min → member-min collapses algebraically to one
+    * neighbor-min — memberMin(v) = min(label(v), min over v's neighbors) —
+    * so each round runs ONE join + ONE aggregate instead of two of each,
+    * and the adjacency (with self-loops, so a doc's own label is in its
+    * min) is pre-partitioned on the probe key once: per round only the
+    * label frame shuffles into the join. Round-r labels are IDENTICAL to
+    * the bucket formulation's (pinned by spec), so the oracle's unrolled
+    * bucket CTEs verify this path unchanged.
+    */
+  private[graft] def propagateEdgesTracked(edgesIn: DataFrame,
+                                           maxRounds: Int): Propagation = {
+    val edges = graft.Caching.track(edgesIn)
+    val ids = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val adj = graft.Caching.track(
+      edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .union(ids.select(col("doc_id").as("u"), col("doc_id").as("v")))
+        .repartition(col("v")))
+    val step = (labels: DataFrame) =>
+      adj.join(labels.select(col("doc_id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("label")).as("label"))
+    propagateLoop(ids, step, maxRounds)
+  }
+
+  /** Shared round loop: `step` computes the next member-min label frame from
+    * the current one; the loop pointer-jumps, lineage-breaks, and
+    * early-stops at the exact fixed point (see the Propagation scaladoc).
+    */
+  private def propagateLoop(ids: DataFrame, step: DataFrame => DataFrame,
+                            maxRounds: Int): Propagation = {
+    val spark = ids.sparkSession
+    var labels = ids.withColumn("label", col("doc_id"))
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var used = 0
     var converged = false
     var prevSum: java.math.BigDecimal = null
     while (used < maxRounds && !converged) {
-      val bucketMin = buckets.join(labels, "doc_id")
-        .groupBy("band", "band_hash")
-        .agg(min(col("label")).as("bucket_label"))
-      val memberMin = buckets.join(bucketMin, Seq("band", "band_hash"))
-        .groupBy("doc_id")
-        .agg(min(col("bucket_label")).as("label"))
+      val memberMin = step(labels)
       // pointer jump: follow the label one more step. Every label value is
       // itself a doc_id in the bucket domain, so the lookup is a self
       // equi-join (left join + coalesce keeps the algebra total). A second
@@ -345,6 +379,10 @@ object DedupOps {
   private[operators] def propagateLabels(bucketsIn: DataFrame,
                                          rounds: Int): DataFrame =
     propagateLabelsTracked(bucketsIn, rounds).labels
+
+  private[operators] def propagateEdges(edgesIn: DataFrame,
+                                        rounds: Int): DataFrame =
+    propagateEdgesTracked(edgesIn, rounds).labels
 
   /** The stored MinHash index of a corpus — the build-once half of
     * incremental dedup: (old_id, sh_hashes, sig, bands), written once and

@@ -344,14 +344,9 @@ object SimilarityOps {
     */
   def lshDupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dedupCorpus(spark, dir)
-    val edges = graft.Caching.track(
-      lshCosinePairs(corpus, minCosine = 0.4).select("vec_a", "vec_b"))
-    val buckets = edges
-      .select(col("vec_a").as("doc_id"),
-        col("vec_a").as("band"), col("vec_b").as("band_hash"))
-      .union(edges.select(col("vec_b").as("doc_id"),
-        col("vec_a").as("band"), col("vec_b").as("band_hash")))
-    DedupOps.propagateLabels(buckets, DedupOps.ClusterRounds)
+    val edges = lshCosinePairs(corpus, minCosine = 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_vecs"), max(col("doc_id")).as("max_vec_id"))
       .filter(col("n_vecs") > 1)

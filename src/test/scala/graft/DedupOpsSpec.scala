@@ -130,24 +130,44 @@ class DedupOpsSpec extends SparkSuite {
     graft.Caching.releaseAll()
     val sedges = DedupOps.simhashPairs(fdocs, "doc_id", "text", 3)
       .select(functionsCol("doc_a"), functionsCol("doc_b"))
-    val sbuckets = sedges.select(functionsCol("doc_a").as("doc_id"),
-        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash"))
-      .union(sedges.select(functionsCol("doc_b").as("doc_id"),
-        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash")))
-    val sp = DedupOps.propagateLabelsTracked(sbuckets, DedupOps.ClusterRounds)
+    val sp = DedupOps.propagateEdgesTracked(sedges, DedupOps.ClusterRounds)
     info(s"simhash edges: converged=${sp.converged} roundsUsed=${sp.roundsUsed}")
     assert(sp.converged && sp.roundsUsed < DedupOps.ClusterRounds)
     graft.Caching.releaseAll()
     val eedges = operators.SimilarityOps.lshDupPairs(spark, dir)
-      .select(functionsCol("vec_a"), functionsCol("vec_b"))
-    val ebuckets = eedges.select(functionsCol("vec_a").as("doc_id"),
-        functionsCol("vec_a").as("band"), functionsCol("vec_b").as("band_hash"))
-      .union(eedges.select(functionsCol("vec_b").as("doc_id"),
-        functionsCol("vec_a").as("band"), functionsCol("vec_b").as("band_hash")))
-    val ep = DedupOps.propagateLabelsTracked(ebuckets, DedupOps.ClusterRounds)
+      .select(functionsCol("vec_a").as("doc_a"), functionsCol("vec_b").as("doc_b"))
+    val ep = DedupOps.propagateEdgesTracked(eedges, DedupOps.ClusterRounds)
     info(s"embed edges: converged=${ep.converged} roundsUsed=${ep.roundsUsed}")
     assert(ep.converged && ep.roundsUsed < DedupOps.ClusterRounds)
     graft.Caching.releaseAll()
+  }
+
+  test("propagateEdgesTracked == bucket formulation round-for-round on pair graphs") {
+    // the edge-specialized step must be label-identical to the generic
+    // bucket formulation at EVERY round bound (not just the fixed point) —
+    // that identity is what lets the oracle's bucket-CTE unroll verify the
+    // edge path unchanged. Probe a deep chain (jump behavior) plus a
+    // star + triangle (merge behavior), at a binding and a non-binding
+    // bound.
+    val edges = ((1L until 30L).map(a => (a, a + 1)) ++ // 30-deep chain
+      Seq((50L, 60L), (50L, 70L), (50L, 80L), // star
+        (90L, 91L), (91L, 92L), (90L, 92L)) // triangle
+      ).toDF("doc_a", "doc_b")
+    val asBuckets = edges
+      .select(functionsCol("doc_a").as("doc_id"),
+        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash"))
+      .union(edges.select(functionsCol("doc_b").as("doc_id"),
+        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash")))
+    for (bound <- Seq(2, 12)) {
+      val viaEdges = DedupOps.propagateEdgesTracked(edges, bound)
+      val viaBuckets = DedupOps.propagateLabelsTracked(asBuckets, bound)
+      assert(viaEdges.roundsUsed == viaBuckets.roundsUsed, s"bound=$bound")
+      assert(viaEdges.converged == viaBuckets.converged, s"bound=$bound")
+      val le = viaEdges.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lb = viaBuckets.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(le == lb, s"bound=$bound")
+      graft.Caching.releaseAll()
+    }
   }
 
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {

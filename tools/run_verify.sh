@@ -21,6 +21,6 @@ shift $(( $# > 2 ? 2 : $# ))
 # JVM derives from the environment at init — -D flags alone don't reach
 # the native path encoder
 export LC_ALL=C.UTF-8
-exec java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+exec java $OPENS -Xmx${HEAP:-8}g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dsun.jnu.encoding=UTF-8 -Dfile.encoding=UTF-8 \
   -cp "$CP" "$MAIN" "$SF" "$OUT" "$@"

@@ -20,15 +20,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microsecond timestamps (matching DuckDB's epoch_us truncation).
+  /** The events fixture has shipped in two layouts: TIMESTAMP(NANOS)
+    * parquet (which Spark's vectorized reader rejects — read nanos as long
+    * and truncate to micros, matching DuckDB's epoch_us truncation) and
+    * native TIMESTAMP(MICROS) (read as-is). Adapt on the observed type so
+    * both generations of the fixture load identically.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        // TIMESTAMP(MICROS) parquet arrives as TIMESTAMP_NTZ; downstream
+        // operators use unix_micros/window which require LTZ. The session
+        // timezone is pinned UTC, so the cast is a pure type relabel with
+        // identical wall-clock values (and matches DuckDB's naive epoch_us).
+        raw.withColumn("ts", raw("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

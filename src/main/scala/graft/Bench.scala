@@ -41,6 +41,16 @@ object Bench {
     // timing runs; the full sweep (and its committed record) never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A typo'd name would otherwise be silently dropped — a fully-misspelled
+    // list runs zero queries and prints an empty (but valid-looking) result
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY entries: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     ordered.foreach { case (name, fn) => run(name, fn, gc = false) }

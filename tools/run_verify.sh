@@ -16,6 +16,11 @@ done
 OPENS="$OPENS --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED"
 OPENS="$OPENS --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 shift $(( $# > 2 ? 2 : $# ))
+# HEAP is numeric GIGABYTES (HEAP=8, not HEAP=8g — the g is appended below)
+if ! [[ "${HEAP:-8}" =~ ^[0-9]+$ ]]; then
+  echo "HEAP must be a plain gigabyte count (e.g. HEAP=8), got: $HEAP" >&2
+  exit 2
+fi
 # UTF-8 locale: Korean filenames (the reference RAW_DATA artifact) are
 # unmappable under the default POSIX locale's sun.jnu.encoding, which the
 # JVM derives from the environment at init — -D flags alone don't reach

@@ -8,6 +8,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like every other main: the NTZ->LTZ relabel in Tables is only
+      // wall-clock-preserving under UTC; a direct `sbt run` on a non-UTC
+      // host would otherwise shift event timestamps (ADVICE r8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

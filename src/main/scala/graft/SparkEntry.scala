@@ -285,14 +285,14 @@ object SparkEntry {
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
     // batch face of StreamOps.indexDupStream: band-collision flags of the
     // delta against the historical index (same 90/10 cut as
-    // dedup_incremental; no jaccard re-rank — this is the ingest-time flag)
+    // dedup_incremental; no jaccard re-rank — this is the ingest-time flag).
+    // The bucket probe reads the Artifacts-PERSISTED index exactly like
+    // dedup_incremental, so both faces demonstrate build-once/probe-many.
     "dedup_index_flags" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
-      val cut = docs.agg(floor(max(col("doc_id")) * 0.9).cast("long"))
-        .collect()(0).getLong(0)
-      val idxBuckets = operators.DedupOps
-        .minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
+      val (stored, cut) = operators.DedupOps.storedIndex(s, d)
+      val idxBuckets = stored
         .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
         .distinct()
       graft.streaming.StreamOps.indexDupBatch(

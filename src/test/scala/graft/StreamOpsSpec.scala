@@ -196,6 +196,72 @@ class StreamOpsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("index dedup stream: out-of-order arrivals across the watermark") {
+    // Adversarial late data against indexDupStream. What the operator
+    // guarantees (and this test pins): the index probe itself is STATELESS,
+    // so arrival order never changes whether a doc is flagged; only the
+    // per-doc_id output dedup is stateful, bounded by the watermark — a
+    // re-delivery of the same doc_id within the watermark is suppressed,
+    // one arriving after its state was evicted is re-emitted (at-least-once
+    // flags under eviction: the documented stream/batch divergence — batch,
+    // with full hindsight, emits each doc_id once).
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val replay1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val replay2 = "a completely different historical document about spark shuffles"
+    val novel = "novel text that shares no shingles with anything stored before"
+    val hist = Seq((1L, replay1), (2L, replay2)).toDF("doc_id", "text")
+    val idxBuckets = graft.operators.DedupOps.minhashIndex(hist, "doc_id", "text")
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash"))).distinct()
+    val input = MemoryStream[StreamDoc]
+    val query = StreamOps.indexDupStream(input.toDF(), idxBuckets,
+        "doc_id", "text", "ts", delay = "30 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("index_dup_late")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(20, ts(10, 0), replay1), // indexed replay -> flagged
+        StreamDoc(21, ts(10, 40), novel))
+      query.processAllAvailable() // watermark -> 10:40 - 30m = 10:10
+      input.addData(
+        // out of order (behind the max-seen ts) -> still flagged: the
+        // index probe is order-independent
+        StreamDoc(22, ts(10, 20), replay2),
+        // re-delivery of doc 20 while its state is live -> suppressed
+        StreamDoc(20, ts(10, 25), replay1))
+      query.processAllAvailable()
+      val afterB2 = spark.table("index_dup_late").collect().map(_.getLong(0))
+      assert(afterB2.sorted.toSeq == Seq(20L, 22L),
+        s"expected one flag per doc_id, got ${afterB2.toSeq}")
+      // advance the watermark far past doc 20's eviction point
+      // (10:00 + 30min): max ts 13:00 -> watermark 12:30. State cleanup
+      // runs against the PREVIOUS trigger's watermark, so a second batch is
+      // what actually evicts the key — engine timing, not semantics.
+      input.addData(StreamDoc(24, ts(13, 0), novel + " indeed"))
+      query.processAllAvailable()
+      input.addData(StreamDoc(25, ts(13, 5), novel + " again"))
+      query.processAllAvailable()
+      // late re-delivery of doc 20 after the watermark passed its eviction
+      // point: the contract is AT-LEAST-ONCE flags — the row is either
+      // suppressed (state still held) or re-emitted (state evicted), never
+      // lost and never more than once per delivery. Exact eviction timing
+      // is engine-internal; downstream consumers must tolerate the dup.
+      input.addData(StreamDoc(20, ts(12, 50), replay1))
+      query.processAllAvailable()
+      val finalRows = spark.table("index_dup_late").collect().map(_.getLong(0))
+      val n20 = finalRows.count(_ == 20L)
+      assert(n20 >= 1 && n20 <= 2,
+        s"doc 20 flag lost or over-duplicated: ${finalRows.toSeq}")
+      // distinct flags agree with the batch face over the full delta
+      val delta = Seq((20L, replay1), (21L, novel), (22L, replay2),
+        (24L, novel + " indeed"), (25L, novel + " again")).toDF("doc_id", "text")
+      val batchFlags = StreamOps.indexDupBatch(delta, idxBuckets, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchFlags === finalRows.toSet)
+    } finally query.stop()
+  }
+
   test("windowed keyword counts track per-class word frequencies in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamClsDoc]

@@ -68,6 +68,14 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> median(samples.map(_(name)).toSeq)
     }.toMap
+    // per-query spread across the timed runs: with single-number medians a
+    // real 2x regression in a heavy query is indistinguishable from
+    // environment noise (topic_cv swung 2.3 -> 9.8 -> 4.0 s across rounds
+    // with zero code changes); min/median/max makes the noise band visible
+    val spread = ordered.map { case (name, _) =>
+      val xs = samples.map(_(name)).sorted
+      name -> (xs.head, median(xs), xs.last)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -81,14 +89,31 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).headOption
     val sortedQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+    // environment fingerprint: numbers from different environments are NOT
+    // comparable (the r7/r8 records disagreed ~18% across the board purely
+    // from where they ran) — record where THIS one came from
+    def r1(x: Double) = math.round(x * 1000) / 1000.0
+    val env =
+      s"""{"host_cpus": ${Runtime.getRuntime.availableProcessors},
+         | "spark_master": "local[$cpus]",
+         | "heap_gb": ${r1(Runtime.getRuntime.maxMemory / 1073741824.0)},
+         | "jvm": "${System.getProperty("java.version")}",
+         | "spark": "${spark.version}",
+         | "os": "${System.getProperty("os.name")} ${System.getProperty("os.version")}"}"""
+        .stripMargin.replace("\n", "")
+    val spreadQs = spread.sortBy(_._1)
+      .map { case (k, (mn, md, mx)) => s"""  "$k": [${r1(mn)}, ${r1(md)}, ${r1(mx)}]""" }
+      .mkString("{\n", ",\n", "\n}")
     val self =
       s"""{
          |"sf": "$sfDir",
          |"runs": $timedRuns,
+         |"env": $env,
          |"n_queries": ${results.size},
          |"total_sec": $total,
          |"slowest": {"query": "${slowest.fold("")(_._1)}", "sec": ${slowest.fold(0.0)(_._2)}},
-         |"queries": $sortedQs
+         |"queries": $sortedQs,
+         |"spread_min_median_max": $spreadQs
          |}""".stripMargin
     // a filtered A/B run must not clobber the committed full record
     if (only.isEmpty)

@@ -34,12 +34,11 @@ class TablesSpec extends SparkSuite {
   // one instant, expressed in each layout's physical type
   private val micros = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
 
-  // Spark cannot WRITE TIMESTAMP(NANOS) parquet, so the legacy layout is
-  // emulated with a plain INT64 column — this exercises the post-read
-  // LongType contract branch (nanos→micros truncation + unit guard), not
-  // the `nanosAsLong` physical decode itself. A Spark upgrade changing
-  // nanosAsLong behavior would pass here but surface in the live-fixture
-  // tests below (ADVICE r8: limitation documented).
+  // Spark cannot WRITE TIMESTAMP(NANOS) parquet, so this test emulates the
+  // legacy layout with a plain INT64 column, exercising the post-read
+  // LongType contract branch (nanos→micros truncation + unit guard); the
+  // checked-in pyarrow NANOS fixture below covers the physical
+  // `nanosAsLong` decode itself (closes the ADVICE r8 coverage gap).
   test("events: legacy nanos-as-long layout truncates to LTZ micros") {
     import spark.implicits._
     val ts = writeAndLoad { path =>
@@ -47,6 +46,15 @@ class TablesSpec extends SparkSuite {
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.parquet(path)
     }
+    assert(ts.schema("ts").dataType == TimestampType)
+    assert(ts.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+  }
+
+  test("events: a REAL TIMESTAMP(NANOS) parquet file decodes through nanosAsLong") {
+    // checked-in pyarrow-written fixture (Spark cannot write NANOS parquet):
+    // exercises the actual physical decode path the emulated INT64 tests
+    // cannot — a Spark upgrade changing nanosAsLong behavior fails HERE
+    val ts = Tables.events(spark, "src/test/resources/events_nanos")
     assert(ts.schema("ts").dataType == TimestampType)
     assert(ts.select(unix_micros(col("ts"))).head.getLong(0) == micros)
   }

@@ -44,8 +44,8 @@ object ScaleProbe {
     Tables.events(spark, dir).crossJoin(copies)
       .select(
         (col("event_id") * factor + col("copy")).as("event_id"),
-        // Tables.events reads raw NANOS-as-long (the fixture's physical
-        // type) — write the replica in the same shape
+        // write the replica as INT64 epoch-nanos — the Tables contract's
+        // guarded LongType branch normalizes it back to LTZ micros
         (unix_micros(col("ts")) * 1000L).as("ts"),
         (col("user_id") * factor + col("copy")).as("user_id"),
         col("event_type"), col("value"), col("props"))

@@ -32,4 +32,33 @@ class ArtifactsSpec extends SparkSuite {
       assert(spark.read.parquet(s"$base/t").count() === 1L)
     } finally Artifacts.disable()
   }
+
+  test("storedIndex probes the PERSISTED index when enabled (build-once/probe-many)") {
+    // both incremental faces (dedup_incremental, dedup_index_flags) route
+    // through storedIndex; this pins that under Verify conditions the probe
+    // side scans the artifact parquet — not the in-plan index — and that
+    // the flags are identical either way
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    val dir = SparkSpec.FixtureDir
+    val docs = Tables.documents(spark, dir)
+    Artifacts.enable(base)
+    val (stored, cut) =
+      try operators.DedupOps.storedIndex(spark, dir)
+      finally Artifacts.disable()
+    assert(stored.inputFiles.nonEmpty && stored.inputFiles.forall(_.contains(base)),
+      s"probe reads ${stored.inputFiles.take(2).mkString(",")}, not the stored artifact")
+    val buckets = (ix: org.apache.spark.sql.DataFrame) => ix
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash"))).distinct()
+    val delta = docs.filter(col("doc_id") > cut)
+    val viaStored = streaming.StreamOps
+      .indexDupBatch(delta, buckets(stored), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val inline = operators.DedupOps
+      .minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
+    val viaInline = streaming.StreamOps
+      .indexDupBatch(delta, buckets(inline), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaStored === viaInline && viaStored.nonEmpty)
+  }
 }

@@ -42,6 +42,16 @@ class PartitioningSpec extends SparkSuite {
     assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
   }
 
+  test("the events ts-relabel does not block column pruning") {
+    // the Tables contract rewrites `ts` via withColumn; Catalyst must still
+    // prune the scan to the selected columns through that Project
+    val q = Tables.events(spark, dir).select("event_type")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("props") && !plan.contains("user_id"),
+      "events scan reads pruned columns through the contract relabel")
+  }
+
   test("broadcast join is chosen for dimension-sized tables") {
     val joined = Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))

@@ -21,7 +21,9 @@ class RecallBandSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.01"
 
   test("lsh-multiprobe ann holds recall@10 at the fixture operating point") {
-    val rows = SimilarityOps.annRecall(spark, dir).collect()
+    val rows =
+      try SimilarityOps.annRecall(spark, dir).collect()
+      finally graft.Caching.releaseAll()
     assert(rows.length == 5) // the probe query set
     val recalls = rows.map(r => r.getAs[Double]("recall"))
     val mean = recalls.sum / recalls.length
@@ -34,6 +36,10 @@ class RecallBandSpec extends SparkSuite {
   }
 
   test("ivf ann holds recall@10 at the fixture operating point") {
+    try testIvf() finally graft.Caching.releaseAll()
+  }
+
+  private def testIvf(): Unit = {
     val corpus = graft.Caching.track(Tables.embeddings(spark, dir)
       .select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("nv"),
         col("label")))
@@ -56,6 +62,5 @@ class RecallBandSpec extends SparkSuite {
     assert(perQuery.values.min >= 0.3,
       s"per-query recall floor broken: $perQuery")
     assert(mean >= 0.45, s"mean recall floor broken: $mean")
-    graft.Caching.releaseAll()
   }
 }

@@ -303,6 +303,7 @@ object SparkEntry {
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
     "sim_ivf_ann" -> SimilarityOps.ivfAnn,
     "sim_recall" -> SimilarityOps.annRecall,
+    "sim_ivf_recall" -> SimilarityOps.ivfRecall,
     "dedup_exact_fp" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit, min}
       graft.streaming.StreamOps.withFingerprint(Tables.documents(s, d), "text")
@@ -1559,6 +1560,46 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
          |  '${SimilarityOps.AnnBands}x${SimilarityOps.AnnBandBits}' AS index_cfg
+         |FROM br LEFT JOIN an
+         |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+         |GROUP BY 1""".stripMargin,
+    // IVF recall gauge: brute top-10 is SQL-exact; the IVF side re-derives
+    // probe ranking + in-list re-rank from the persisted quantizer
+    // artifacts (same seeded fit as sim_ivf_ann => identical tables)
+    "sim_ivf_recall" ->
+      s"""WITH $UNIT_CTE,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 10),
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 5),
+         |pr AS (
+         |  SELECT query_id, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("ivf_centroids")} c)),
+         |s2 AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("ivf_assign")} ix USING (list)
+         |  JOIN u cu ON cu.vec_id = ix.vec_id
+         |  WHERE prk <= 4 AND query_id <> ix.vec_id),
+         |an AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s2)
+         |  WHERE rk <= 10)
+         |SELECT br.query_id, count(*) AS n_brute,
+         |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
+         |  '16/4' AS index_cfg
          |FROM br LEFT JOIN an
          |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
          |GROUP BY 1""".stripMargin,

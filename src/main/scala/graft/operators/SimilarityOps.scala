@@ -185,6 +185,31 @@ object SimilarityOps {
         concat_ws("x", lit(AnnBands), lit(AnnBandBits)))
   }
 
+  /** Query: recall@10 of the IVF tier against the exact brute-force answer
+    * on the probe query set — the IVF twin of `annRecall`, so BOTH index
+    * tiers ship a recall gauge next to their knobs (nLists/nProbe here;
+    * bands × bits for LSH). The quantizer artifacts export as in `ivfAnn`
+    * (same seeded fit ⇒ identical tables), and the oracle re-derives the
+    * probe ranking, in-list re-rank, and recall from them exactly.
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
+    val queries = corpus.filter(col("vec_id") < 5)
+    val brute = bruteForceTopK(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val (indexed, cents) = ivfIndex(corpus, nLists = 16)
+    graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
+    graft.Artifacts.save("ivf_centroids")(cents)
+    val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = 4)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    brute.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
+      .withColumn("index_cfg", concat_ws("/", lit(16), lit(4)))
+  }
+
   /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns
     * every corpus vector to its nearest centroid's list; queries probe the
     * `nProbe` nearest lists and re-rank exactly. The second ANN tier next to

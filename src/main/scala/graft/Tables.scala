@@ -75,13 +75,14 @@ object Tables {
     "embeddings" -> Seq(
       "vec_id" -> Integral, "embedding" -> VecF, "label" -> Integral))
 
-  /** Plausible epoch-NANOS window: [2000-01-01, 2100-01-01). An INT64
-    * timestamp column is only ever nanos (the legacy TIMESTAMP(NANOS)
+  /** Plausible epoch-NANOS window: [1990-01-01, 2100-01-01) — wide enough
+    * for the TPC-H-ish order/ship dates (1995-2001 in the fixtures). An
+    * INT64 timestamp column is only ever nanos (the legacy TIMESTAMP(NANOS)
     * layout); a future regen shipping plain epoch-MICROS as INT64 would land
     * ~1000× below this window — refuse to guess the unit instead of
     * silently producing timestamps a millennium early (ADVICE r8).
     */
-  private val MinPlausibleNanos = 946684800000000000L
+  private val MinPlausibleNanos = 631152000000000000L
   private val MaxPlausibleNanos = 4102444800000000000L
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -170,7 +171,7 @@ object Tables {
     when(c.isNotNull && (c < MinPlausibleNanos || c >= MaxPlausibleNanos),
       raise_error(concat(
         lit(s"[graft.Tables] $table.$cname: INT64 value "), c.cast("string"),
-        lit(" is outside the plausible epoch-nanos window [2000-01-01, " +
+        lit(" is outside the plausible epoch-nanos window [1990-01-01, " +
           "2100-01-01) — a different unit (micros/millis) shipped as INT64? " +
           "Refusing to guess."))))
       .otherwise(timestamp_micros(asMicros).cast(target))

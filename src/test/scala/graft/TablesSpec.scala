@@ -89,15 +89,22 @@ class TablesSpec extends SparkSuite {
   test("orders: legacy nanos-as-long o_orderdate adapts to NTZ wall-clock") {
     import spark.implicits._
     val dir = tempDir()
-    Seq((1L, 7L, "O", 100.0, micros * 1000L + 789L, "1-URGENT"))
+    // the TPC-H-ish fixture dates reach back to 1995 — the unit-guard
+    // window must accept them (it starts at 1990, not 2000)
+    val micros95 = 789264000000000L // 1995-01-05 00:00:00 UTC
+    Seq(
+      (1L, 7L, "O", 100.0, micros * 1000L + 789L, "1-URGENT"),
+      (2L, 8L, "F", 200.0, micros95 * 1000L, "2-HIGH"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.parquet(s"$dir/orders.parquet")
     val o = Tables.orders(spark, dir)
     assert(o.schema("o_orderdate").dataType == TimestampNTZType)
     // NTZ wall-clock under the UTC session == the instant's epoch micros
-    assert(o.select(unix_micros(col("o_orderdate").cast(TimestampType)))
-      .head.getLong(0) == micros)
+    val byKey = o.select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey(1L) == micros && byKey(2L) == micros95)
   }
 
   test("missing required column fails with a diagnostic naming it") {

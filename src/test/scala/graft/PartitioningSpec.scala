@@ -52,6 +52,18 @@ class PartitioningSpec extends SparkSuite {
       "events scan reads pruned columns through the contract relabel")
   }
 
+  test("the events ts-relabel does not block predicate pushdown on ts") {
+    // the NTZ->LTZ relabel is a cast; under the UTC session Catalyst
+    // unwraps it, so a time-range filter still reaches the parquet scan
+    val q = Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+      .select("event_id", "ts")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"ts range filter not pushed: ${plan.linesIterator.filter(_.contains("FileScan")).mkString}")
+  }
+
   test("broadcast join is chosen for dimension-sized tables") {
     val joined = Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))

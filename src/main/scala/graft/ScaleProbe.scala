@@ -71,6 +71,17 @@ object ScaleProbe {
     time("simhash_clusters")(DedupOps.simhashClusterProfile(spark, tmp).count())
     time("minhash_lsh")(DedupOps.minhashDupPairs(spark, tmp).count())
     time("simhash")(DedupOps.simhashDupPairs(spark, tmp).count())
+    // adversarial-multiplicity pair probe: at duplicate multiplicity m the
+    // pair faces emit C(m,2) rows per group BY DEFINITION; the hot-bucket
+    // cap is the production guard that bounds it. Probe the faces with an
+    // explicitly small cap so the bound engages at THIS corpus' bucket
+    // sizes (the shipped HotBucketCap = 4096 sits above fixture buckets by
+    // design — it guards the viral-millions regime, which no local replica
+    // can materialize uncapped for comparison)
+    time("minhash_pairs_cap64")(DedupOps.minhashPairs(
+      Tables.documents(spark, tmp), "doc_id", "text", 0.5, maxBucket = 64).count())
+    time("simhash_pairs_cap64")(DedupOps.simhashPairs(
+      Tables.documents(spark, tmp), "doc_id", "text", 3, maxBucket = 64).count())
     time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())
     time("lsh_ann")(SimilarityOps.lshAnn(spark, tmp).count())
     // embedding dedup tier: pair/cluster cost plus the raw candidate

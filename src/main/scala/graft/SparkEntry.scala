@@ -1589,7 +1589,7 @@ object SparkEntry {
          |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
          |  FROM pr JOIN ${Artifacts.ref("ivf_assign")} ix USING (list)
          |  JOIN u cu ON cu.vec_id = ix.vec_id
-         |  WHERE prk <= 4 AND query_id <> ix.vec_id),
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND query_id <> ix.vec_id),
          |an AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id,
@@ -1599,7 +1599,7 @@ object SparkEntry {
          |SELECT br.query_id, count(*) AS n_brute,
          |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
-         |  '16/4' AS index_cfg
+         |  '${SimilarityOps.IvfLists}/${SimilarityOps.IvfProbe}' AS index_cfg
          |FROM br LEFT JOIN an
          |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
          |GROUP BY 1""".stripMargin,
@@ -1832,7 +1832,7 @@ object SparkEntry {
          |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
          |  FROM pr JOIN ${Artifacts.ref("ivf_assign")} ix USING (list)
          |  JOIN u cu ON cu.vec_id = ix.vec_id
-         |  WHERE prk <= 4 AND query_id <> ix.vec_id),
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND query_id <> ix.vec_id),
          |r AS (
          |  SELECT query_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk

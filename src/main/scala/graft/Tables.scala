@@ -86,6 +86,19 @@ object Tables {
   private val MaxPlausibleNanos = 4102444800000000000L
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The contract's timestamp adaptations (NTZ<->LTZ relabel, nanos->LTZ
+    // cast) are only wall-clock-preserving under a UTC session. Every
+    // committed main pins UTC; an unpinned entry point (interactive
+    // spark-shell, a future main) would silently shift event timestamps —
+    // the exact failure class this contract exists to prevent — so refuse
+    // loudly instead (ADVICE r9).
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC")
+      throw new IllegalStateException(
+        s"[graft.Tables] spark.sql.session.timeZone is '$tz'; the fixture " +
+          "contract's timestamp relabels are only wall-clock-preserving " +
+          "under UTC. Pin .config(\"spark.sql.session.timeZone\", \"UTC\") " +
+          "on the session (every graft main does).")
     // TIMESTAMP(NANOS) parquet is rejected by the vectorized reader unless
     // read as raw longs; set it for every table so a NANOS regen of any
     // fixture reaches the contract (which then adapts) instead of crashing.
@@ -102,12 +115,31 @@ object Tables {
                       contract: Seq[(String, Kind)]): DataFrame = {
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val missing = contract.map(_._1).filterNot(fields.contains)
-    if (missing.nonEmpty)
+    if (missing.nonEmpty) {
+      // A missing required column PLUS an unexpected extra column of the
+      // same type class is the signature of a RENAME — name the candidate
+      // so the diagnostic is actionable (round-7 failure class: "missing
+      // column" alone sends the reader diffing parquet footers).
+      val extras = df.schema.fields
+        .filterNot(f => contract.exists(_._1 == f.name))
+      val kinds = contract.toMap
+      val hints = missing.flatMap { m =>
+        val cands = extras.filter(e => kindCompatible(kinds(m), e.dataType))
+        if (cands.nonEmpty)
+          Some(s"'$m' <- likely renamed from ${cands.map(c =>
+            s"'${c.name}' (${c.dataType.simpleString})").mkString(" or ")}")
+        else None
+      }
+      val hintMsg =
+        if (hints.nonEmpty) hints.mkString(" Possible rename(s): ", "; ", ".")
+        else ""
       throw new IllegalArgumentException(
         s"[graft.Tables] fixture table '$table' ($path) is missing required " +
           s"column(s) ${missing.mkString("[", ", ", "]")}; available columns: " +
           s"${df.schema.fieldNames.mkString("[", ", ", "]")}. The fixture " +
-          "layout has drifted — regenerate the fixture or update the contract.")
+          "layout has drifted — regenerate the fixture or update the " +
+          "contract." + hintMsg)
+    }
     def mismatch(cname: String, dt: DataType, want: String): Nothing =
       throw new IllegalArgumentException(
         s"[graft.Tables] fixture table '$table' ($path): column '$cname' has " +
@@ -155,6 +187,25 @@ object Tables {
                 "int64 epoch-nanos)")
           }
       }
+    }
+  }
+
+  /** Whether a physical type satisfies a contract kind — the same acceptance
+    * rules `conform` applies, reused by the rename-hint diagnostic.
+    */
+  private def kindCompatible(kind: Kind, dt: DataType): Boolean = kind match {
+    case Integral => dt match {
+      case ShortType | IntegerType | LongType => true; case _ => false
+    }
+    case Floating => dt match {
+      case FloatType | DoubleType => true; case _ => false
+    }
+    case Str => dt == StringType
+    case VecF => dt match {
+      case ArrayType(FloatType | DoubleType, _) => true; case _ => false
+    }
+    case TsNtz | TsLtz => dt match {
+      case LongType | TimestampType | TimestampNTZType => true; case _ => false
     }
   }
 

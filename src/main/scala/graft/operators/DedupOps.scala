@@ -39,6 +39,63 @@ object DedupOps {
   val LshRows = 4
   val ShingleN = 5
 
+  /** Production guard for the PAIR-emission faces: a bucket with m members
+    * emits C(m,2) candidate pairs, so one viral duplicate group (boilerplate
+    * page, cookie banner, empty template) with m in the millions would emit
+    * ~m²/2 rows at 100 TB before any similarity filter ran. Buckets above
+    * this cap are deterministically truncated to their `HotBucketCap`
+    * LOWEST doc ids before pairing, bounding per-bucket emission at
+    * C(cap, 2) ≈ 8.4M rows; every fixture/bench bucket sits well below the
+    * cap (measured max occupancy — sf0.01: minhash 43 / simhash 30; sf0.1:
+    * minhash 457 / simhash 222; DedupOpsSpec pins the report empty), so the
+    * capped and uncapped faces are bit-identical on the oracle board, and a
+    * future fixture regen that pushed a bucket past the cap would show up
+    * as an oracle hash mismatch plus a non-empty report, never silently.
+    * The CLUSTER faces stay
+    * uncapped by design: single-linkage needs every verified edge, and
+    * their output and propagation cost are linear in corpus size, not in
+    * pair count. Truncation is observable, not silent — see
+    * `bucketTruncationReport`.
+    */
+  val HotBucketCap = 4096
+
+  /** Keep each (band, key) bucket's `cap` lowest doc ids. The row_number
+    * sort folds into the sort the pair self-join needs anyway (same
+    * (band, key) prefix), so the cap costs no extra exchange.
+    */
+  private def capHotBuckets(buckets: DataFrame, keyCol: String,
+                            cap: Int): DataFrame =
+    if (cap == Int.MaxValue) buckets
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col(keyCol)).orderBy(col("doc_id"))
+      buckets.withColumn("bkt_rk", row_number().over(w))
+        .filter(col("bkt_rk") <= cap).drop("bkt_rk")
+    }
+
+  /** Diagnostic twin of the cap: the buckets the pair faces truncated —
+    * (tier, band, bucket_key, n_docs, kept). Empty whenever the cap is not
+    * binding (the fixture/bench regime); a dedup deployment runs it next to
+    * a capped pairs job so truncation is a reported fact, not a silent one.
+    */
+  def bucketTruncationReport(docs: DataFrame, idCol: String, textCol: String,
+                             cap: Int = HotBucketCap): DataFrame = {
+    def over(buckets: DataFrame, keyCol: String, tier: String): DataFrame =
+      buckets.groupBy(col("band"), col(keyCol).as("bucket_key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > cap)
+        .select(lit(tier).as("tier"), col("band"), col("bucket_key"),
+          col("n_docs"), lit(cap).as("kept"))
+    val mh = minhashSignatures(docs, textCol)
+      .select(col(idCol).as("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val sh = simhashFingerprints(docs, textCol)
+      .select(col(idCol).as("doc_id"),
+        posexplode(simhashBands(col("simhash"), 4, SimhashBandBits))
+          .as(Seq("band", "band_val")))
+    over(mh, "band_hash", "minhash").unionByName(over(sh, "band_val", "simhash"))
+  }
+
   /** Round bound for cluster label propagation. Sized ABOVE the measured
     * fixture convergence depth (with pointer jumping the deepest case is
     * the sf0.1 simhash chain at 10 rounds; sf0.01 converges in ≤6 —
@@ -68,16 +125,18 @@ object DedupOps {
     * are fixed-width longs, so this co-partitions cleanly at any scale.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   minEstJaccard: Double = 0.5): DataFrame = {
+                   minEstJaccard: Double = 0.5,
+                   maxBucket: Int = HotBucketCap): DataFrame = {
     // persist: the signature subtree feeds the bucket explode AND both join
     // sides; without the barrier Catalyst re-inlines (and re-evaluates) the
     // interpreted HOF hashing once per consumer. At warehouse scale this
     // intermediate would be a written signatures table instead.
     val sigs = graft.Caching.track(minhashSignatures(docs, textCol)
       .select(col(idCol).as("doc_id"), col("sh_hashes"), col("sig"), col("bands")))
-    val buckets = sigs.select(
+    val buckets = capHotBuckets(sigs.select(
       col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "band_hash")))
+      posexplode(col("bands")).as(Seq("band", "band_hash"))),
+      "band_hash", maxBucket)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -120,8 +179,9 @@ object DedupOps {
     * 2^15-rare so the candidate set tracks genuine near-dups.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame =
-    simhashPairsOfFps(bandedFps(docs, idCol, textCol), maxDist)
+                   maxDist: Int = 3,
+                   maxBucket: Int = HotBucketCap): DataFrame =
+    simhashPairsOfFps(bandedFps(docs, idCol, textCol), maxDist, maxBucket)
 
   /** Persisted (doc_id, simhash, bands) staging frame — shared by the pair
     * and cluster paths so the corpus tokenizes and fingerprints once.
@@ -132,10 +192,12 @@ object DedupOps {
       .select(col(idCol).as("doc_id"), col("simhash"),
         simhashBands(col("simhash"), 4, SimhashBandBits).as("bands")))
 
-  private def simhashPairsOfFps(fps: DataFrame, maxDist: Int): DataFrame = {
-    val buckets = fps.select(
+  private def simhashPairsOfFps(fps: DataFrame, maxDist: Int,
+                                maxBucket: Int): DataFrame = {
+    val buckets = capHotBuckets(fps.select(
       col("doc_id"), col("simhash"),
-      posexplode(col("bands")).as(Seq("band", "band_val")))
+      posexplode(col("bands")).as(Seq("band", "band_val"))),
+      "band_val", maxBucket)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -230,10 +292,15 @@ object DedupOps {
     */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       rounds: Int = ClusterRounds, maxDist: Int = 3): DataFrame = {
-    // one persisted fingerprint pass feeds the id list AND the pair join
+    // one persisted fingerprint pass feeds the id list AND the pair join.
+    // Edges stay UNCAPPED: single-linkage connectivity needs every verified
+    // edge (a capped bucket would orphan its overflow docs into singleton
+    // labels), and the cluster face's output/propagation cost is linear —
+    // the C(m,2) hazard is specific to the pair-emission faces.
     val fps = bandedFps(docs, idCol, textCol)
     val ids = fps.select(col("doc_id"))
-    val edges = simhashPairsOfFps(fps, maxDist).select(col("doc_a"), col("doc_b"))
+    val edges = simhashPairsOfFps(fps, maxDist, Int.MaxValue)
+      .select(col("doc_a"), col("doc_b"))
     propagateEdges(edges, rounds)
       .join(ids, Seq("doc_id"), "right")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
@@ -281,6 +348,12 @@ object DedupOps {
     * (under-merge). The oracle unrolls the same rounds; early-stop cannot
     * diverge from the full unroll because rounds past the fixed point are
     * no-ops (bucket-min, member-min, and the jump are all identities there).
+    *
+    * `roundsUsed` counts MATERIALIZED rounds only: the round-0 contraction
+    * seeds labels at one lazy merge step that fuses into round 1's plan, so
+    * the total number of merge steps applied is roundsUsed + 1. Consumers
+    * comparing against the oracle's unroll depth (or the DEPLOY.md round
+    * counts) should read it that way.
     */
   final case class Propagation(labels: DataFrame, roundsUsed: Int,
                                converged: Boolean)

@@ -77,6 +77,21 @@ object SimilarityOps {
   val AnnBands = 12
   val AnnBandBits = 10
 
+  /** IVF tier operating point, shared by the queries AND their oracle SQL
+    * (both render from these constants, so turning the knob cannot desync
+    * the two sides). Chosen from the RecallProbe sweep (curve in DEPLOY.md,
+    * r10): at EQUAL scan cost, more lists strictly win (32/8 beats 16/4,
+    * 32/16 beats 16/8 at both sf0.01 and sf0.1), so lists doubled and the
+    * probe count buys the recall knee — recall@10 mean 0.50 → 0.84
+    * (min 0.30 → 0.50) for ~2.2× the scanned fraction, on the fixture's
+    * adversarial near-orthogonal corpus where recall is lift-limited for
+    * any sub-quadratic index. RecallBandSpec pins the floors this point
+    * buys; nProbe stays the deployment's recall/cost dial (the committed
+    * curve is the evidence for turning it).
+    */
+  val IvfLists = 32
+  val IvfProbe = 16
+
   /** Multiprobe flip masks: every XOR mask of Hamming weight ≤ 2 within an
     * AnnBandBits-wide band (1 + 10 + 45 = 56 probes per band).
     */
@@ -89,7 +104,7 @@ object SimilarityOps {
       } yield (1L << i) | (1L << k))
 
   /** Corpus with unit vectors (norm computed once per row). */
-  private def unitCorpus(embs: DataFrame): DataFrame =
+  private[graft] def unitCorpus(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("nv"),
       col("label"))
 
@@ -197,17 +212,17 @@ object SimilarityOps {
     val queries = corpus.filter(col("vec_id") < 5)
     val brute = bruteForceTopK(corpus, queries, 10)
       .select(col("query_id"), col("vec_id"))
-    val (indexed, cents) = ivfIndex(corpus, nLists = 16)
+    val (indexed, cents) = ivfIndex(corpus, nLists = IvfLists)
     graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_centroids")(cents)
-    val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = 4)
+    val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = IvfProbe)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     brute.join(ann, Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_brute"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
-      .withColumn("index_cfg", concat_ws("/", lit(16), lit(4)))
+      .withColumn("index_cfg", concat_ws("/", lit(IvfLists), lit(IvfProbe)))
   }
 
   /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns
@@ -238,7 +253,7 @@ object SimilarityOps {
     * exact cosine re-rank — identical output shape to lshTopK/bruteForceTopK.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              nLists: Int = IvfLists, nProbe: Int = IvfProbe): DataFrame = {
     val (indexed, cents) = ivfIndex(corpus, nLists)
     ivfProbe(indexed, cents, queries, k, nProbe)
   }
@@ -249,14 +264,7 @@ object SimilarityOps {
     */
   def ivfProbe(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
                k: Int, nProbe: Int): DataFrame = {
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdot").desc, col("list"))
-    val probed = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", dotK(col("qv"), col("centroid")))
-      .withColumn("prk", row_number().over(probeW))
-      .filter(col("prk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("list"))
+    val probed = probeAssignments(cents, queries, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     probed
@@ -269,6 +277,23 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** The probe half of the IVF search on its own — (query_id, qv, list) for
+    * each query's `nProbe` nearest lists. Shared by `ivfProbe` and the
+    * RecallProbe cost gauge (which joins it against list sizes to measure
+    * the fraction of the corpus a probe setting actually scans).
+    */
+  private[graft] def probeAssignments(cents: DataFrame, queries: DataFrame,
+                                      nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("list"))
+    queries.select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dotK(col("qv"), col("centroid")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("list"))
+  }
+
   /** Query: IVF ANN top-3 for the first 50 vectors. The quantizer fit stays
     * rows-only territory, but its artifacts (centroid table + list
     * assignments) export for the oracle, which re-runs the probe ranking and
@@ -277,10 +302,11 @@ object SimilarityOps {
     */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
-    val (indexed, cents) = ivfIndex(corpus, nLists = 16)
+    val (indexed, cents) = ivfIndex(corpus, nLists = IvfLists)
     graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_centroids")(cents)
-    ivfProbe(indexed, cents, corpus.filter(col("vec_id") < 50), k = 3, nProbe = 4)
+    ivfProbe(indexed, cents, corpus.filter(col("vec_id") < 50), k = 3,
+      nProbe = IvfProbe)
   }
 
   /** LSH-bucketed near-duplicate pairs: candidates share ≥1 sketch band,

@@ -115,9 +115,10 @@ class DedupOpsSpec extends SparkSuite {
     // that the bound is NOT binding at the correctness-gate scale — the
     // early-stop fires with rounds to spare, so the oracle's full unroll
     // and the true single-linkage fixed point coincide. (The deepest
-    // measured case overall is the sf0.1 simhash chain at 10 jump-rounds;
-    // the original 3-round hop-per-round bound silently under-merged,
-    // which this spec would now catch.)
+    // measured case overall is the sf0.1 simhash chain at 9 jump-rounds —
+    // 10 before the r9 round-0 contraction; the original 3-round
+    // hop-per-round bound silently under-merged, which this spec would now
+    // catch.)
     val dir = "/root/testdata/sf0.01"
     val fdocs = Tables.documents(spark, dir)
     val buckets = DedupOps.minhashSignatures(fdocs, "text")
@@ -168,6 +169,45 @@ class DedupOpsSpec extends SparkSuite {
       assert(le == lb, s"bound=$bound")
       graft.Caching.releaseAll()
     }
+  }
+
+  test("hot-bucket cap bounds pair emission on a viral duplicate group") {
+    // 10k byte-identical docs: every doc lands in the SAME bucket of every
+    // band, so the uncapped faces would emit C(10000,2) ≈ 50M candidate
+    // rows per band — the viral-boilerplate shape that makes the pair
+    // QUERIES explode at 100 TB. With the cap the buckets truncate to
+    // their `cap` lowest ids and output is exactly C(cap,2).
+    val viral = spark.range(10000).select(
+      functionsCol("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit(
+        "the same viral boilerplate banner text repeated on every single page"
+      ).as("text"))
+    val cap = 32
+    val expected = cap.toLong * (cap - 1) / 2
+    val mh = DedupOps.minhashPairs(viral, "doc_id", "text", 0.5, maxBucket = cap)
+    assert(mh.count() == expected)
+    graft.Caching.releaseAll()
+    val sh = DedupOps.simhashPairs(viral, "doc_id", "text", 3, maxBucket = cap)
+    assert(sh.count() == expected)
+    graft.Caching.releaseAll()
+    // truncation is reported, not silent: every band's one hot bucket shows
+    // its true size and the kept count
+    val rep = DedupOps.bucketTruncationReport(viral, "doc_id", "text", cap)
+      .collect()
+    assert(rep.length == DedupOps.LshBands + 4) // minhash bands + simhash bands
+    assert(rep.forall(r => r.getAs[Long]("n_docs") == 10000L &&
+      r.getAs[Int]("kept") == cap))
+    graft.Caching.releaseAll()
+  }
+
+  test("the shipped cap is not binding at fixture scale (report empty)") {
+    // bit-equality of the capped and uncapped faces on the oracle board
+    // follows from the cap never firing there: an empty truncation report
+    // means the row_number filter keeps every bucket row
+    val fdocs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val rep = DedupOps.bucketTruncationReport(fdocs, "doc_id", "text")
+    assert(rep.count() == 0)
+    graft.Caching.releaseAll()
   }
 
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {

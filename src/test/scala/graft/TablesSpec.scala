@@ -129,6 +129,45 @@ class TablesSpec extends SparkSuite {
     assert(e.getMessage.contains("expected an integral type"))
   }
 
+  test("missing column + same-type-class extra is flagged as a likely rename") {
+    import spark.implicits._
+    val dir = tempDir()
+    // c_acctbal (Floating) renamed to c_balance: the diagnostic should name
+    // the candidate instead of leaving the reader diffing parquet footers
+    Seq((1L, "Customer#1", 7, 12.5, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_balance", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.customer(spark, dir) }
+    assert(e.getMessage.contains("missing required column(s) [c_acctbal]"))
+    assert(e.getMessage.contains("likely renamed from 'c_balance' (double)"),
+      s"expected a rename hint, got: ${e.getMessage}")
+  }
+
+  test("rename hint only suggests type-compatible extras") {
+    import spark.implicits._
+    val dir = tempDir()
+    // extra column exists but is a string — no hint for the Floating miss
+    Seq((1L, "Customer#1", 7, "extra", "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_note", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.customer(spark, dir) }
+    assert(e.getMessage.contains("missing required column(s) [c_acctbal]"))
+    assert(!e.getMessage.contains("likely renamed"),
+      s"string extra must not be suggested for a floating column: ${e.getMessage}")
+  }
+
+  test("load refuses a non-UTC session (timestamp relabels would shift)") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+      val e = intercept[IllegalStateException] {
+        Tables.region(spark, SparkSpec.FixtureDir)
+      }
+      assert(e.getMessage.contains("Asia/Seoul"))
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("extra columns pass through untouched") {
     import spark.implicits._
     val dir = tempDir()

@@ -69,6 +69,15 @@ def main():
     if bad and oenv == nenv:
         print(f"FAIL: {len(bad)} regression(s) >= {args.threshold}x outside the noise band")
         return 1
+    if bad:
+        # Env fingerprints differ, so the deltas MAY be environmental — but a
+        # green exit here would let a CI gate silently pass on any drift
+        # (including an accidental heap/CPU change). Distinct code 2 forces
+        # the caller to acknowledge incomparability instead.
+        print(f"INCOMPARABLE: {len(bad)} regression(s) >= {args.threshold}x "
+              "but the env fingerprints differ — re-record on a matching "
+              "environment before trusting either direction")
+        return 2
     return 0
 
 

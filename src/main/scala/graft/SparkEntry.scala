@@ -1092,7 +1092,8 @@ object SparkEntry {
          |  WHERE len(g) > 0),
          |inverted AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
          |rare AS (SELECT gram FROM inverted GROUP BY 1
-         |         HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) // 500)
+         |         HAVING count(*) <= greatest(10, least(${DedupOps.MaxNgramDf},
+         |                  (SELECT count(*) FROM documents) // 500))
          |            AND count(*) >= 2),
          |postings AS (SELECT i.doc_id, i.gram FROM inverted i JOIN rare USING (gram)),
          |cands AS (

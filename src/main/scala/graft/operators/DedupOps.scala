@@ -253,14 +253,29 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Upper clamp on the corpus-relative n-gram df cap: the rare-gram
+    * posting self-join emits up to df² rows per gram, so an UNclamped
+    * n/500 cap would let one at-the-cap gram emit (n/500)² rows at 100 TB
+    * — the same C(m,2) hazard class the pair faces' HotBucketCap guards.
+    * The clamp bounds per-gram emission at ~10⁶ rows; duplicate groups
+    * whose multiplicity exceeds the clamp push all their grams' df past
+    * the cap and fall out of THIS tier (exactly like any ubiquitous gram)
+    * — they are the minhash/simhash tiers' territory, which find them via
+    * banded signatures at linear cost. Both fixture scales resolve to
+    * maxDf = 10, far under the clamp, so the oracle board is unaffected.
+    */
+  val MaxNgramDf = 1000
+
   /** Query: token-3-gram Jaccard near-dup pairs over the documents fixture.
-    * The df cap scales with corpus size (max(10, n/500)): a FIXED cap stops
-    * finding anything once duplicate multiplicity exceeds it — every gram of
-    * a 20×-duplicated doc has df ≥ 20 (found by the 10× scale probe).
+    * The df cap scales with corpus size (max(10, n/500), clamped to
+    * MaxNgramDf): a FIXED cap stops finding anything once duplicate
+    * multiplicity exceeds it — every gram of a 20×-duplicated doc has
+    * df ≥ 20 (found by the 10× scale probe) — while an UNclamped one
+    * re-opens the quadratic posting join (see MaxNgramDf).
     */
   def ngramDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val maxDf = math.max(10L, docs.count() / 500L).toInt
+    val maxDf = math.max(10L, math.min(MaxNgramDf.toLong, docs.count() / 500L)).toInt
     ngramJaccardPairs(docs, "doc_id", "text", maxDf = maxDf)
   }
 
@@ -292,18 +307,30 @@ object DedupOps {
     */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       rounds: Int = ClusterRounds, maxDist: Int = 3): DataFrame = {
-    // one persisted fingerprint pass feeds the id list AND the pair join.
-    // Edges stay UNCAPPED: single-linkage connectivity needs every verified
-    // edge (a capped bucket would orphan its overflow docs into singleton
-    // labels), and the cluster face's output/propagation cost is linear —
-    // the C(m,2) hazard is specific to the pair-emission faces.
+    // Fingerprint-equal docs CONTRACT to one node before pairing (r10):
+    // equal 60-bit fps share every band and sit at hamming 0, so class
+    // members are guaranteed mutual edges — a viral group of m
+    // byte-near-identical docs (which simhash maps to one fp) would
+    // otherwise materialize C(m,2) verified edges into the cluster graph.
+    // After contraction, edge volume is quadratic in DISTINCT fingerprints
+    // per bucket, never in docs. Labels are unchanged: the class rep is the
+    // class min, cross-class edges depend only on the fps, so propagation
+    // over the contracted graph reaches the same component minima
+    // (DedupOpsSpec pins label equality against the uncontracted build).
+    // Edges between distinct fps stay UNCAPPED: single-linkage
+    // connectivity needs every verified edge — a capped bucket would
+    // orphan its overflow docs into singleton labels.
     val fps = bandedFps(docs, idCol, textCol)
-    val ids = fps.select(col("doc_id"))
-    val edges = simhashPairsOfFps(fps, maxDist, Int.MaxValue)
+    val classes = graft.Caching.track(fps.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands")))
+    val reps = classes.select(col("rep").as("doc_id"), col("simhash"), col("bands"))
+    val edges = simhashPairsOfFps(reps, maxDist, Int.MaxValue)
       .select(col("doc_a"), col("doc_b"))
     propagateEdges(edges, rounds)
-      .join(ids, Seq("doc_id"), "right")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      .select(col("doc_id").as("rep"), col("label"))
+      .join(classes.select(col("simhash"), col("rep")), Seq("rep"), "right")
+      .join(fps.select(col("doc_id"), col("simhash")), Seq("simhash"))
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
   }
 
   /** Query: hamming-verified SimHash duplicate-cluster profile — the

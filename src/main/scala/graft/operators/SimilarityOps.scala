@@ -394,10 +394,29 @@ object SimilarityOps {
     * multiplicity.
     */
   def lshDupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    // Vector-equal rows CONTRACT to one node before pairing (r10, the
+    // embed twin of simhashClusters' fp contraction): identical unit
+    // vectors share every band (the planes are deterministic) and pair at
+    // cos 1.0 ≥ any threshold, so class members are guaranteed mutual
+    // edges — a viral group of m exact-copy vectors would otherwise
+    // materialize C(m,2) cosine-verified edges. Cross-class edges depend
+    // only on the nv values, and the class rep is the class min, so the
+    // propagated labels are unchanged (pinned by spec). The nv groupBy
+    // hashes each 64-dim vector once — the index-build class of cost, not
+    // a per-pair one.
     val corpus = dedupCorpus(spark, dir)
-    val edges = lshCosinePairs(corpus, minCosine = 0.4)
+    val classes = graft.Caching.track(corpus.groupBy(col("nv"))
+      .agg(min(col("vec_id")).as("rep"), first(col("bands")).as("bands"),
+        first(col("label")).as("label")))
+    val reps = classes.select(col("rep").as("vec_id"), col("nv"),
+      col("label"), col("bands"))
+    val edges = lshCosinePairs(reps, minCosine = 0.4)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
+      .select(col("doc_id").as("rep"), col("label"))
+      .join(classes.select(col("nv"), col("rep")), Seq("rep"), "right")
+      .join(corpus.select(col("vec_id").as("doc_id"), col("nv")), Seq("nv"))
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_vecs"), max(col("doc_id")).as("max_vec_id"))
       .filter(col("n_vecs") > 1)

@@ -210,6 +210,46 @@ class DedupOpsSpec extends SparkSuite {
     graft.Caching.releaseAll()
   }
 
+  test("cluster contraction preserves labels vs the uncontracted build (sf0.01)") {
+    // simhashClusters/lshDupClusterProfile contract fp-equal / vector-equal
+    // rows to one node before pairing (the viral-group guard on the CLUSTER
+    // faces); this pins that the contracted graph propagates to the exact
+    // labels of the plain verified-pair build on the real fixture corpus.
+    val dir = "/root/testdata/sf0.01"
+    val fdocs = Tables.documents(spark, dir)
+    val contracted = DedupOps.simhashClusters(fdocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.releaseAll()
+    val edges = DedupOps.simhashPairs(fdocs, "doc_id", "text", 3)
+      .select(functionsCol("doc_a"), functionsCol("doc_b"))
+    val prop = DedupOps.propagateEdgesTracked(edges, DedupOps.ClusterRounds)
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.releaseAll()
+    val ids = fdocs.select("doc_id").collect().map(_.getLong(0))
+      .filter(contracted.contains) // docs with no tokens drop in both builds
+    val uncontracted = ids.map(id => id -> prop.getOrElse(id, id)).toMap
+    assert(contracted == uncontracted)
+  }
+
+  test("embed cluster contraction matches the uncontracted profile (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val profile = operators.SimilarityOps.lshDupClusterProfile(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caching.releaseAll()
+    val edges = operators.SimilarityOps.lshDupPairs(spark, dir)
+      .select(functionsCol("vec_a").as("doc_a"), functionsCol("vec_b").as("doc_b"))
+    val labels = DedupOps.propagateEdgesTracked(edges, DedupOps.ClusterRounds)
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.releaseAll()
+    val vecIds = Tables.embeddings(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0))
+    val expected = vecIds.map(id => id -> labels.getOrElse(id, id))
+      .groupBy(_._2).map { case (lab, members) =>
+        (lab, members.length.toLong, members.map(_._1).max)
+      }.filter(_._2 > 1).toSet
+    assert(profile == expected)
+  }
+
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
     val dupIds = pairs.select("doc_b").distinct()

@@ -83,6 +83,12 @@ object ScaleProbe {
     time("simhash_pairs_cap64")(DedupOps.simhashPairs(
       Tables.documents(spark, tmp), "doc_id", "text", 3, maxBucket = 64).count())
     time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())
+    // substring-span tier: replicas make every original 8-gram occur
+    // `factor` times, so nearly every position is a duplicated start — the
+    // adversarial regime for the join-back (linear in occurrences) and the
+    // per-doc interval union (starts ≈ all positions)
+    time("span_profile")(SpanDedupOps.spanProfileQuery(spark, tmp).count())
+    time("span_scrub")(SpanDedupOps.spanScrubQuery(spark, tmp).count())
     time("lsh_ann")(SimilarityOps.lshAnn(spark, tmp).count())
     // embedding dedup tier: pair/cluster cost plus the raw candidate
     // volume, with the corpus-scaled band width and with the fixture width

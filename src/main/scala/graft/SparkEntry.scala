@@ -87,6 +87,14 @@ object SparkEntry {
        |     ELSE list_distinct(list_transform(range(0, len($l) - ${n - 1}),
        |            i -> ${polyFold(s"list_slice($l, i + 1, i + $n)")})) END"""
       .stripMargin
+  /** POSITIONAL polynomial hashes of all length-n windows (mirror of
+    * HashKernels.windowHashList — windowHashSql without the distinct, so
+    * list index = span start offset). */
+  private def windowHashListSql(l: String, n: Int): String =
+    s"""CASE WHEN len($l) < $n THEN []
+       |     ELSE list_transform(range(0, len($l) - ${n - 1}),
+       |            i -> ${polyFold(s"list_slice($l, i + 1, i + $n)")}) END"""
+      .stripMargin
   /** Distinct rolling hashes of char 5-shingles of a codepoint-list expr. */
   private def shingleHashes(cpsExpr: String): String = windowHashSql(cpsExpr, 5)
   /** MinHash signature (k=32) of a hash-list expression. */
@@ -283,6 +291,8 @@ object SparkEntry {
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
+    "dedup_span_profile" -> SpanDedupOps.spanProfileQuery,
+    "dedup_span_scrub" -> SpanDedupOps.spanScrubQuery,
     // batch face of StreamOps.indexDupStream: band-collision flags of the
     // delta against the historical index (same 90/10 cut as
     // dedup_incremental; no jaccard re-rank — this is the ingest-time flag).
@@ -1110,6 +1120,56 @@ object SparkEntry {
          |  JOIN grams gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
          |FROM scored WHERE jac >= 0.5""".stripMargin,
+    // substring tier: positional gram inventory -> global occurrence count
+    // -> join back -> per-doc interval union over the sorted start offsets
+    // (covered = k + sum(min(gap, k)); a new span opens when a gap > k)
+    "dedup_span_profile" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS_ALL AS toks FROM documents),
+         |h AS (SELECT doc_id, len(toks) AS n_tok,
+         |  ${windowHashListSql(tokenHashes("toks"), SpanDedupOps.SpanK)} AS ghs FROM d),
+         |inv AS (SELECT doc_id, unnest(range(len(ghs))) AS pos,
+         |               unnest(ghs) AS gram FROM h),
+         |dupg AS (SELECT gram FROM inv GROUP BY 1 HAVING count(*) >= 2),
+         |starts AS (SELECT doc_id, pos FROM inv JOIN dupg USING (gram)),
+         |perdoc AS (SELECT doc_id, list_sort(list(pos)) AS ps,
+         |                  count(*) AS dup_starts FROM starts GROUP BY 1),
+         |st AS (SELECT doc_id, dup_starts,
+         |  list_transform(range(2, len(ps) + 1),
+         |    i -> ps[CAST(i AS INT)] - ps[CAST(i AS INT) - 1]) AS gaps
+         |  FROM perdoc)
+         |SELECT st.doc_id AS doc_id, CAST(h.n_tok AS BIGINT) AS n_tokens,
+         |  CAST(dup_starts AS BIGINT) AS dup_starts,
+         |  CAST(1 + len(list_filter(gaps, x -> x > ${SpanDedupOps.SpanK})) AS BIGINT) AS n_spans,
+         |  CAST(${SpanDedupOps.SpanK} + coalesce(list_sum(list_transform(gaps,
+         |    x -> least(x, ${SpanDedupOps.SpanK}))), 0) AS BIGINT) AS dup_tokens,
+         |  round((${SpanDedupOps.SpanK} + coalesce(list_sum(list_transform(gaps,
+         |    x -> least(x, ${SpanDedupOps.SpanK}))), 0)) * 1.0 / h.n_tok, 4) AS dup_frac
+         |FROM st JOIN h ON st.doc_id = h.doc_id""".stripMargin,
+    // the action face: tokens inside any duplicated span removed, text
+    // rebuilt in position order; fully-covered docs stay with empty text
+    "dedup_span_scrub" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS_ALL AS toks FROM documents),
+         |h AS (SELECT doc_id, toks, len(toks) AS n_tok,
+         |  ${windowHashListSql(tokenHashes("toks"), SpanDedupOps.SpanK)} AS ghs FROM d),
+         |inv AS (SELECT doc_id, unnest(range(len(ghs))) AS pos,
+         |               unnest(ghs) AS gram FROM h),
+         |dupg AS (SELECT gram FROM inv GROUP BY 1 HAVING count(*) >= 2),
+         |starts AS (SELECT doc_id, pos FROM inv JOIN dupg USING (gram)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+         |        FROM starts, range(0, ${SpanDedupOps.SpanK}) t(j)),
+         |aff AS (SELECT DISTINCT doc_id FROM cov),
+         |tp AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+         |              unnest(toks) AS tok FROM h),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+         |         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+         |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY 1)
+         |SELECT aff.doc_id AS doc_id, CAST(h.n_tok AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM aff JOIN h ON aff.doc_id = h.doc_id
+         |LEFT JOIN agg ON aff.doc_id = agg.doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,

@@ -118,6 +118,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class WindowHashList(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(arr: Any): Any =
+      HashKernels.windowHashList(arr.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.windowHashList($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): WindowHashList =
+      copy(child = newChild)
+  }
+
   case class UnitVector(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -183,6 +194,8 @@ object HashExpressions {
     GraftBridge.column(TokenHashes(GraftBridge.expression(c), minLen, maxLen))
   def windowHashSet(c: Column, n: Int): Column =
     GraftBridge.column(WindowHashSet(GraftBridge.expression(c), n))
+  def windowHashList(c: Column, n: Int): Column =
+    GraftBridge.column(WindowHashList(GraftBridge.expression(c), n))
   def dotK(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def unitVector(c: Column): Column =

@@ -183,6 +183,27 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** POSITIONAL polynomial hashes of all length-n windows of a BIGINT array —
+    * element i is the hash of the window starting at i (no dedup, unlike
+    * windowHashSet), so array position doubles as the span start offset.
+    * Feed it tokenHashes(...) for token-gram spans: the substring-dedup tier
+    * needs WHERE a duplicated gram sits, not just that it exists.
+    */
+  def windowHashList(hashes: ArrayData, n: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      var acc = 7L
+      var j = i
+      while (j < i + n) { acc = (acc * 31L + hashes.getLong(j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Jaccard similarity of two BIGINT arrays treated as sets (hash-set
     * membership count; same value as size(intersect)/size(union) of the
     * distinct inputs).

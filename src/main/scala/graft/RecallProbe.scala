@@ -65,6 +65,53 @@ object RecallProbe {
           f"min=${perQuery.min}%.3f scan_frac=$frac%.3f wall=$wall%.2f s")
       }
     }
+    // PQ sweep: recall of the compressed-domain (ADC) ranking and the
+    // two-stage re-rank, per (codebook size, shortlist factor) at the
+    // shipped coarse operating point — the evidence for the PqCents /
+    // PqShortlist knobs (memory per vector = M·log2(cents) bits; re-rank
+    // reads shortlist·k full vectors per query).
+    {
+      import graft.operators.PqOps
+      val (indexed0, cents) = SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+      val lists = Caching.track(indexed0.select(col("vec_id"), col("list")))
+      val probed = SimilarityOps.probeAssignments(cents, queries, SimilarityOps.IvfProbe)
+      val cands = Caching.track(probed.join(lists, "list")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id")))
+      for (nCents <- Seq(16, 32, 64)) {
+        val (codebooks, codes0, ds) = PqOps.pqFit(corpus, nCents)
+        val codes = Caching.track(codes0)
+        val qdot = PqOps.qdotOf(codebooks, queries
+          .select(col("vec_id"), col("nv")), ds)
+        val adc = Caching.track(PqOps.adcScores(cands, codes, qdot))
+        val adcRecall = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+          val top = adc.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 10)
+            .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+          brute.join(top, Seq("query_id", "vec_id"), "left")
+            .groupBy(col("query_id"))
+            .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+            .collect().map(_.getAs[Double]("recall"))
+        }
+        for (shortlist <- Seq(4, 8, 16)) {
+          val t0 = System.nanoTime()
+          val rer = PqOps.pqSearch(corpus, lists, cents, codebooks, codes, ds,
+              queries, k = 10, shortlist = shortlist)
+            .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+          val perQ = brute.join(rer, Seq("query_id", "vec_id"), "left")
+            .groupBy(col("query_id"))
+            .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+            .collect().map(_.getAs[Double]("recall"))
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"[pq] cents=$nCents%2d shortlist=${shortlist}%2dx " +
+            f"adc_recall mean=${adcRecall.sum / adcRecall.length}%.3f " +
+            f"rerank_recall mean=${perQ.sum / perQ.length}%.3f " +
+            f"min=${perQ.min}%.3f wall=$wall%.2f s")
+        }
+      }
+    }
     Caching.releaseAll()
     spark.stop()
   }

@@ -314,6 +314,8 @@ object SparkEntry {
     "sim_ivf_ann" -> SimilarityOps.ivfAnn,
     "sim_recall" -> SimilarityOps.annRecall,
     "sim_ivf_recall" -> SimilarityOps.ivfRecall,
+    "sim_ivfpq_ann" -> PqOps.ivfPqAnn,
+    "sim_ivfpq_recall" -> PqOps.ivfPqRecall,
     "dedup_exact_fp" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit, min}
       graft.streaming.StreamOps.withFingerprint(Tables.documents(s, d), "text")
@@ -1663,6 +1665,115 @@ object SparkEntry {
          |  '${SimilarityOps.IvfLists}/${SimilarityOps.IvfProbe}' AS index_cfg
          |FROM br LEFT JOIN an
          |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+         |GROUP BY 1""".stripMargin,
+    // IVF-PQ: coarse probe + ADC over the exported codes (fixed-order sum
+    // fold) + shortlist + exact re-rank — all re-derived from the pq_*
+    // artifacts (same seeded fits as the Spark side => identical tables)
+    "sim_ivfpq_ann" ->
+      s"""WITH $UNIT_CTE,
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 50),
+         |pr AS (
+         |  SELECT query_id, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("pq_centroids")} c)),
+         |cand AS (
+         |  SELECT query_id, lx.vec_id AS vec_id
+         |  FROM pr JOIN ${Artifacts.ref("pq_lists")} lx USING (list)
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND query_id <> lx.vec_id),
+         |qs AS (SELECT query_id, t.m AS m,
+         |         list_slice(qv, t.m * ${PqOps.lastPqDs} + 1,
+         |                    t.m * ${PqOps.lastPqDs} + ${PqOps.lastPqDs}) AS qsub
+         |       FROM q, range(0, ${PqOps.PqM}) t(m)),
+         |qd AS (SELECT query_id, qs.m AS m, cb.cid AS cid,
+         |         ${dotSql("qsub", "cb.centroid")} AS d
+         |       FROM qs JOIN ${Artifacts.ref("pq_codebooks")} cb ON cb.m = qs.m),
+         |sc AS (
+         |  SELECT c.query_id AS query_id, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0, list(d ORDER BY pc.m)),
+         |                (acc, x) -> acc + x) AS adc
+         |  FROM cand c
+         |  JOIN ${Artifacts.ref("pq_codes")} pc ON pc.vec_id = c.vec_id
+         |  JOIN qd ON qd.query_id = c.query_id AND qd.m = pc.m AND qd.cid = pc.cid
+         |  GROUP BY 1, 2),
+         |sh AS (SELECT query_id, vec_id, adc,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srk
+         |       FROM sc),
+         |rr AS (SELECT sh.query_id AS query_id, sh.vec_id AS vec_id, sh.adc AS adc,
+         |         ${dotSql("q.qv", "cu.nv")} AS cos
+         |       FROM sh JOIN q ON q.query_id = sh.query_id
+         |       JOIN u cu ON cu.vec_id = sh.vec_id
+         |       WHERE srk <= ${PqOps.PqShortlist * 3}),
+         |r AS (SELECT query_id, vec_id, adc, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |      FROM rr)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id,
+         |  round(adc, 4) AS adc, round(cos, 4) AS cos
+         |FROM r WHERE rk <= 3""".stripMargin,
+    // both PQ recall gauges (pure-ADC and re-ranked) against the exact
+    // brute answer, from the same artifact chain
+    "sim_ivfpq_recall" ->
+      s"""WITH $UNIT_CTE,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 10),
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 5),
+         |pr AS (
+         |  SELECT query_id, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("pq_centroids")} c)),
+         |cand AS (
+         |  SELECT query_id, lx.vec_id AS vec_id
+         |  FROM pr JOIN ${Artifacts.ref("pq_lists")} lx USING (list)
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND query_id <> lx.vec_id),
+         |qs AS (SELECT query_id, t.m AS m,
+         |         list_slice(qv, t.m * ${PqOps.lastPqDs} + 1,
+         |                    t.m * ${PqOps.lastPqDs} + ${PqOps.lastPqDs}) AS qsub
+         |       FROM q, range(0, ${PqOps.PqM}) t(m)),
+         |qd AS (SELECT query_id, qs.m AS m, cb.cid AS cid,
+         |         ${dotSql("qsub", "cb.centroid")} AS d
+         |       FROM qs JOIN ${Artifacts.ref("pq_codebooks")} cb ON cb.m = qs.m),
+         |sc AS (
+         |  SELECT c.query_id AS query_id, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0, list(d ORDER BY pc.m)),
+         |                (acc, x) -> acc + x) AS adc
+         |  FROM cand c
+         |  JOIN ${Artifacts.ref("pq_codes")} pc ON pc.vec_id = c.vec_id
+         |  JOIN qd ON qd.query_id = c.query_id AND qd.m = pc.m AND qd.cid = pc.cid
+         |  GROUP BY 1, 2),
+         |sh AS (SELECT query_id, vec_id, adc,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srk
+         |       FROM sc),
+         |adctop AS (SELECT query_id, vec_id FROM sh WHERE srk <= 10),
+         |rr AS (SELECT sh.query_id AS query_id, sh.vec_id AS vec_id,
+         |         ${dotSql("q.qv", "cu.nv")} AS cos
+         |       FROM sh JOIN q ON q.query_id = sh.query_id
+         |       JOIN u cu ON cu.vec_id = sh.vec_id
+         |       WHERE srk <= ${PqOps.PqShortlist * 10}),
+         |rertop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM rr)
+         |  WHERE rk <= 10)
+         |SELECT br.query_id, count(*) AS n_brute,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_adc,
+         |  CAST(sum(CASE WHEN rt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_rerank,
+         |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall_adc,
+         |  round(sum(CASE WHEN rt.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall_rerank,
+         |  '${SimilarityOps.IvfLists}/${SimilarityOps.IvfProbe} pq${PqOps.PqM}x${PqOps.PqCents}' AS index_cfg
+         |FROM br
+         |LEFT JOIN adctop a ON br.query_id = a.query_id AND br.vec_id = a.vec_id
+         |LEFT JOIN rertop rt ON br.query_id = rt.query_id AND br.vec_id = rt.vec_id
          |GROUP BY 1""".stripMargin,
     "dedup_exact_fp" ->
       s"""WITH n AS (

@@ -47,6 +47,28 @@ class RecallBandSpec extends SparkSuite {
     assert(mean >= 0.7, s"mean recall floor broken: $mean")
   }
 
+  test("ivf-pq holds both recall gauges at the fixture operating point") {
+    val rows = try {
+      graft.operators.PqOps.ivfPqRecall(spark, dir).collect()
+    } finally graft.Caching.releaseAll()
+    assert(rows.length == 5)
+    val adc = rows.map(_.getAs[Double]("recall_adc"))
+    val rer = rows.map(_.getAs[Double]("recall_rerank"))
+    info(f"ivf-pq recall@10: adc min=${adc.min}%.2f mean=${adc.sum / 5}%.2f; " +
+      f"reranked min=${rer.min}%.2f mean=${rer.sum / 5}%.2f " +
+      s"(pq${graft.operators.PqOps.PqM}x${graft.operators.PqOps.PqCents}, " +
+      s"shortlist ${graft.operators.PqOps.PqShortlist}x)")
+    // measured at the r10 point (cents=32, shortlist=8, from the
+    // RecallProbe sweep in DEPLOY.md): adc min 0.20 mean 0.38, reranked
+    // min 0.50 mean 0.70 — the reranked ceiling is the coarse probe's own
+    // recall (~0.84 mean at 32/16), so the PQ floors sit under it by the
+    // measured ADC-shortlist miss rate, not by quantization alone
+    assert(adc.min >= 0.15 && adc.sum / 5 >= 0.3,
+      s"adc recall floor broken: ${adc.mkString(",")}")
+    assert(rer.min >= 0.5 && rer.sum / 5 >= 0.65,
+      s"reranked recall floor broken: ${rer.mkString(",")}")
+  }
+
   test("embed-dedup LSH tier holds pair recall vs the exact cosine twin") {
     // dedup_embed_lsh re-verifies every candidate with the SAME exact
     // cosine threshold as the brute twin, so its pairs are a strict subset

@@ -102,6 +102,7 @@ object ScaleProbe {
       SimilarityOps.dedupCandidateVolume(spark, tmp, Some(12)).count())
     time("embed_cosine_brute")(DedupOps.embeddingDups(spark, tmp).count())
     time("ivf_ann")(SimilarityOps.ivfAnn(spark, tmp).count())
+    time("ivfpq_ann")(PqOps.ivfPqAnn(spark, tmp).count())
     time("exact_fp_dedup")(SparkEntry.queries("dedup_exact_fp")(spark, tmp).count())
     time("ctfidf")(TopicMetricsOps.ctfidfByLang(spark, tmp).count())
     time("cnpmi")(TopicMetricsOps.npmiTop10(spark, tmp).count())

@@ -293,6 +293,11 @@ object SparkEntry {
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
     "dedup_span_profile" -> SpanDedupOps.spanProfileQuery,
     "dedup_span_scrub" -> SpanDedupOps.spanScrubQuery,
+    // incremental face of the substring tier: delta docs probed against
+    // the FIRST 90%'s stored gram index (Artifacts round-trip, same
+    // build-once/probe-many shape as dedup_incremental); streaming twin
+    // is StreamOps.spanFlagStream (stream-static semi join, spec-pinned)
+    "dedup_span_flags" -> SpanDedupOps.spanFlagsQuery,
     // batch face of StreamOps.indexDupStream: band-collision flags of the
     // delta against the historical index (same 90/10 cut as
     // dedup_incremental; no jaccard re-rank — this is the ingest-time flag).
@@ -1147,6 +1152,25 @@ object SparkEntry {
          |  round((${SpanDedupOps.SpanK} + coalesce(list_sum(list_transform(gaps,
          |    x -> least(x, ${SpanDedupOps.SpanK}))), 0)) * 1.0 / h.n_tok, 4) AS dup_frac
          |FROM st JOIN h ON st.doc_id = h.doc_id""".stripMargin,
+    // incremental span flags: delta windows probed against the first
+    // 90%'s distinct-gram inventory (derived from the same cut in SQL)
+    "dedup_span_flags" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
+         |  FROM documents),
+         |d AS (SELECT doc_id, $TOKS_ALL AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  ${windowHashListSql(tokenHashes("toks"), SpanDedupOps.SpanK)} AS ghs FROM d),
+         |idx AS (SELECT DISTINCT unnest(ghs) AS gram
+         |        FROM h, cut WHERE doc_id <= cut),
+         |delta AS (SELECT doc_id, unnest(ghs) AS gram
+         |          FROM h, cut WHERE doc_id > cut),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |         FROM delta JOIN idx USING (gram) GROUP BY 1)
+         |SELECT hits.doc_id AS doc_id,
+         |  CAST(len(h2.ghs) AS BIGINT) AS n_windows,
+         |  CAST(n_hits AS BIGINT) AS n_hits
+         |FROM hits JOIN h h2 ON h2.doc_id = hits.doc_id""".stripMargin,
     // the action face: tokens inside any duplicated span removed, text
     // rebuilt in position order; fully-covered docs stay with empty text
     "dedup_span_scrub" ->

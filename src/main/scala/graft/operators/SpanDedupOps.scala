@@ -147,6 +147,68 @@ object SpanDedupOps {
         coalesce(col("clean"), lit("")).as("clean_text"))
   }
 
+  /** The stored gram index of a corpus — the build-once half of
+    * incremental SPAN dedup (the substring tier's sibling of
+    * DedupOps.minhashIndex): every distinct k-window hash the historical
+    * corpus contains. At 100 TB this is a warehouse table bucketed by the
+    * gram hash; new batches probe it instead of re-gramming history.
+    */
+  def spanGramIndex(docs: DataFrame, textCol: String,
+                    k: Int = SpanK): DataFrame =
+    docs
+      .select(explode(windowHashList(
+        rollingHashArray(tokens(col(textCol), 1, 100)), k)).as("gram"))
+      .distinct()
+
+  /** Incremental span probe, batch face: per batch doc, how many of its
+    * k-windows already exist in the stored index (n_hits counts WINDOWS,
+    * so a doc repeating an indexed phrase counts each occurrence). Docs
+    * with zero hits are absent — this is the ingest-time flag. One shuffle
+    * join on the 64-bit gram hash; history is never re-grammed.
+    */
+  def spanHitBatch(batch: DataFrame, gramIndex: DataFrame, idCol: String,
+                   textCol: String, k: Int = SpanK): DataFrame = {
+    val st = staged(batch, idCol, textCol, k)
+    st.select(col("doc_id"), explode(col("ghs")).as("gram"))
+      .join(gramIndex, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .join(st.select(col("doc_id"),
+        size(col("ghs")).cast("long").as("n_windows")), "doc_id")
+      .select(col("doc_id"), col("n_windows"), col("n_hits"))
+  }
+
+  /** Query: the last decile of doc ids probed against the first 90%'s
+    * stored gram index (same metadata-boundary cut as dedup_incremental;
+    * the index is persisted via the Artifacts seam and READ BACK, so the
+    * query demonstrates build-once/probe-many for the substring tier too).
+    */
+  def spanFlagsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (stored, cut) = storedGramIndex(spark, dir)
+    spanHitBatch(docs.filter(col("doc_id") > cut), stored, "doc_id", "text")
+  }
+
+  /** The build-once half of the incremental span face: the first 90% of
+    * doc ids grammed and persisted via the Artifacts seam, READ BACK for
+    * the probe (DedupOps.storedIndex's substring sibling). Outside Verify
+    * (Artifacts disabled) the in-plan index is returned — Bench never pays
+    * the write.
+    */
+  private[graft] def storedGramIndex(spark: SparkSession,
+                                     dir: String): (DataFrame, Long) = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs
+      .agg(floor(max(col("doc_id")) * 0.9).cast("long"))
+      .collect()(0).getLong(0)
+    val index = spanGramIndex(docs.filter(col("doc_id") <= cut), "text")
+    graft.Artifacts.save("span_gram_index")(index)
+    val stored = graft.Artifacts.path("span_gram_index")
+      .map(spark.read.parquet(_))
+      .getOrElse(index)
+    (stored, cut)
+  }
+
   /** Query: duplicated-span profile over the documents fixture. */
   def spanProfileQuery(spark: SparkSession, dir: String): DataFrame =
     spanProfile(Tables.documents(spark, dir), "doc_id", "text")

@@ -139,6 +139,41 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Span flags against a stored gram index, streaming face — the
+    * substring tier's ingest gate (sibling of indexDupStream): each
+    * incoming doc grams in-stream (stateless codegen'd kernels) and probes
+    * the static index via a stream-static left-semi join; the per-doc flag
+    * then dedups within the watermark. A doc is flagged when ANY of its
+    * k-token windows already exists in the warehouse — the
+    * boilerplate-at-ingest signal the document-level index misses once the
+    * surrounding text diverges.
+    */
+  def spanFlagStream(docs: DataFrame, gramIndex: DataFrame, idCol: String,
+                     textCol: String, tsCol: String,
+                     delay: String = "1 hour",
+                     k: Int = graft.operators.SpanDedupOps.SpanK): DataFrame = {
+    import graft.functions.HashExpressions.{rollingHashArray, windowHashList}
+    import graft.functions.TextFunctions.tokens
+    docs
+      .select(col(idCol), col(tsCol),
+        explode(windowHashList(rollingHashArray(tokens(col(textCol), 1, 100)), k))
+          .as("gram"))
+      .join(gramIndex, Seq("gram"), "left_semi")
+      .select(col(idCol), col(tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
+  /** Batch twin of spanFlagStream's flag set (ids only):
+    * SpanDedupOps.spanHitBatch carries the hit counts; this face matches
+    * the streaming output shape for spec-level stream/batch parity.
+    */
+  def spanFlagBatch(docs: DataFrame, gramIndex: DataFrame, idCol: String,
+                    textCol: String,
+                    k: Int = graft.operators.SpanDedupOps.SpanK): DataFrame =
+    graft.operators.SpanDedupOps.spanHitBatch(docs, gramIndex, idCol,
+      textCol, k).select(col(idCol))
+
   /** True microsecond epoch of a Timestamp — getTime truncates to millis, so
     * sub-millisecond gaps need the nanos field (keeps this sessionizer in
     * exact agreement with the batch twin's unix_micros,

@@ -61,4 +61,29 @@ class ArtifactsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(viaStored === viaInline && viaStored.nonEmpty)
   }
+
+  test("storedGramIndex probes the PERSISTED span index when enabled") {
+    // the substring tier's incremental face (dedup_span_flags) routes
+    // through storedGramIndex — same build-once/probe-many pin as above
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    val dir = SparkSpec.FixtureDir
+    val docs = Tables.documents(spark, dir)
+    Artifacts.enable(base)
+    val (stored, cut) =
+      try operators.SpanDedupOps.storedGramIndex(spark, dir)
+      finally Artifacts.disable()
+    assert(stored.inputFiles.nonEmpty && stored.inputFiles.forall(_.contains(base)),
+      s"probe reads ${stored.inputFiles.take(2).mkString(",")}, not the stored artifact")
+    val delta = docs.filter(col("doc_id") > cut)
+    val viaStored = operators.SpanDedupOps
+      .spanHitBatch(delta, stored, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val inline = operators.SpanDedupOps
+      .spanGramIndex(docs.filter(col("doc_id") <= cut), "text")
+    val viaInline = operators.SpanDedupOps
+      .spanHitBatch(delta, inline, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaStored === viaInline && viaStored.nonEmpty)
+  }
 }

@@ -196,6 +196,66 @@ class StreamOpsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("span flags in-stream: gram probe against a stored index, batch parity") {
+    // the substring tier's ingest gate: a doc is flagged when ANY k-token
+    // window already exists in the historical gram index — catches an
+    // indexed boilerplate sentence pasted into otherwise-novel text, which
+    // the document-level minhash index misses once the surrounding text
+    // diverges far enough
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "this content is provided as is without warranty of any kind whatsoever"
+    val hist = Seq(
+      (1L, boiler),
+      (2L, "a completely different historical document about spark shuffles today")
+    ).toDF("doc_id", "text")
+    val idx = graft.operators.SpanDedupOps.spanGramIndex(hist, "text")
+    val input = MemoryStream[StreamDoc]
+    val query = StreamOps.spanFlagStream(input.toDF(), idx,
+        "doc_id", "text", "ts")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("span_flag_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // indexed boilerplate embedded mid-doc -> flagged
+        StreamDoc(10, ts(9, 0),
+          "fresh reporting today but " + boiler + " plus novel analysis after"),
+        // novel text, no shared 8-token window -> not flagged
+        StreamDoc(11, ts(9, 5),
+          "entirely new material that shares no long span with the archive"))
+      query.processAllAvailable()
+      input.addData(
+        // exact replay of an indexed doc in a later micro-batch -> flagged
+        StreamDoc(12, ts(9, 30), boiler),
+        StreamDoc(13, ts(9, 35),
+          "more fresh text arriving later in the stream with its own words"))
+      query.processAllAvailable()
+      val flagged = spark.table("span_flag_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(10L, 12L))
+      // the batch twin computes the same flag set on the same delta
+      val delta = Seq(
+        (10L, "fresh reporting today but " + boiler + " plus novel analysis after"),
+        (11L, "entirely new material that shares no long span with the archive"),
+        (12L, boiler),
+        (13L, "more fresh text arriving later in the stream with its own words")
+      ).toDF("doc_id", "text")
+      val batchFlags = StreamOps.spanFlagBatch(delta, idx, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchFlags === flagged)
+      // the hit-count face agrees and counts WINDOWS: the full replay's
+      // every window hits; the embedded-boilerplate doc hits on the
+      // boilerplate windows only
+      val hits = graft.operators.SpanDedupOps
+        .spanHitBatch(delta, idx, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(hits.keySet === Set(10L, 12L))
+      assert(hits(12L)._1 == hits(12L)._2, "full replay: every window hits")
+      assert(hits(10L)._2 < hits(10L)._1, "embedded boilerplate: partial hits")
+    } finally query.stop()
+  }
+
   test("index dedup stream: out-of-order arrivals across the watermark") {
     // Adversarial late data against indexDupStream. What the operator
     // guarantees (and this test pins): the index probe itself is STATELESS,

@@ -81,13 +81,23 @@ object PqOps {
     val dim = corpus.select(size(col("nv"))).head().getInt(0)
     val ds = dim / PqM
     lastPqDs = ds
-    val rows = (0 until PqM).flatMap { m =>
-      val sub = corpus.select(
-        array_to_vector(slice(col("nv"), m * ds + 1, ds)).as("v"))
-      val km = new KMeans().setK(cents).setSeed(TopicModelOps.Seed + m)
-        .setFeaturesCol("v").setPredictionCol("cid").fit(sub)
-      km.clusterCenters.zipWithIndex.map { case (c, i) => (m, i, c.toArray) }
+    // the M subspace fits are independent seeded KMeans runs — concurrent
+    // Spark job groups from the driver (the lda_grid pattern): run serially
+    // they dominated the PQ queries (each small fit pays ~20 iterations of
+    // fixed job overhead; 8 in sequence measured ~10 s at sf0.1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (0 until PqM).map { m =>
+      Future {
+        val sub = corpus.select(
+          array_to_vector(slice(col("nv"), m * ds + 1, ds)).as("v"))
+        val km = new KMeans().setK(cents).setSeed(TopicModelOps.Seed + m)
+          .setFeaturesCol("v").setPredictionCol("cid").fit(sub)
+        km.clusterCenters.zipWithIndex.map { case (c, i) => (m, i, c.toArray) }
+      }
     }
+    val rows = futures.flatMap(Await.result(_, Duration.Inf))
     val codebooks = rows.toDF("m", "cid", "centroid")
     val subs = corpus.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqM - 1)),
@@ -129,41 +139,68 @@ object PqOps {
         aggregate(col("ds"), lit(0.0),
           (acc, x) => acc + x.getField("d")).as("adc"))
 
-  /** Build the full PQ index over the fixture corpus and export its
-    * artifacts (coarse centroids + list assignments + codebooks + codes)
-    * for the oracle. Both query faces share it; Artifacts.save is
-    * idempotent per name and the fits are seeded, so the faces see
-    * identical tables.
+  /** Per-dir fit memo (the TopicModelOps pattern): the 1 coarse + M
+    * subspace KMeans fits are the entire cost of the PQ queries, and both
+    * faces need the SAME index — without the memo each face paid the full
+    * fit chain (measured 11 s/query at sf0.1; the relational downstream is
+    * under 1 s). The cached frames embed the FITTED models in their plans,
+    * so a cache-storage eviction between queries recomputes transforms,
+    * never fits.
+    */
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
+  private def cached[T](key: String)(f: => T): T =
+    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+
+  /** Evict the cached fits (escape hatch for long-lived sessions). */
+  def clearFits(): Unit = cache.clear()
+
+  /** Build (once per dir) the full PQ index over the fixture corpus and
+    * export its artifacts (coarse centroids + list assignments + codebooks
+    * + codes) for the oracle. Both query faces share the memoized fit;
+    * Artifacts.save is idempotent per name and re-invoked per call so a
+    * fresh Verify scope still materializes every table.
     */
   private def pqIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
-    val corpus = graft.Caching.track(
-      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
-    val (indexed, cents) = SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
-    val lists = graft.Caching.track(indexed.select(col("vec_id"), col("list")))
-    val (codebooks, codesRaw, ds) = pqFit(corpus)
-    val codes = graft.Caching.track(codesRaw)
+    val t @ (_, lists, cents, codebooks, codes, _) =
+      cached(s"pq:$dir") {
+        val corpus = graft.Caching.track(
+          SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
+        val (indexed, cents0) =
+          SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+        val lists0 = graft.Caching.track(indexed.select(col("vec_id"), col("list")))
+        val (codebooks0, codesRaw, ds0) = pqFit(corpus)
+        (corpus, lists0, cents0, codebooks0,
+          graft.Caching.track(codesRaw), ds0)
+      }
     graft.Artifacts.save("pq_centroids")(cents)
     graft.Artifacts.save("pq_lists")(lists)
     graft.Artifacts.save("pq_codebooks")(codebooks)
     graft.Artifacts.save("pq_codes")(codes)
-    (corpus, lists, cents, codebooks, codes, ds)
+    t
   }
 
   /** Two-stage PQ search: coarse probe → ADC over codes → shortlist →
     * exact re-rank of PqShortlist·k rows. Output carries both the ADC
     * estimate and the exact cosine, so the distortion is visible per hit.
     */
-  private[graft] def pqSearch(corpus: DataFrame, lists: DataFrame,
-                              cents: DataFrame, codebooks: DataFrame,
-                              codes: DataFrame, ds: Int, queries: DataFrame,
-                              k: Int, shortlist: Int = PqShortlist): DataFrame = {
+  /** ADC scores of every coarse-probed candidate for `queries`. */
+  private def candidateAdc(lists: DataFrame, cents: DataFrame,
+                           codebooks: DataFrame, codes: DataFrame, ds: Int,
+                           queries: DataFrame): DataFrame = {
     val probed = SimilarityOps.probeAssignments(cents, queries,
       SimilarityOps.IvfProbe)
     val cands = probed.join(lists, "list")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
-    val adc = adcScores(cands, codes, qdotOf(codebooks, queries, ds))
+    adcScores(cands, codes, qdotOf(codebooks, queries, ds))
+  }
+
+  /** Shortlist the ADC ranking and re-rank exactly — the second stage,
+    * split out so the recall face reuses ONE adc frame for both gauges.
+    */
+  private def rerank(adc: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     k: Int, shortlist: Int): DataFrame = {
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val short = adc.withColumn("srk", row_number().over(wS))
@@ -180,6 +217,13 @@ object PqOps {
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("adc"), 4).as("adc"), round(col("cos"), 4).as("cos"))
   }
+
+  private[graft] def pqSearch(corpus: DataFrame, lists: DataFrame,
+                              cents: DataFrame, codebooks: DataFrame,
+                              codes: DataFrame, ds: Int, queries: DataFrame,
+                              k: Int, shortlist: Int = PqShortlist): DataFrame =
+    rerank(candidateAdc(lists, cents, codebooks, codes, ds, queries),
+      corpus, queries, k, shortlist)
 
   /** Query: IVF-PQ top-3 for the first 50 vectors (the sim_ivf_ann twin,
     * answered from codes + a 12-vector re-rank per query).
@@ -200,19 +244,15 @@ object PqOps {
     val queries = corpus.filter(col("vec_id") < 5)
     val brute = SimilarityOps.bruteForceTopK(corpus, queries, 10)
       .select(col("query_id"), col("vec_id"))
-    val probed = SimilarityOps.probeAssignments(cents, queries,
-      SimilarityOps.IvfProbe)
-    val cands = probed.join(lists, "list")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-    val adc = adcScores(cands, codes, qdotOf(codebooks, queries, ds))
+    val adc = graft.Caching.track(
+      candidateAdc(lists, cents, codebooks, codes, ds, queries))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val adcTop = adc.withColumn("rk", row_number().over(wS))
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit_adc"))
-    val rerTop = pqSearch(corpus, lists, cents, codebooks, codes, ds,
-        queries, k = 10)
+    val rerTop = rerank(adc, corpus, queries, k = 10,
+        shortlist = PqShortlist)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit_rr"))
     brute
       .join(adcTop, Seq("query_id", "vec_id"), "left")

@@ -268,7 +268,10 @@ object SparkEntry {
     "txt_repetition" -> TextAnalysisOps.repetitionBySource,
     "txt_countmin" -> SketchOps.countMinTopWords,
     "txt_distinct_sketch" -> SketchOps.distinctSketch,
+    "txt_hll_distinct" -> SketchOps.hllDistinct,
+    "txt_heavy_hitters" -> SketchOps.heavyHittersQuery,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
+    "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
@@ -748,6 +751,53 @@ object SparkEntry {
          |SELECT n_exact, occupied,
          |  round(-4096.0 * ln((4096 - occupied) / 4096.0), 4) AS est
          |FROM ex, occ""".stripMargin,
+    // HLL: the rank is integer compares against shifted constants and the
+    // harmonic sum folds as Σ 2^(21-r) (an integer), so the only float ops
+    // are one fixed literal expression — both engines land the same double
+    "txt_hll_distinct" ->
+      s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents),
+         |h AS (SELECT ${polyFold(cps("word"))} AS h FROM toks),
+         |g AS (SELECT (((h * h) % $MOD) * 8191 + h * 524287 + 12289) % $MOD AS g
+         |      FROM h),
+         |rk AS (
+         |  SELECT g % 1024 AS bucket,
+         |    1 + len(list_filter(range(0, 20),
+         |          j -> (g // 1024) < (CAST(1 AS BIGINT) << j))) AS rank
+         |  FROM g),
+         |regs AS (SELECT bucket, max(rank) AS r FROM rk GROUP BY 1),
+         |st AS (
+         |  SELECT count(*) AS occupied,
+         |    CAST(sum(CAST(1 AS BIGINT) << (21 - r)) AS BIGINT) AS s_present
+         |  FROM regs),
+         |ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM toks),
+         |sel AS (
+         |  SELECT n_exact, occupied, (1024 - occupied) AS zeros,
+         |    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2097152.0 /
+         |      (coalesce(s_present, 0) + (1024 - occupied) * 2097152) *
+         |      (1000000007.0 / 1073741824.0) AS raw
+         |  FROM ex, st)
+         |SELECT n_exact, occupied,
+         |  round(CASE WHEN raw <= 2560.0 AND zeros > 0
+         |             THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS est
+         |FROM sel""".stripMargin,
+    // heavy hitters: count-min estimates UPPER-BOUND true counts, so the
+    // sketch-pruned plan provably returns exactly the words with true
+    // count >= 900 — the oracle is the plain exact HAVING query
+    "txt_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents)
+         |SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
+         |GROUP BY 1 HAVING count(*) >= 900
+         |ORDER BY n DESC, word""".stripMargin,
+    // bloom semi-join: no false negatives, and survivors are exact-verified,
+    // so the output equals the plain IN-subquery semi-join
+    "rel_bloom_semi" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // histogram-sketch quantiles: same bucketing, same ceil-rank, same
     // linear interpolation — deterministic arithmetic on both sides
     "txt_len_quantiles" ->

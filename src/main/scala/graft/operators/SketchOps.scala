@@ -147,4 +147,182 @@ object SketchOps {
       .select(col("word"), col("freq"), col("est"))
       .orderBy(desc("freq"), col("word"))
   }
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** HLL rank of the post-bucket hash remainder `w = h div m`: one plus the
+    * number of leading zero bits of w read in a 20-bit window (P div 1024 <
+    * 2^20, so bit-length(w) <= 20; rank ∈ [1, 21], w = 0 → 21). Pure
+    * integer compares against shifted constants — no float log, so Spark
+    * and the DuckDB mirror agree bit-for-bit.
+    */
+  private def hllRankExpr(w: String): String =
+    s"1 + size(filter(sequence(0, 19), j -> $w < shiftleft(CAST(1 AS BIGINT), j)))"
+
+  /** HyperLogLog register frame over a pre-hashed BIGINT column: (bucket,
+    * r) with bucket = g mod m and r = max HLL rank seen in the bucket,
+    * where g is a quadratic POST-MIX of the input hash — the engine's
+    * affine/polynomial mod-P hashes are uniform as integers but have no
+    * bit avalanche, which skews the leading-zero statistic badly (measured
+    * 4.8× overestimate on an affine-hashed id sequence); the quadratic
+    * scramble mod P restores integer equidistribution of g div m
+    * (Weyl-type), after which the only remaining bias is the known window
+    * factor corrected in `hllEstimate`. The groupBy carries at most m
+    * reduce keys with map-side partial max — the register frame is the only
+    * thing that ever shuffles, regardless of corpus size, and shard
+    * registers merge by the same bucket-wise max. The 20-bit rank window is
+    * tuned to m = 1024 (P div m < 2^20), the estimator's operating point.
+    */
+  def hllRegisters(hashed: DataFrame, hashCol: String, m: Int = 1024): DataFrame =
+    hashed
+      .select(expr(
+        s"((($hashCol * $hashCol) % $P) * 8191 + $hashCol * 524287 + 12289) % $P")
+        .as("g"))
+      .select((col("g") % m).as("bucket"),
+        expr(s"${hllRankExpr(s"(g div $m)")}").as("rank"))
+      .groupBy("bucket").agg(max(col("rank")).as("r"))
+
+  /** Single-row (occupied, est) readout of an HLL register frame. The
+    * harmonic sum is folded as Σ 2^(21-r) — an INTEGER (r ≤ 21), so the
+    * only float ops are a fixed literal expression over exact integers and
+    * both engines produce the identical double. Small-range correction:
+    * raw ≤ 2.5m with empty registers → linear counting (Flajolet et al.
+    * 2007); the 2^32-collision large-range branch does not apply to a
+    * mod-P hash domain. The raw readout carries one engine-specific exact
+    * correction: the rank reads a 20-bit window but w is uniform on
+    * [0, P/m) ≈ 0.9313·2^20, so P(rank ≥ r) = 2^(1-r) · 2^20/(P/m) — a
+    * constant factor the standard estimator inverts by multiplying raw by
+    * P/(m·2^20) = P/2^30 (measured: within 2% of truth at 20k–200k true
+    * cardinality, vs the 3.25% stderr of m = 1024).
+    */
+  def hllEstimate(regs: DataFrame, m: Int = 1024): DataFrame = {
+    val twoPow21 = 1L << 21
+    regs
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 21 - r)")).as("s_present"))
+      .withColumn("zeros", lit(m.toLong) - col("occupied"))
+      .withColumn("raw",
+        lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble) * lit(m.toDouble) *
+          lit(twoPow21.toDouble) /
+          (coalesce(col("s_present"), lit(0L)) + col("zeros") * lit(twoPow21)) *
+          lit(1000000007.0 / 1073741824.0))
+      .withColumn("est",
+        round(when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")), 4))
+      .select(col("occupied"), col("est"))
+  }
+
+  /** Query: HyperLogLog distinct-words estimate vs the exact count —
+    * (n_exact, occupied, est). At fixture cardinality the small-range
+    * correction fires (est = linear counting over the registers); the raw
+    * harmonic branch is pinned by SketchOpsSpec at 50k distinct keys. Next
+    * to `distinctSketch` this is the tier that survives saturation: linear
+    * counting dies when occupancy → m, HLL registers keep resolving to
+    * ~1.04/√m relative error at any cardinality.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+    val est = hllEstimate(
+      hllRegisters(words.select(rollingHash(col("word")).as("h")), "h", m), m)
+    words.agg(countDistinct(col("word")).as("n_exact"))
+      .crossJoin(broadcast(est))
+  }
+
+  // ------------------------------------------------- sketch-guided heavy hitters
+
+  /** All words with true frequency ≥ `threshold`, EXACTLY — but the word
+    * shuffle only carries occurrences that survive a count-min cell filter.
+    * Pass 1 builds the depth×width sketch (bounded rows); its cells with
+    * n ≥ threshold broadcast as one sorted key array. Pass 2 keeps a token
+    * occurrence only if ALL `depth` of its cells are heavy — count-min
+    * estimates upper-bound true counts, so no word with true count ≥
+    * threshold is ever dropped (zero false negatives) — then exact-counts
+    * the survivors and applies the threshold to remove false positives.
+    * The oracle is therefore the plain exact `HAVING count(*) >= T` SQL,
+    * while the plan's groupBy shuffles only candidate tokens: at 100 TB the
+    * heavy-cell set is ≤ depth·width keys no matter the vocabulary, and the
+    * skim keeps the scan map-side.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, threshold: Long,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val heavyCells = countMinSketch(docs, textCol, depth, width)
+      .filter(col("n") >= threshold)
+      .select((col("row").cast("long") * width + col("bucket")).as("cellkey"))
+      .agg(sort_array(collect_set(col("cellkey"))).as("cells"))
+    docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .withColumn("h", rollingHash(col("word")))
+      .crossJoin(broadcast(heavyCells))
+      .filter(expr(
+        s"forall(transform(sequence(1, $depth), i -> CAST(i AS BIGINT) * $width + " +
+          s"((h * (8191 * i)) + (524287 * i)) % $P % $width), " +
+          "c -> array_contains(cells, c))"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(desc("n"), col("word"))
+  }
+
+  /** Query: exact heavy hitters (count ≥ 900) via the sketch-pruned plan. */
+  def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir), "text", 900L)
+
+  // ------------------------------------------------------------ Bloom filter
+
+  /** The k bloom bit positions of a numeric key expression, via the
+    * engine's affine hash family. Rendered as a SQL fragment so build and
+    * probe sides (and the DuckDB oracle) share one definition.
+    */
+  private[operators] def bloomPosExpr(keyExpr: String, mBits: Int, k: Int): String =
+    s"transform(sequence(1, $k), i -> " +
+      s"((($keyExpr) % $P) * (8191 * i) + 524287 * i) % $P % $mBits)"
+
+  /** Bloom bitset of a key column as ONE row holding the sorted array of
+    * set bit positions (≤ k·|keys|, deduplicated). At fixture scale the
+    * position array is the honest representation; the arithmetic is what a
+    * packed long[] bitset would index at 100 TB, so the probe semantics are
+    * scale-invariant. Mergeable across shards by array union.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String,
+                mBits: Int = 65536, k: Int = 3): DataFrame =
+    keys.select(explode(expr(bloomPosExpr(keyCol, mBits, k))).as("b"))
+      .agg(sort_array(collect_set(col("b"))).as("bits"))
+
+  /** Shuffle-free semi-join: the small side's bloom bitset broadcasts and
+    * the big side is pre-filtered MAP-SIDE (a row survives only if all k of
+    * its key's bit positions are set), then the survivors — already a tiny
+    * fraction — are verified with an exact broadcast semi-join to remove
+    * bloom false positives. The big side never shuffles and never feeds a
+    * join build; output is EXACTLY the plain semi-join (bloom filters have
+    * no false negatives), so the oracle is the plain `IN` subquery.
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    mBits: Int = 65536, k: Int = 3): DataFrame = {
+    val bits = bloomBits(small.select(col(smallKey)), smallKey, mBits, k)
+    val pre = big
+      .crossJoin(broadcast(bits))
+      .filter(expr(
+        s"forall(${bloomPosExpr(bigKey, mBits, k)}, p -> array_contains(bits, p))"))
+      .drop("bits")
+    val smallKeys = small.select(col(smallKey)).distinct()
+    pre.join(broadcast(smallKeys), pre(bigKey) === smallKeys(smallKey), "left_semi")
+  }
+
+  /** Query: revenue of orders placed by high-balance BUILDING-segment
+    * customers, via the bloom-prefiltered semi-join — per-status order
+    * count and total price.
+    */
+  def bloomSemiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val vip = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+    bloomSemiJoin(orders, vip, "o_custkey", "c_custkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -91,4 +91,98 @@ class SketchOpsSpec extends SparkSuite {
     val qb = SketchOps.quantileEstimates(merged, 10, Seq(0.5)).collect()(0).getDouble(1)
     assert(qa === qb)
   }
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** The engine's affine key hash (SamplingOps family) for numeric ids. */
+  private def affineHash = expr(s"((id % ${SketchOps.P}) * 8191 + 524287) % ${SketchOps.P}")
+
+  test("HLL raw branch lands within ~3σ of 50k true distinct keys") {
+    // 50k distinct hashes fill all 1024 registers (zeros = 0), forcing the
+    // harmonic branch; HLL standard error is 1.04/sqrt(1024) ≈ 3.25%
+    val keys = spark.range(50000).select(affineHash.as("h"))
+    val row = SketchOps.hllEstimate(SketchOps.hllRegisters(keys, "h")).collect()(0)
+    val (occupied, est) = (row.getLong(0), row.getDouble(1))
+    assert(occupied === 1024L, "50k keys should hit every register")
+    assert(math.abs(est - 50000.0) / 50000.0 <= 0.10,
+      s"HLL estimate $est more than 10% from 50000")
+  }
+
+  test("HLL registers merge by bucket-wise max; estimate unchanged") {
+    val keys = spark.range(20000).select(affineHash.as("h"))
+    val whole = SketchOps.hllRegisters(keys, "h")
+    val merged = SketchOps.hllRegisters(keys.limit(8000), "h")
+      .unionByName(SketchOps.hllRegisters(
+        keys.except(keys.limit(8000)), "h"))
+      .groupBy("bucket").agg(max("r").as("r"))
+    val a = whole.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = merged.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
+
+  test("HLL register count is bounded by m regardless of input size") {
+    val keys = spark.range(200000).select(affineHash.as("h"))
+    assert(SketchOps.hllRegisters(keys, "h", m = 256).count() <= 256L)
+  }
+
+  test("HLL fixture query fires the small-range correction near-exactly") {
+    // 30 distinct words << 2.5m -> linear-counting branch; at this
+    // occupancy linear counting is near-exact
+    val row = SketchOps.hllDistinct(spark, SparkSpec.FixtureDir).collect()(0)
+    val (exact, est) = (row.getLong(0), row.getDouble(2))
+    assert(est >= exact * 0.9 && est <= exact * 1.15,
+      s"small-range estimate $est too far from exact $exact")
+  }
+
+  // --------------------------------------------------------- heavy hitters
+
+  test("sketch-pruned heavy hitters equal the exact HAVING query") {
+    val brute = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pruned = SketchOps.heavyHitters(docs, "text", 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned === brute)
+    // upper-bound guarantee: a narrow sketch (forced collisions) may admit
+    // more candidates but NEVER loses a true heavy hitter
+    val narrow = SketchOps.heavyHitters(docs, "text", 2L, depth = 2, width = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(narrow === brute)
+  }
+
+  test("heavy-hitter cell filter prunes non-candidate occurrences map-side") {
+    // one dominant word among many singletons: the heavy-cell array keeps
+    // only cells the dominant word (plus collisions) touches
+    val skew = (Seq.fill(50)("dominant word here") ++
+      (1 to 40).map(i => s"rare$i token$i")).toDF("text")
+    val hh = SketchOps.heavyHitters(skew, "text", 40L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh === Map("dominant" -> 50L, "word" -> 50L, "here" -> 50L))
+  }
+
+  // ---------------------------------------------------------- bloom filter
+
+  test("bloom semi-join equals the plain semi-join, even when tiny bitsets force false positives") {
+    val big = spark.range(2000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val small = spark.range(100).select((col("id") * 19 + 3).as("sk"))
+    val exact = big.join(small, big("k") === small("sk"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val viaBloom = SketchOps.bloomSemiJoin(big, small, "k", "sk")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom === exact)
+    // 64-bit filter saturates -> many false positives; exact verification
+    // still returns precisely the true matches
+    val saturated = SketchOps.bloomSemiJoin(big, small, "k", "sk", mBits = 64, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(saturated === exact)
+  }
+
+  test("bloom prefilter has no false negatives and the exact verify broadcasts") {
+    val q = SketchOps.bloomSemiQuery(spark, SparkSpec.FixtureDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bloom survivors should verify via a broadcast semi-join")
+    assert(!plan.contains("SortMergeJoin"),
+      "the big side must never shuffle into a sort-merge join")
+  }
 }

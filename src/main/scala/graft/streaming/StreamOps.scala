@@ -97,6 +97,24 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming face of the HyperLogLog distinct sketch: the SAME register
+    * transform as the batch sketch (SketchOps.hllRegisters — tokenize,
+    * hash, bucket, max-rank), run as a streaming aggregation. The state IS
+    * the register frame, bounded at m rows FOREVER regardless of stream
+    * length — the rare aggregation that needs no watermark to stay bounded
+    * — and registers max-merge, so the streamed state always equals the
+    * batch sketch of everything ingested so far (StreamOpsSpec pins the
+    * parity). Read the cardinality at any time with SketchOps.hllEstimate
+    * over the sink.
+    */
+  def hllRegisterStream(docs: DataFrame, textCol: String,
+                        m: Int = 1024): DataFrame =
+    graft.operators.SketchOps.hllRegisters(
+      docs
+        .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+        .select(graft.functions.HashExpressions.rollingHash(col("word")).as("h")),
+      "h", m)
+
   /** Exploded (doc, band, band_hash) rows of `docs` that collide with the
     * stored index's band buckets — the shared core of the incremental-dedup
     * faces. The semi join is stream-static capable: the stream side only

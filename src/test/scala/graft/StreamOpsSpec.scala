@@ -350,4 +350,43 @@ class StreamOpsSpec extends SparkSuite {
       StreamDoc(3, ts(9, 20), "something else")).toDF()
     assert(StreamOps.dedupBatch(docs, "text").count() === 2)
   }
+
+  test("streaming HLL registers equal the batch sketch of everything ingested") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.hllRegisterStream(input.toDF(), "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    val b1 = Seq(
+      StreamDoc(1, ts(9, 0), "spark join filter scan window"),
+      StreamDoc(2, ts(9, 5), "hash merge sort"))
+    val b2 = Seq(
+      StreamDoc(3, ts(9, 10), "spark vector batch stream"),
+      StreamDoc(4, ts(9, 15), "join column value"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("hll_stream")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch1 = SketchOps.hllRegisters(
+        b1.toDF()
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .select(graft.functions.HashExpressions.rollingHash(col("w")).as("h")), "h")
+      assert(afterB1 === batch1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table("hll_stream")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batchAll = SketchOps.hllRegisters(
+        (b1 ++ b2).toDF()
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .select(graft.functions.HashExpressions.rollingHash(col("w")).as("h")), "h")
+      assert(afterB2 === batchAll.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+      // the state the stream carries is the register frame itself: <= m rows
+      assert(afterB2.size <= 1024)
+    } finally q.stop()
+  }
 }

@@ -123,6 +123,11 @@ object ScaleProbe {
     time("pack_sequences")(PackingOps.packProfile(spark, tmp).count())
     time("pack_chunks")(PackingOps.chunkProfile(spark, tmp).count())
     time("len_quantiles")(SketchOps.lengthQuantiles(spark, tmp).count())
+    // the cardinality/frequency sketch tier: HLL register count and the
+    // heavy-hitter shuffle are bounded by construction — the probe shows
+    // wall-time tracking the SCAN (linear), not the vocabulary
+    time("hll_distinct")(SketchOps.hllDistinct(spark, tmp).count())
+    time("heavy_hitters")(SketchOps.heavyHittersQuery(spark, tmp).count())
     time("repetition")(TextAnalysisOps.repetitionBySource(spark, tmp).count())
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())
     time("range_join")(RelationalOps.concurrentSessionActivity(spark, tmp).count())

@@ -29,18 +29,24 @@ object SketchOps {
 
   val P = 1000000007L
 
-  /** Build the sketch: (row, bucket, n) counters from one corpus scan. */
+  /** Build the sketch: (row, bucket, n) counters from one corpus scan.
+    * The depth cells are UNROLLED into a literal array-of-structs (plain
+    * codegen'd arithmetic) rather than a `transform` lambda — higher-order
+    * functions evaluate interpreted outside whole-stage codegen, which
+    * dominated the 10× scale probe.
+    */
   def countMinSketch(docs: DataFrame, textCol: String,
                      depth: Int = 4, width: Int = 1024): DataFrame = {
-    val rows = docs
+    val cells = (1 to depth).map { i =>
+      struct(lit(i).as("row"),
+        (((col("h") * (8191L * i)) + lit(524287L * i)) % P % width).as("bucket"))
+    }
+    docs
       .select(explode(tokens(col(textCol))).as("word"))
       .select(rollingHash(col("word")).as("h"))
-      .select(explode(expr(
-        s"transform(sequence(1, $depth), i -> named_struct(" +
-          s"'row', i, 'bucket', ((h * (8191 * i)) + (524287 * i)) % $P % $width))"))
-        .as("cell"))
+      .select(explode(array(cells: _*)).as("cell"))
       .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
-    rows.groupBy("row", "bucket").agg(count(lit(1)).as("n"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("n"))
   }
 
   /** Point estimates for `words` from a sketch: min over rows of the
@@ -235,31 +241,40 @@ object SketchOps {
 
   /** All words with true frequency ≥ `threshold`, EXACTLY — but the word
     * shuffle only carries occurrences that survive a count-min cell filter.
-    * Pass 1 builds the depth×width sketch (bounded rows); its cells with
-    * n ≥ threshold broadcast as one sorted key array. Pass 2 keeps a token
-    * occurrence only if ALL `depth` of its cells are heavy — count-min
-    * estimates upper-bound true counts, so no word with true count ≥
-    * threshold is ever dropped (zero false negatives) — then exact-counts
-    * the survivors and applies the threshold to remove false positives.
-    * The oracle is therefore the plain exact `HAVING count(*) >= T` SQL,
-    * while the plan's groupBy shuffles only candidate tokens: at 100 TB the
-    * heavy-cell set is ≤ depth·width keys no matter the vocabulary, and the
-    * skim keeps the scan map-side.
+    * Pass 1 builds the depth×width sketch (bounded rows); its heavy cells
+    * (n ≥ threshold) broadcast. Pass 2 keeps a token occurrence only if ALL
+    * `depth` of its cells are heavy — count-min estimates upper-bound true
+    * counts, so no word with true count ≥ threshold is ever dropped (zero
+    * false negatives) — then exact-counts the survivors and applies the
+    * threshold to remove false positives. The oracle is therefore the plain
+    * exact `HAVING count(*) >= T` SQL, while the plan's groupBy shuffles
+    * only candidate tokens: at 100 TB the heavy-cell set is ≤ depth·width
+    * keys no matter the vocabulary, and the skim keeps the scan map-side.
+    *
+    * The depth-way AND is a CHAIN of per-row broadcast left-semi joins
+    * (each a codegen'd hash probe against ≤ width keys), not a higher-order
+    * `forall` over an array literal — HOFs run interpreted outside
+    * whole-stage codegen and measured 10× slower on the 10× probe corpus.
+    * Row 1's join runs first and already discards most of the stream; each
+    * later row only tightens false positives.
     */
   def heavyHitters(docs: DataFrame, textCol: String, threshold: Long,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
-    val heavyCells = countMinSketch(docs, textCol, depth, width)
-      .filter(col("n") >= threshold)
-      .select((col("row").cast("long") * width + col("bucket")).as("cellkey"))
-      .agg(sort_array(collect_set(col("cellkey"))).as("cells"))
-    docs
+    val heavy = graft.Caching.track(
+      countMinSketch(docs, textCol, depth, width)
+        .filter(col("n") >= threshold)
+        .select(col("row"), col("bucket")))
+    val toks = docs
       .select(explode(tokens(col(textCol))).as("word"))
       .withColumn("h", rollingHash(col("word")))
-      .crossJoin(broadcast(heavyCells))
-      .filter(expr(
-        s"forall(transform(sequence(1, $depth), i -> CAST(i AS BIGINT) * $width + " +
-          s"((h * (8191 * i)) + (524287 * i)) % $P % $width), " +
-          "c -> array_contains(cells, c))"))
+    val survivors = (1 to depth).foldLeft(toks) { (d, i) =>
+      d.withColumn("b",
+        expr(s"((h * (8191 * $i)) + (524287 * $i)) % $P % $width"))
+        .join(broadcast(heavy.filter(col("row") === i)
+          .select(col("bucket").as("b"))), Seq("b"), "left_semi")
+        .drop("b")
+    }
+    survivors
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
       .orderBy(desc("n"), col("word"))

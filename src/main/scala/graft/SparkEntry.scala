@@ -270,6 +270,8 @@ object SparkEntry {
     "txt_distinct_sketch" -> SketchOps.distinctSketch,
     "txt_hll_distinct" -> SketchOps.hllDistinct,
     "txt_heavy_hitters" -> SketchOps.heavyHittersQuery,
+    "txt_drift" -> DriftOps.driftQuery,
+    "txt_resemblance" -> DriftOps.resemblanceQuery,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
@@ -780,6 +782,57 @@ object SparkEntry {
          |  round(CASE WHEN raw <= 2560.0 AND zeros > 0
          |             THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS est
          |FROM sel""".stripMargin,
+    // drift: per-word JS contributions — log2 rendered as ln(x)/ln(2.0) on
+    // both sides so the IEEE op sequence is identical; ordering on the
+    // ROUNDED contribution with a word tie-break
+    "txt_drift" ->
+      s"""WITH ka AS (
+         |  SELECT word, count(*) AS n FROM (
+         |    SELECT unnest($TOKS) AS word FROM documents WHERE lang = 'en') t
+         |  GROUP BY 1),
+         |ea AS (
+         |  SELECT word, count(*) AS n FROM (
+         |    SELECT unnest($TOKS) AS word FROM documents WHERE lang = 'de') t
+         |  GROUP BY 1),
+         |pa AS (SELECT word, n / (SELECT sum(n) FROM ka) AS p FROM ka),
+         |pb AS (SELECT word, n / (SELECT sum(n) FROM ea) AS p FROM ea),
+         |j AS (
+         |  SELECT coalesce(pa.word, pb.word) AS word,
+         |    coalesce(pa.p, 0.0) AS p_a, coalesce(pb.p, 0.0) AS p_b
+         |  FROM pa FULL OUTER JOIN pb ON pa.word = pb.word)
+         |SELECT word, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+         |  round((CASE WHEN p_a > 0
+         |              THEN p_a * ln(p_a / ((p_a + p_b) / 2)) / ln(2.0)
+         |              ELSE 0.0 END
+         |       + CASE WHEN p_b > 0
+         |              THEN p_b * ln(p_b / ((p_a + p_b) / 2)) / ln(2.0)
+         |              ELSE 0.0 END) / 2, 6) AS js
+         |FROM j ORDER BY js DESC, word LIMIT 15""".stripMargin,
+    // resemblance: exact token-set Jaccard next to the 32-seed MinHash
+    // sketch estimate — the sketch arithmetic is the MinHash family at
+    // corpus granularity, integer end-to-end
+    "txt_resemblance" ->
+      s"""WITH kh AS (
+         |  SELECT DISTINCT ${polyFold(cps("word"))} AS h FROM (
+         |    SELECT unnest($TOKS) AS word FROM documents WHERE lang = 'en') t),
+         |eh AS (
+         |  SELECT DISTINCT ${polyFold(cps("word"))} AS h FROM (
+         |    SELECT unnest($TOKS) AS word FROM documents WHERE lang = 'de') t),
+         |inter AS (SELECT count(*) AS n_inter FROM kh JOIN eh USING (h)),
+         |un AS (SELECT count(*) AS n_union FROM
+         |        (SELECT h FROM kh UNION SELECT h FROM eh) u),
+         |sa AS (SELECT i AS seed,
+         |         min((h * (8191 * i) + 524287 * i) % $MOD) AS mn_a
+         |       FROM kh, range(1, 33) t(i) GROUP BY 1),
+         |sb AS (SELECT i AS seed,
+         |         min((h * (8191 * i) + 524287 * i) % $MOD) AS mn_b
+         |       FROM eh, range(1, 33) t(i) GROUP BY 1),
+         |m AS (SELECT CAST(sum(CASE WHEN mn_a = mn_b THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_match
+         |      FROM sa JOIN sb USING (seed))
+         |SELECT round(n_inter / n_union, 6) AS j_exact,
+         |  round(n_match / 32.0, 6) AS j_est, n_match
+         |FROM inter, un, m""".stripMargin,
     // heavy hitters: count-min estimates UPPER-BOUND true counts, so the
     // sketch-pruned plan provably returns exactly the words with true
     // count >= 900 — the oracle is the plain exact HAVING query

@@ -65,6 +65,40 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Oracle for the HLL cardinality queries — shared by `txt_hll_distinct`
+    * and `hll_incremental` (registers max-merge losslessly, so the
+    * incremental face equals the whole-corpus sketch). The rank is integer
+    * compares against shifted constants and the harmonic sum folds as
+    * Σ 2^(21-r) (an integer); the only float ops are one fixed literal
+    * expression, so both engines land the same double.
+    */
+  private lazy val hllDistinctSql: String =
+    s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents),
+       |h AS (SELECT ${polyFold(cps("word"))} AS h FROM toks),
+       |g AS (SELECT (((h * h) % $MOD) * 8191 + h * 524287 + 12289) % $MOD AS g
+       |      FROM h),
+       |rk AS (
+       |  SELECT g % 1024 AS bucket,
+       |    1 + len(list_filter(range(0, 20),
+       |          j -> (g // 1024) < (CAST(1 AS BIGINT) << j))) AS rank
+       |  FROM g),
+       |regs AS (SELECT bucket, max(rank) AS r FROM rk GROUP BY 1),
+       |st AS (
+       |  SELECT count(*) AS occupied,
+       |    CAST(sum(CAST(1 AS BIGINT) << (21 - r)) AS BIGINT) AS s_present
+       |  FROM regs),
+       |ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM toks),
+       |sel AS (
+       |  SELECT n_exact, occupied, (1024 - occupied) AS zeros,
+       |    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2097152.0 /
+       |      (coalesce(s_present, 0) + (1024 - occupied) * 2097152) *
+       |      (1000000007.0 / 1073741824.0) AS raw
+       |  FROM ex, st)
+       |SELECT n_exact, occupied,
+       |  round(CASE WHEN raw <= 2560.0 AND zeros > 0
+       |             THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS est
+       |FROM sel""".stripMargin
+
   // CurationOps.PiiPatterns rendered for DuckDB (single-quoted SQL strings
   // pass the regex through verbatim; the patterns are RE2-safe by contract)
   private val PII_EMAIL = CurationOps.PiiPatterns(0)._2
@@ -272,6 +306,8 @@ object SparkEntry {
     "txt_heavy_hitters" -> SketchOps.heavyHittersQuery,
     "txt_drift" -> DriftOps.driftQuery,
     "txt_resemblance" -> DriftOps.resemblanceQuery,
+    "txt_len_drift" -> DriftOps.lenDriftQuery,
+    "hll_incremental" -> SketchOps.hllIncremental,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
@@ -756,32 +792,10 @@ object SparkEntry {
     // HLL: the rank is integer compares against shifted constants and the
     // harmonic sum folds as Σ 2^(21-r) (an integer), so the only float ops
     // are one fixed literal expression — both engines land the same double
-    "txt_hll_distinct" ->
-      s"""WITH toks AS (SELECT unnest($TOKS) AS word FROM documents),
-         |h AS (SELECT ${polyFold(cps("word"))} AS h FROM toks),
-         |g AS (SELECT (((h * h) % $MOD) * 8191 + h * 524287 + 12289) % $MOD AS g
-         |      FROM h),
-         |rk AS (
-         |  SELECT g % 1024 AS bucket,
-         |    1 + len(list_filter(range(0, 20),
-         |          j -> (g // 1024) < (CAST(1 AS BIGINT) << j))) AS rank
-         |  FROM g),
-         |regs AS (SELECT bucket, max(rank) AS r FROM rk GROUP BY 1),
-         |st AS (
-         |  SELECT count(*) AS occupied,
-         |    CAST(sum(CAST(1 AS BIGINT) << (21 - r)) AS BIGINT) AS s_present
-         |  FROM regs),
-         |ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM toks),
-         |sel AS (
-         |  SELECT n_exact, occupied, (1024 - occupied) AS zeros,
-         |    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2097152.0 /
-         |      (coalesce(s_present, 0) + (1024 - occupied) * 2097152) *
-         |      (1000000007.0 / 1073741824.0) AS raw
-         |  FROM ex, st)
-         |SELECT n_exact, occupied,
-         |  round(CASE WHEN raw <= 2560.0 AND zeros > 0
-         |             THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS est
-         |FROM sel""".stripMargin,
+    "txt_hll_distinct" -> hllDistinctSql,
+    // incremental HLL: registers max-merge losslessly, so stored-90% ∪
+    // delta-10% equals the whole-corpus sketch — same oracle
+    "hll_incremental" -> hllDistinctSql,
     // drift: per-word JS contributions — log2 rendered as ln(x)/ln(2.0) on
     // both sides so the IEEE op sequence is identical; ordering on the
     // ROUNDED contribution with a word tie-break
@@ -808,6 +822,29 @@ object SparkEntry {
          |              THEN p_b * ln(p_b / ((p_a + p_b) / 2)) / ln(2.0)
          |              ELSE 0.0 END) / 2, 6) AS js
          |FROM j ORDER BY js DESC, word LIMIT 15""".stripMargin,
+    // PSI length drift: Laplace-smoothed rates are exact integer ratios,
+    // contributions per-row arithmetic — deterministic on both engines
+    "txt_len_drift" ->
+      """WITH ha AS (
+        |  SELECT CAST(n_chars AS BIGINT) // 64 AS bucket, count(*) AS n
+        |  FROM documents WHERE lang = 'en' GROUP BY 1),
+        |hb AS (
+        |  SELECT CAST(n_chars AS BIGINT) // 64 AS bucket, count(*) AS n
+        |  FROM documents WHERE lang = 'de' GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |        CAST(sum(n_b) AS BIGINT) AS tot_b,
+        |        count(*) AS n_buckets FROM j)
+        |SELECT bucket,
+        |  round((n_a + 1) / (tot_a + n_buckets), 6) AS p_a,
+        |  round((n_b + 1) / (tot_b + n_buckets), 6) AS p_b,
+        |  round(((n_a + 1) / (tot_a + n_buckets) - (n_b + 1) / (tot_b + n_buckets))
+        |    * ln(((n_a + 1) / (tot_a + n_buckets)) / ((n_b + 1) / (tot_b + n_buckets))), 6)
+        |    AS psi
+        |FROM j, t ORDER BY bucket""".stripMargin,
     // resemblance: exact token-set Jaccard next to the 32-seed MinHash
     // sketch estimate — the sketch arithmetic is the MinHash family at
     // corpus granularity, integer end-to-end

@@ -112,6 +112,45 @@ object DriftOps {
         col("n_match"))
   }
 
+  /** PSI (population stability index) contributions between two histogram
+    * frames (bucket, n) — the industry-standard numeric drift gauge.
+    * Rates are Laplace-smoothed, p = (n+1)/(N+B) with B = distinct buckets
+    * across both frames, so one-sided buckets stay finite WITHOUT the
+    * ad-hoc epsilon most implementations hide — and the smoothing is exact
+    * integer arithmetic, so the oracle replays it. Contribution
+    * (p−q)·ln(p/q); PSI total = Σ, with the usual ≥0.2 "significant shift"
+    * reading. Runs entirely over SKETCH rows (bounded by value range /
+    * width), never the data.
+    */
+  def psiContributions(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("bucket"), col("n").as("n_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b")), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+      count(lit(1)).as("n_buckets"))
+    val p = (col("n_a") + 1) / (col("tot_a") + col("n_buckets"))
+    val q = (col("n_b") + 1) / (col("tot_b") + col("n_buckets"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(p, 6).as("p_a"), round(q, 6).as("p_b"),
+        round((p - q) * log(p / q), 6).as("psi"))
+  }
+
+  /** Query: document-length drift between the en and de slices — PSI over
+    * width-64 n_chars histograms, per-bucket contributions ordered by
+    * bucket.
+    */
+  def lenDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    psiContributions(
+      SketchOps.histogramSketch(docs.filter(col("lang") === "en"), "n_chars", 64),
+      SketchOps.histogramSketch(docs.filter(col("lang") === "de"), "n_chars", 64))
+      .orderBy("bucket")
+  }
+
   /** Signature of an already-distinct hash frame (column `h`). */
   def signatureOf(hashFrame: DataFrame, k: Int = 32): DataFrame =
     hashFrame

@@ -237,6 +237,37 @@ object SketchOps {
       .crossJoin(broadcast(est))
   }
 
+  /** Query: incremental cardinality — the register frame of the historical
+    * 90% of the corpus is PERSISTED (Artifacts) and the 10% delta batch
+    * merges its own registers by bucket-wise max; history is never
+    * rescanned. Because registers max-merge losslessly, the merged state
+    * equals the whole-corpus sketch EXACTLY, so the oracle is the same SQL
+    * as `txt_hll_distinct` — the same build-once/probe-many shape as
+    * `dedup_incremental`, for the cardinality ledger a growing corpus
+    * keeps (vocabulary size across ingest batches at 100 TB).
+    */
+  def hllIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024
+    val docs = Tables.documents(spark, dir)
+    val cut = docs
+      .agg(floor(max(col("doc_id")) * 0.9).cast("long"))
+      .collect()(0).getLong(0)
+    def registersOf(d: DataFrame) = hllRegisters(
+      d.select(explode(tokens(col("text"))).as("word"))
+        .select(rollingHash(col("word")).as("h")), "h", m)
+    graft.Artifacts.save("hll_registers")(
+      registersOf(docs.filter(col("doc_id") <= cut)))
+    val stored = graft.Artifacts.path("hll_registers")
+      .map(spark.read.parquet(_))
+      .getOrElse(registersOf(docs.filter(col("doc_id") <= cut)))
+    val merged = stored
+      .unionByName(registersOf(docs.filter(col("doc_id") > cut)))
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .agg(countDistinct(col("word")).as("n_exact"))
+      .crossJoin(broadcast(hllEstimate(merged, m)))
+  }
+
   // ------------------------------------------------- sketch-guided heavy hitters
 
   /** All words with true frequency ≥ `threshold`, EXACTLY — but the word

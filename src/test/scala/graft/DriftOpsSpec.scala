@@ -68,6 +68,21 @@ class DriftOpsSpec extends SparkSuite {
     assert(disjoint === 0L)
   }
 
+  test("PSI: zero on identical histograms, nonnegative always, grows with shift") {
+    import graft.operators.SketchOps
+    val a = SketchOps.histogramSketch(
+      spark.range(1, 1001).select(col("id").as("v")), "v", 100)
+    val same = DriftOps.psiContributions(a, a).collect()
+    assert(same.nonEmpty && same.forall(_.getDouble(3) === 0.0))
+    // shifted distribution: every contribution (p-q)ln(p/q) is >= 0 and
+    // the total registers the shift
+    val b = SketchOps.histogramSketch(
+      spark.range(401, 1401).select(col("id").as("v")), "v", 100)
+    val drifted = DriftOps.psiContributions(a, b).collect()
+    assert(drifted.forall(_.getDouble(3) >= 0.0))
+    assert(drifted.map(_.getDouble(3)).sum > 0.2, "a 40% shift reads as significant")
+  }
+
   test("fixture queries: drift rows ranked, resemblance gauge coherent") {
     val drift = DriftOps.driftQuery(spark, SparkSpec.FixtureDir).collect()
     assert(drift.length === 15)

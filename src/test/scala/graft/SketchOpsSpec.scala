@@ -134,6 +134,14 @@ class SketchOpsSpec extends SparkSuite {
       s"small-range estimate $est too far from exact $exact")
   }
 
+  test("incremental HLL equals the whole-corpus sketch exactly (lossless merge)") {
+    val whole = SketchOps.hllDistinct(spark, SparkSpec.FixtureDir).collect()(0)
+    val inc = SketchOps.hllIncremental(spark, SparkSpec.FixtureDir).collect()(0)
+    assert(inc.getLong(0) === whole.getLong(0))   // n_exact
+    assert(inc.getLong(1) === whole.getLong(1))   // occupied
+    assert(inc.getDouble(2) === whole.getDouble(2)) // est — bit-identical
+  }
+
   // --------------------------------------------------------- heavy hitters
 
   test("sketch-pruned heavy hitters equal the exact HAVING query") {

@@ -310,6 +310,7 @@ object SparkEntry {
     "hll_incremental" -> SketchOps.hllIncremental,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
+    "rel_funnel" -> RelationalOps.funnelQuery,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
@@ -878,6 +879,29 @@ object SparkEntry {
          |SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
          |GROUP BY 1 HAVING count(*) >= 900
          |ORDER BY n DESC, word""".stripMargin,
+    // funnel: stage times are sequential minima (strictly-after chain);
+    // only counts cross engines, never raw timestamps
+    "rel_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS stage, 'view' AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
+        |b AS (SELECT n_users AS n_base FROM c WHERE stage = 1)
+        |SELECT stage, event_type, n_users,
+        |  round(n_users / n_base, 4) AS rate
+        |FROM c, b ORDER BY stage""".stripMargin,
     // bloom semi-join: no false negatives, and survivors are exact-verified,
     // so the output equals the plain IN-subquery semi-join
     "rel_bloom_semi" ->

@@ -42,6 +42,16 @@ object LayoutOps {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // Overwrite replaces a CATALOG entry, but an in-memory catalog forgets
+    // tables at JVM exit while their warehouse directories survive — a
+    // later session then refuses the "already existing" orphan location.
+    // Drop both: the entry (if any) and the leftover directory.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(nBuckets, bucketCol)
     val ws = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
     ws.format("parquet").saveAsTable(table)

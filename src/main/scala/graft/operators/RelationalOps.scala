@@ -364,4 +364,43 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
+
+  /** Ordered-sequence funnel: per user, the earliest time each stage could
+    * complete given the previous stage's completion (t_k = min ts of stage
+    * k STRICTLY after t_{k-1}). Built as a chain of filter→agg→join steps —
+    * every shuffle keys on the user, so Spark reuses one exchange across
+    * the chain and AQE sees ordinary equi-joins; per-user event lists are
+    * never collected (the collect_list formulation caps at executor memory
+    * on power-law users; this one never materializes a user's history).
+    * Returns one frame per stage: (userCol, t) of users who reached it.
+    */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): Seq[DataFrame] =
+    stages.tail.scanLeft(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .join(prev.withColumnRenamed("t", "t_prev"), userCol)
+        .filter(col(tsCol) > col("t_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+
+  /** Query: the view → click → purchase funnel over the events fixture —
+    * per stage, users reaching it and the conversion rate vs stage 1.
+    */
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("view", "click", "purchase")
+    val reached = funnelStages(Tables.events(spark, dir),
+      "user_id", "ts", "event_type", stages)
+    val counts = stages.zip(reached).zipWithIndex.map { case ((s, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(s).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.filter(col("stage") === 1)
+      .select(col("n_users").as("n_base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round(col("n_users") / col("n_base"), 4).as("rate"))
+      .orderBy("stage")
+  }
 }

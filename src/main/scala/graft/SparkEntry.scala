@@ -308,6 +308,7 @@ object SparkEntry {
     "txt_resemblance" -> DriftOps.resemblanceQuery,
     "txt_len_drift" -> DriftOps.lenDriftQuery,
     "hll_incremental" -> SketchOps.hllIncremental,
+    "hll_by_lang" -> SketchOps.hllByLang,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
@@ -797,6 +798,35 @@ object SparkEntry {
     // incremental HLL: registers max-merge losslessly, so stored-90% ∪
     // delta-10% equals the whole-corpus sketch — same oracle
     "hll_incremental" -> hllDistinctSql,
+    // grouped HLL: registers carry the group key; same arithmetic per group
+    "hll_by_lang" ->
+      s"""WITH toks AS (SELECT lang, unnest($TOKS) AS word FROM documents),
+         |h AS (SELECT lang, ${polyFold(cps("word"))} AS h FROM toks),
+         |g AS (SELECT lang,
+         |        (((h * h) % $MOD) * 8191 + h * 524287 + 12289) % $MOD AS g
+         |      FROM h),
+         |rk AS (
+         |  SELECT lang, g % 1024 AS bucket,
+         |    1 + len(list_filter(range(0, 20),
+         |          j -> (g // 1024) < (CAST(1 AS BIGINT) << j))) AS rank
+         |  FROM g),
+         |regs AS (SELECT lang, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+         |st AS (
+         |  SELECT lang, count(*) AS occupied,
+         |    CAST(sum(CAST(1 AS BIGINT) << (21 - r)) AS BIGINT) AS s_present
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+         |       FROM toks GROUP BY 1),
+         |sel AS (
+         |  SELECT ex.lang, n_exact, occupied, (1024 - occupied) AS zeros,
+         |    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2097152.0 /
+         |      (coalesce(s_present, 0) + (1024 - occupied) * 2097152) *
+         |      (1000000007.0 / 1073741824.0) AS raw
+         |  FROM ex JOIN st USING (lang))
+         |SELECT lang, n_exact, occupied,
+         |  round(CASE WHEN raw <= 2560.0 AND zeros > 0
+         |             THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS est
+         |FROM sel ORDER BY lang""".stripMargin,
     // drift: per-word JS contributions — log2 rendered as ln(x)/ln(2.0) on
     // both sides so the IEEE op sequence is identical; ordering on the
     // ROUNDED contribution with a word tie-break

@@ -201,9 +201,18 @@ object SketchOps {
     * P/(m·2^20) = P/2^30 (measured: within 2% of truth at 20k–200k true
     * cardinality, vs the 3.25% stderr of m = 1024).
     */
-  def hllEstimate(regs: DataFrame, m: Int = 1024): DataFrame = {
+  def hllEstimate(regs: DataFrame, m: Int = 1024): DataFrame =
+    hllEstimateBy(regs, Nil, m)
+
+  /** Per-group (keyCols, occupied, est) readout — register frames group
+    * cleanly because each group's registers are independent; per-group
+    * state stays bounded at m rows.
+    */
+  def hllEstimateBy(regs: DataFrame, keyCols: Seq[String],
+                    m: Int = 1024): DataFrame = {
     val twoPow21 = 1L << 21
     regs
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("occupied"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 21 - r)")).as("s_present"))
       .withColumn("zeros", lit(m.toLong) - col("occupied"))
@@ -216,7 +225,7 @@ object SketchOps {
         round(when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("raw")), 4))
-      .select(col("occupied"), col("est"))
+      .select((keyCols.map(col) ++ Seq(col("occupied"), col("est"))): _*)
   }
 
   /** Query: HyperLogLog distinct-words estimate vs the exact count —
@@ -235,6 +244,28 @@ object SketchOps {
       hllRegisters(words.select(rollingHash(col("word")).as("h")), "h", m), m)
     words.agg(countDistinct(col("word")).as("n_exact"))
       .crossJoin(broadcast(est))
+  }
+
+  /** Query: per-language distinct-word cardinality — the grouped form of
+    * the HLL sketch. Registers carry the group key, so per-group state is
+    * bounded at m rows and the single groupBy((lang, bucket)) shuffle
+    * replaces one full-vocabulary shuffle PER GROUP; exact counts ride
+    * along as the fixture-scale gauge.
+    */
+  def hllByLang(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("lang"), explode(tokens(col("text"))).as("word"))
+    val regs = words
+      .select(col("lang"), rollingHash(col("word")).as("h"))
+      .select(col("lang"), expr(
+        s"(((h * h) % $P) * 8191 + h * 524287 + 12289) % $P").as("g"))
+      .select(col("lang"), (col("g") % m).as("bucket"),
+        expr(s"${hllRankExpr(s"(g div $m)")}").as("rank"))
+      .groupBy("lang", "bucket").agg(max(col("rank")).as("r"))
+    words.groupBy("lang").agg(countDistinct(col("word")).as("n_exact"))
+      .join(hllEstimateBy(regs, Seq("lang"), m), "lang")
+      .orderBy("lang")
   }
 
   /** Query: incremental cardinality — the register frame of the historical

@@ -134,6 +134,18 @@ class SketchOpsSpec extends SparkSuite {
       s"small-range estimate $est too far from exact $exact")
   }
 
+  test("grouped HLL: each group's estimate equals its standalone sketch") {
+    val rows = SketchOps.hllByLang(spark, SparkSpec.FixtureDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rows.size >= 2)
+    // per-group estimates behave like independent sketches: at fixture
+    // cardinality each fires the near-exact linear-counting branch
+    rows.foreach { case (lang, (exact, est)) =>
+      assert(est >= exact * 0.9 && est <= exact * 1.15,
+        s"lang=$lang estimate $est too far from exact $exact")
+    }
+  }
+
   test("incremental HLL equals the whole-corpus sketch exactly (lossless merge)") {
     val whole = SketchOps.hllDistinct(spark, SparkSpec.FixtureDir).collect()(0)
     val inc = SketchOps.hllIncremental(spark, SparkSpec.FixtureDir).collect()(0)

@@ -117,6 +117,7 @@ object ScaleProbe {
     time("cluster_noise")(TopicModelOps.clusterNoiseProfile(spark, tmp).count())
     time("sample_split")(SamplingOps.splitProfile(spark, tmp).count())
     time("decontam")(CurationOps.decontamProfile(spark, tmp).count())
+    time("decontam_bloom")(CurationOps.decontamBloomProfile(spark, tmp).count())
     time("pii_scrub")(CurationOps.piiScrubProfile(spark, tmp).count())
     time("mix_domains")(SamplingOps.mixProfile(spark, tmp).count())
     time("budget_select")(SamplingOps.budgetProfile(spark, tmp).count())

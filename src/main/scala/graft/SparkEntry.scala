@@ -65,6 +65,26 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Oracle for the decontamination audits — shared by `decontam_13gram`
+    * and `decontam_bloom` (the bloom prefilter has no false negatives and
+    * survivors are exact-verified, so the faces are provably equal).
+    */
+  private lazy val decontamSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, ${sampleBucket("doc_id")} AS b,
+       |    ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
+       |  FROM documents),
+       |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE b < 500),
+       |tr AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g WHERE b >= 500),
+       |hit AS (SELECT DISTINCT tr.doc_id, tr.lang FROM tr JOIN ev USING (gram)),
+       |f AS (SELECT lang, count(*) AS n_contaminated FROM hit GROUP BY 1),
+       |t AS (SELECT lang, count(*) AS n_train FROM g WHERE b >= 500 GROUP BY 1)
+       |SELECT t.lang, n_train,
+       |  coalesce(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+       |  round(coalesce(n_contaminated, CAST(0 AS BIGINT)) / n_train, 4)
+       |    AS contam_rate
+       |FROM t LEFT JOIN f ON t.lang = f.lang ORDER BY 1""".stripMargin
+
   /** Oracle for the HLL cardinality queries — shared by `txt_hll_distinct`
     * and `hll_incremental` (registers max-merge losslessly, so the
     * incremental face equals the whole-corpus sketch). The rank is integer
@@ -312,6 +332,8 @@ object SparkEntry {
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
+    "rel_skew_profile" -> RelationalOps.skewProfileQuery,
+    "decontam_bloom" -> CurationOps.decontamBloomProfile,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
@@ -989,21 +1011,23 @@ object SparkEntry {
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM s GROUP BY 1""".stripMargin,
     // eval slice = 5% hash bucket; gram hashes replay the integer kernels
-    "decontam_13gram" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, lang, ${sampleBucket("doc_id")} AS b,
-         |    ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
-         |  FROM documents),
-         |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE b < 500),
-         |tr AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g WHERE b >= 500),
-         |hit AS (SELECT DISTINCT tr.doc_id, tr.lang FROM tr JOIN ev USING (gram)),
-         |f AS (SELECT lang, count(*) AS n_contaminated FROM hit GROUP BY 1),
-         |t AS (SELECT lang, count(*) AS n_train FROM g WHERE b >= 500 GROUP BY 1)
-         |SELECT t.lang, n_train,
-         |  coalesce(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
-         |  round(coalesce(n_contaminated, CAST(0 AS BIGINT)) / n_train, 4)
-         |    AS contam_rate
-         |FROM t LEFT JOIN f ON t.lang = f.lang ORDER BY 1""".stripMargin,
+    "decontam_13gram" -> decontamSql,
+    // bloom-prefiltered decontamination: no false negatives + exact verify
+    // on survivors, so the output provably equals the broadcast-set face
+    "decontam_bloom" -> decontamSql,
+    // skew diagnostic: integer stats + two rounded double ratios
+    "rel_skew_profile" ->
+      """WITH k AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(n) AS BIGINT) AS n_rows,
+        |        CAST(max(n) AS BIGINT) AS max_n FROM k),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_heavy FROM k, s
+        |      WHERE n > 2 * (n_rows / n_keys))
+        |SELECT n_keys, n_rows, max_n,
+        |  round(n_rows / n_keys, 4) AS mean_n,
+        |  round(max_n / (n_rows / n_keys), 4) AS skew_ratio,
+        |  n_heavy
+        |FROM s, h""".stripMargin,
     // PII is PLANTED deterministically from doc_id on both sides (the
     // fixture has none), then scrubbed; scrubbed_len pins the replacement
     // output itself, not just the match counts

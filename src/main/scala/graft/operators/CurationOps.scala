@@ -52,6 +52,32 @@ object CurationOps {
       .select(col(idCol)).distinct()
   }
 
+  /** Bloom-prefiltered contamination probe: when the eval suite is large
+    * enough that broadcasting its full distinct gram set strains the
+    * drivers (millions of grams × 8 bytes is fine; hundreds of millions is
+    * not), broadcast its BLOOM BITSET instead and prefilter the train
+    * side's exploded grams map-side; only the surviving grams — already a
+    * tiny, bloom-bounded fraction — meet the exact gram set for false-
+    * positive removal. No false negatives (bloom property), exact verify
+    * on survivors, so the output EQUALS `contaminated` and shares its
+    * oracle.
+    */
+  def contaminatedBloom(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                        textCol: String, n: Int = 13,
+                        mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val evalGrams = graft.Caching.track(evalDocs
+      .select(explode(gramHashes(col(textCol), n)).as("gram"))
+      .distinct())
+    val positions = evalGrams
+      .select(explode(expr(SketchOps.bloomPosExpr("gram", mBits, k))).as("b"))
+      .distinct()
+    SketchOps.bloomPrefilter(
+      train.select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram")),
+      "gram", positions, mBits, k)
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol)).distinct()
+  }
+
   /** The ACTION form: `train` with every contaminated row removed. */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, n: Int = 13): DataFrame =
@@ -69,12 +95,24 @@ object CurationOps {
     * each scan and the gram kernel runs inside whole-stage codegen, so the
     * "duplicate" work is two cheap pipelined passes.
     */
-  def decontamProfile(spark: SparkSession, dir: String): DataFrame = {
+  def decontamProfile(spark: SparkSession, dir: String): DataFrame =
+    decontamProfileWith(spark, dir, contaminated(_, _, "doc_id", "text"))
+
+  /** Query: the bloom-prefiltered face of the same audit — IDENTICAL output
+    * (the prefilter has no false negatives and survivors are exact-
+    * verified), so it shares `decontam_13gram`'s oracle; what changes is
+    * the broadcast: a bitset position set instead of the full gram set.
+    */
+  def decontamBloomProfile(spark: SparkSession, dir: String): DataFrame =
+    decontamProfileWith(spark, dir, contaminatedBloom(_, _, "doc_id", "text"))
+
+  private def decontamProfileWith(spark: SparkSession, dir: String,
+      probe: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bucket = SamplingOps.hashBucket(col("doc_id"), 10000)
     val evalDocs = docs.filter(bucket < 500)
     val train = docs.filter(bucket >= 500)
-    val hits = contaminated(train, evalDocs, "doc_id", "text")
+    val hits = probe(train, evalDocs)
     val flagged = train.join(hits, "doc_id")
       .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
     train.groupBy("lang").agg(count(lit(1)).as("n_train"))

@@ -365,6 +365,35 @@ object RelationalOps {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  /** Join-key skew diagnostic: rows-per-key distribution stats for a
+    * prospective join/agg key — the operational check that decides between
+    * a plain join, `broadcast`, `saltedJoin`, or AQE skew handling BEFORE
+    * a 100 TB shuffle discovers the hot key the hard way. One groupBy on
+    * the key (the same shuffle the join would pay, at count-only width)
+    * plus bounded reads over the per-key counts.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = graft.Caching.track(
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n")))
+    val stats = perKey.agg(
+      count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"))
+    val heavy = perKey.crossJoin(broadcast(stats))
+      .filter(col("n") > lit(2) * (col("n_rows") / col("n_keys")))
+      .agg(count(lit(1)).as("n_heavy"))
+    stats.crossJoin(broadcast(heavy))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        round(col("n_rows") / col("n_keys"), 4).as("mean_n"),
+        round(col("max_n") / (col("n_rows") / col("n_keys")), 4).as("skew_ratio"),
+        col("n_heavy"))
+  }
+
+  /** Query: skew profile of orders.o_custkey (the key `rel_salted_join`
+    * salts).
+    */
+  def skewProfileQuery(spark: SparkSession, dir: String): DataFrame =
+    keySkewProfile(Tables.orders(spark, dir), "o_custkey")
+
   /** Ordered-sequence funnel: per user, the earliest time each stage could
     * complete given the previous stage's completion (t_k = min ts of stage
     * k STRICTLY after t_{k-1}). Built as a chain of filter→agg→join steps —

@@ -356,6 +356,30 @@ object SketchOps {
     s"transform(sequence(1, $k), i -> " +
       s"((($keyExpr) % $P) * (8191 * i) + 524287 * i) % $P % $mBits)"
 
+  /** The i-th bloom position alone — plain codegen'd arithmetic for the
+    * probe side's semi-join chain (the `transform` form is for the compact
+    * build-side explode, where it runs once per key, not per probed row).
+    */
+  private[operators] def bloomPos1(keyExpr: String, mBits: Int, i: Int): String =
+    s"((($keyExpr) % $P) * ${8191L * i} + ${524287L * i}) % $P % $mBits"
+
+  /** Map-side bloom membership prefilter: keeps rows of `df` whose key has
+    * ALL k bit positions present in `positions` (the distinct set-bit
+    * frame). Implemented as a chain of k broadcast left-semi joins — each a
+    * codegen'd hash probe against ≤ mBits keys — NOT a higher-order
+    * `forall` over an array literal, which runs interpreted outside
+    * whole-stage codegen (the heavy-hitter lesson, 5× on the 10× probe).
+    */
+  private[operators] def bloomPrefilter(df: DataFrame, keyExpr: String,
+                                        positions: DataFrame,
+                                        mBits: Int, k: Int): DataFrame =
+    (1 to k).foldLeft(df) { (d, i) =>
+      d.withColumn("__bloom_b", expr(bloomPos1(keyExpr, mBits, i)))
+        .join(broadcast(positions.select(col("b").as("__bloom_b"))),
+          Seq("__bloom_b"), "left_semi")
+        .drop("__bloom_b")
+    }
+
   /** Bloom bitset of a key column as ONE row holding the sorted array of
     * set bit positions (≤ k·|keys|, deduplicated). At fixture scale the
     * position array is the honest representation; the arithmetic is what a
@@ -369,21 +393,20 @@ object SketchOps {
 
   /** Shuffle-free semi-join: the small side's bloom bitset broadcasts and
     * the big side is pre-filtered MAP-SIDE (a row survives only if all k of
-    * its key's bit positions are set), then the survivors — already a tiny
-    * fraction — are verified with an exact broadcast semi-join to remove
-    * bloom false positives. The big side never shuffles and never feeds a
-    * join build; output is EXACTLY the plain semi-join (bloom filters have
-    * no false negatives), so the oracle is the plain `IN` subquery.
+    * its key's bit positions are set — the `bloomPrefilter` semi-join
+    * chain), then the survivors — already a tiny fraction — are verified
+    * with an exact broadcast semi-join to remove bloom false positives.
+    * The big side never shuffles and never feeds a join build; output is
+    * EXACTLY the plain semi-join (bloom filters have no false negatives),
+    * so the oracle is the plain `IN` subquery.
     */
   def bloomSemiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     mBits: Int = 65536, k: Int = 3): DataFrame = {
-    val bits = bloomBits(small.select(col(smallKey)), smallKey, mBits, k)
-    val pre = big
-      .crossJoin(broadcast(bits))
-      .filter(expr(
-        s"forall(${bloomPosExpr(bigKey, mBits, k)}, p -> array_contains(bits, p))"))
-      .drop("bits")
+    val positions = graft.Caching.track(
+      small.select(explode(expr(bloomPosExpr(smallKey, mBits, k))).as("b"))
+        .distinct())
+    val pre = bloomPrefilter(big, bigKey, positions, mBits, k)
     val smallKeys = small.select(col(smallKey)).distinct()
     pre.join(broadcast(smallKeys), pre(bigKey) === smallKeys(smallKey), "left_semi")
   }

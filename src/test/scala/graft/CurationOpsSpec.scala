@@ -56,4 +56,30 @@ class CurationOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_train"))
     }
   }
+
+  test("bloom-prefiltered contamination equals the broadcast-set face, even saturated") {
+    val evalDocs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike suffix"),
+      (11L, "alpha bravo charlie delta unrelated tail entirely different from the evaluation material here"),
+      (12L, "short doc")).toDF("doc_id", "text")
+    val exact = CurationOps.contaminated(train, evalDocs, "doc_id", "text")
+      .as[Long].collect().toSet
+    val bloomed = CurationOps.contaminatedBloom(train, evalDocs, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(bloomed === exact)
+    // a 32-bit filter saturates into false positives; exact verification
+    // still yields precisely the true hits
+    val saturated = CurationOps.contaminatedBloom(train, evalDocs,
+      "doc_id", "text", mBits = 32, k = 2).as[Long].collect().toSet
+    assert(saturated === exact)
+    // and the fixture-scale profiles agree row for row
+    val a = CurationOps.decontamProfile(spark, SparkSpec.FixtureDir)
+      .collect().map(_.toString).sorted
+    val b = CurationOps.decontamBloomProfile(spark, SparkSpec.FixtureDir)
+      .collect().map(_.toString).sorted
+    assert(a === b)
+  }
 }

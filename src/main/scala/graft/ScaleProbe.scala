@@ -128,7 +128,14 @@ object ScaleProbe {
     // heavy-hitter shuffle are bounded by construction — the probe shows
     // wall-time tracking the SCAN (linear), not the vocabulary
     time("hll_distinct")(SketchOps.hllDistinct(spark, tmp).count())
+    time("hll_by_lang")(SketchOps.hllByLang(spark, tmp).count())
     time("heavy_hitters")(SketchOps.heavyHittersQuery(spark, tmp).count())
+    // monitoring tier: comparison cost is bounded by vocabulary (drift),
+    // sketch rows (PSI), or k signature rows (resemblance)
+    time("drift")(operators.DriftOps.driftQuery(spark, tmp).count())
+    time("len_drift")(operators.DriftOps.lenDriftQuery(spark, tmp).count())
+    time("resemblance")(operators.DriftOps.resemblanceQuery(spark, tmp).count())
+    time("funnel")(RelationalOps.funnelQuery(spark, tmp).count())
     time("repetition")(TextAnalysisOps.repetitionBySource(spark, tmp).count())
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())
     time("range_join")(RelationalOps.concurrentSessionActivity(spark, tmp).count())

@@ -200,6 +200,42 @@ object StreamOps {
   private def micros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  case class FunnelState(stage: Int, lastTsMicros: Long)
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming face of the ordered-sequence funnel: a per-user stage
+    * machine under `mapGroupsWithState`. Each micro-batch's events for a
+    * user are walked in (ts, event_id) order, advancing the stage whenever
+    * the NEXT needed type appears strictly after the previous stage time —
+    * the greedy earliest-advance walk computes exactly the batch operator's
+    * sequential minima (RelationalOps.funnelStages), so in-order ingest
+    * matches the batch funnel stage-for-stage (spec-pinned). State per user
+    * is two numbers (stage, last stage time) FOREVER — no watermark needed
+    * for boundedness. Stage times are monotone, so an event arriving in a
+    * LATER batch with an earlier timestamp cannot retroactively advance a
+    * stage it preceded — the documented at-ingest semantics (the batch twin
+    * is the replay tool when late data matters).
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String])
+                  (implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val init = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val next = sorted.foldLeft(init) { (s, e) =>
+            if (s.stage < stages.length && e.event_type == stages(s.stage) &&
+                micros(e.ts) > s.lastTsMicros)
+              FunnelState(s.stage + 1, micros(e.ts))
+            else s
+          }
+          state.update(next)
+          FunnelProgress(userId, next.stage)
+      }
+  }
+
   case class Event(event_id: Long, user_id: Long, ts: Timestamp,
                    event_type: String, value: Double, props: String)
   case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)

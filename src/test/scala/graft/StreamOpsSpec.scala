@@ -351,6 +351,46 @@ class StreamOpsSpec extends SparkSuite {
     assert(StreamOps.dedupBatch(docs, "text").count() === 2)
   }
 
+  test("streaming funnel: stage machine matches the batch funnel across batches") {
+    import org.apache.spark.sql.functions._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    val q = StreamOps.funnelStream(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    val b1 = Seq(
+      ev(1, 1, ts(9, 0), "view"), ev(2, 1, ts(9, 5), "click"),
+      ev(3, 2, ts(9, 1), "click"),          // pre-view click: no progress
+      ev(4, 3, ts(9, 2), "view"))
+    val b2 = Seq(
+      ev(5, 1, ts(9, 10), "purchase"),      // completes user 1
+      ev(6, 2, ts(9, 11), "view"),          // user 2 starts properly
+      ev(7, 3, ts(8, 0), "click"))          // LATE: before user 3's view — ignored
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val latest = spark.table("funnel_stream")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(latest === Map(1L -> 3, 2L -> 1, 3L -> 1))
+      // in-order users (1, 2) agree with the batch operator on ALL events;
+      // user 3's late cross-batch click is the documented at-ingest
+      // difference (batch replay would count it only if it were in order)
+      val all = (b1 ++ b2).map(e => (e.user_id, e.ts, e.event_type))
+        .toDF("user_id", "ts", "event_type")
+      val reached = graft.operators.RelationalOps.funnelStages(
+        all, "user_id", "ts", "event_type", stages)
+      val batchStage = (1L to 3L).map { u =>
+        u -> reached.count(_.filter(col("user_id") === u).count() > 0)
+      }.toMap
+      assert(batchStage(1L) === latest(1L) && batchStage(2L) === latest(2L))
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch sketch of everything ingested") {
     import org.apache.spark.sql.functions._
     import graft.operators.SketchOps

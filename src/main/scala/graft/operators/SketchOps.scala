@@ -380,17 +380,6 @@ object SketchOps {
         .drop("__bloom_b")
     }
 
-  /** Bloom bitset of a key column as ONE row holding the sorted array of
-    * set bit positions (≤ k·|keys|, deduplicated). At fixture scale the
-    * position array is the honest representation; the arithmetic is what a
-    * packed long[] bitset would index at 100 TB, so the probe semantics are
-    * scale-invariant. Mergeable across shards by array union.
-    */
-  def bloomBits(keys: DataFrame, keyCol: String,
-                mBits: Int = 65536, k: Int = 3): DataFrame =
-    keys.select(explode(expr(bloomPosExpr(keyCol, mBits, k))).as("b"))
-      .agg(sort_array(collect_set(col("b"))).as("bits"))
-
   /** Shuffle-free semi-join: the small side's bloom bitset broadcasts and
     * the big side is pre-filtered MAP-SIDE (a row survives only if all k of
     * its key's bit positions are set — the `bloomPrefilter` semi-join

@@ -330,6 +330,8 @@ object SparkEntry {
     "hll_incremental" -> SketchOps.hllIncremental,
     "hll_by_lang" -> SketchOps.hllByLang,
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
+    "txt_len_pctrank" -> RankOps.pctRankProfile,
+    "txt_len_median" -> RankOps.medianProfile,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
@@ -984,6 +986,30 @@ object SparkEntry {
         |  round(bucket * 64 + 64 * (rk - cum_before) / n, 4) AS est_chars,
         |  total AS n_docs
         |FROM r JOIN c ON cum_before < rk AND rk <= cum_before + n""".stripMargin,
+    // broadcast-CDF exact ranks: ANSI percent_rank/cume_dist semantics
+    // reproduced from histogram counts — the oracle uses the real windows
+    "txt_len_pctrank" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    percent_rank() OVER (ORDER BY n_chars) AS pr,
+        |    cume_dist() OVER (ORDER BY n_chars) AS cd
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT CAST(least(CAST(floor(pr * 10) AS BIGINT), 9) AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(avg(pr), 4) AS avg_pct_rank,
+        |  round(avg(cd), 4) AS avg_cume_dist
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sort-free exact median: interpolating (even-n averages the middle two),
+    // matching DuckDB's median() over integers
+    "txt_len_median" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(CAST(median(n_chars) AS DOUBLE), 1) AS median_chars
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_split" ->
       s"""WITH s AS (
          |  SELECT lang, doc_id, ${sampleBucket("doc_id")} AS b FROM documents)

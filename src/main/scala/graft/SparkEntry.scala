@@ -332,6 +332,7 @@ object SparkEntry {
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "txt_len_pctrank" -> RankOps.pctRankProfile,
     "txt_len_median" -> RankOps.medianProfile,
+    "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
@@ -1001,6 +1002,13 @@ object SparkEntry {
         |  round(avg(pr), 4) AS avg_pct_rank,
         |  round(avg(cd), 4) AS avg_cume_dist
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // JSONL sink→source roundtrip: totals must equal the parquet truth and
+    // the quarantine must be empty (nothing lost, nothing corrupted)
+    "src_jsonl_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(0 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // sort-free exact median: interpolating (even-n averages the middle two),
     // matching DuckDB's median() over integers
     "txt_len_median" ->

@@ -357,6 +357,7 @@ object SparkEntry {
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
     "dedup_embed_clusters" -> SimilarityOps.lshDupClusterProfile,
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
+    "dedup_keep_best" -> DedupOps.keepBestProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
     "dedup_span_profile" -> SpanDedupOps.spanProfileQuery,
@@ -1219,6 +1220,34 @@ object SparkEntry {
          |SELECT label AS cluster_rep, count(*) AS n_docs,
          |  max(doc_id) AS max_doc_id
          |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // canonical selection: same cluster unroll, then keeper = max quality,
+    // ties to min doc_id — exact algebra (max, filter, min), no arg_max
+    "dedup_keep_best" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |withbands AS (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, range(0, 8) t(j)),
+         |${propagationCtes(DedupOps.ClusterRounds)},
+         |q AS (
+         |  SELECT doc_id, $qualityCaseSql AS q
+         |  FROM (SELECT doc_id, text, $NORM AS norm, $TOKS_ALL AS toks
+         |        FROM documents)),
+         |j AS (SELECT l.doc_id, l.label, q.q
+         |      FROM l${DedupOps.ClusterRounds} l JOIN q USING (doc_id)),
+         |best AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+         |    max(q) AS best_score
+         |  FROM j GROUP BY 1)
+         |SELECT label AS cluster_rep, n_docs, min(doc_id) AS keep_id,
+         |  round(best_score, 2) AS best_quality, n_docs - 1 AS n_removed
+         |FROM j JOIN best USING (label)
+         |WHERE q = best_score AND n_docs > 1
+         |GROUP BY label, n_docs, best_score""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig

@@ -585,6 +585,49 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Canonical-document selection: given cluster labels and a per-doc
+    * score, pick the keeper of each cluster — the highest score, ties to
+    * the smallest id. Detection tells you WHAT is duplicated; this decides
+    * what survives, by QUALITY rather than the keep-first convention
+    * (arrival order is an accident of crawl scheduling; the reference keeps
+    * first only because pandas drop_duplicates does,
+    * /root/reference/preprocessing.py:201-204).
+    *
+    * Shape: two aggregates and a join, all keyed on the label — one
+    * partitioning reused end-to-end, partial aggs map-side. Deliberately
+    * NOT a single `max_by(id, struct(score, -id))`: scores are coarse
+    * (ties are the common case) and cross-engine struct-comparison
+    * semantics are not contractual, while max/filter/min is exact algebra
+    * any oracle reproduces.
+    *
+    * Returns (label, n_docs, best_score, keep_id) per cluster.
+    */
+  def keepBest(labels: DataFrame, scored: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    val joined = labels.join(scored, idCol)
+    val best = joined.groupBy(col("label")).agg(
+      count(lit(1)).as("n_docs"), max(col(scoreCol)).as("best_score"))
+    joined.join(best, "label")
+      .filter(col(scoreCol) === col("best_score"))
+      .groupBy(col("label"), col("n_docs"), col("best_score"))
+      .agg(min(col(idCol)).as("keep_id"))
+  }
+
+  /** Query: per multi-member MinHash cluster, the quality-selected keeper
+    * and how many near-dups it displaces.
+    */
+  def keepBestProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = minhashClusters(docs, "doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      TextAnalysisOps.qualityScoreCol(col("text")).as("q"))
+    keepBest(labels, scored, "doc_id", "q")
+      .filter(col("n_docs") > 1)
+      .select(col("label").as("cluster_rep"), col("n_docs"), col("keep_id"),
+        round(col("best_score"), 2).as("best_quality"),
+        (col("n_docs") - 1).as("n_removed"))
+  }
+
   /** Embedding-cosine near-duplicates: exact all-pairs cosine ≥ threshold.
     * Quadratic by design — correct at fixture scale and the verification
     * baseline for the LSH path (SimilarityOps.lshCosinePairs), which is the

@@ -250,6 +250,37 @@ class DedupOpsSpec extends SparkSuite {
     assert(profile == expected)
   }
 
+  test("keepBest keeps the max-score member, ties to the smallest id") {
+    import spark.implicits._
+    val labels = Seq( // two clusters + a singleton
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (4L, 4L), (5L, 4L), // cluster 4
+      (6L, 6L)).toDF("doc_id", "label")
+    val scored = Seq(
+      1L -> 0.25, 2L -> 0.75, 3L -> 0.75, // tie at 0.75 → keep 2
+      4L -> 0.5, 5L -> 1.0, // keep 5
+      6L -> 0.0).toDF("doc_id", "q")
+    val got = DedupOps.keepBest(labels, scored, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 0.75, 2L), (4L, 2L, 1.0, 5L), (6L, 1L, 0.0, 6L)))
+  }
+
+  test("keepBestProfile keeps exactly one doc per multi-member cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val profile = DedupOps.keepBestProfile(spark, dir).collect()
+    graft.Caching.releaseAll()
+    val sizes = DedupOps.minhashClusterProfile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.releaseAll()
+    assert(profile.map(_.getLong(0)).toSet === sizes.keySet)
+    profile.foreach { r =>
+      assert(r.getLong(1) === sizes(r.getLong(0))) // n_docs agrees
+      assert(r.getLong(4) === r.getLong(1) - 1) // n_removed = n_docs - 1
+    }
+  }
+
   test("dedup is idempotent: rerunning on deduped docs yields no pairs") {
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
     val dupIds = pairs.select("doc_b").distinct()

@@ -341,6 +341,7 @@ object SparkEntry {
     "sample_split" -> SamplingOps.splitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
     "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
+    "sample_group_k" -> SamplingOps.groupFixedSampleProfile,
     // --- curation (LLM-pipeline hygiene: eval leakage + PII + mixing) ---
     "decontam_13gram" -> CurationOps.decontamProfile,
     "txt_pii_scrub" -> CurationOps.piiScrubProfile,
@@ -1045,6 +1046,17 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM s GROUP BY 1""".stripMargin,
+    // per-group top-k by id hash: sum_doc_id pins membership, not just size
+    "sample_group_k" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ((doc_id % $MOD) * 8191 + 524287) % $MOD, doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM r WHERE rk <= 50 GROUP BY 1""".stripMargin,
     // eval slice = 5% hash bucket; gram hashes replay the integer kernels
     "decontam_13gram" -> decontamSql,
     // bloom-prefiltered decontamination: no false negatives + exact verify

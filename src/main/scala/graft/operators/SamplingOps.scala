@@ -79,6 +79,24 @@ object SamplingOps {
   def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.orderBy(((col(idCol) % P) * 8191L + 524287L) % P, col(idCol)).limit(k)
 
+  /** Per-GROUP fixed-size uniform sample: the k smallest-hash rows of each
+    * group (ties to the id) — one balanced eval set per stratum in a single
+    * pass, reproducible by construction like every selection here. The
+    * rank runs as a window partitioned by the group, which Spark's
+    * window-group-limit rewrite executes as per-partition top-k (each task
+    * keeps k rows per group before the shuffle) — never a global sort, and
+    * the group sizes never hit memory the way collect_list-then-slice
+    * would.
+    */
+  def groupFixedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val h = ((col(idCol) % P) * 8191L + 524287L) % P
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
   /** Domain mixing toward a target TOKEN distribution: given per-domain
     * target weights, the largest feasible total is T = min_d(supply_d/w_d)
     * (no domain can be asked for more tokens than it has), each domain's
@@ -231,6 +249,18 @@ object SamplingOps {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
+
+  /** Query: a 50-doc-per-language eval sample — size, id range, and the
+    * hash-order head so the oracle pins WHICH docs were taken, not just how
+    * many.
+    */
+  def groupFixedSampleProfile(spark: SparkSession, dir: String): DataFrame =
+    groupFixedSample(Tables.documents(spark, dir), "lang", "doc_id", 50)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("doc_id")).as("sum_doc_id"))
 
   /** Query: per-language stratified downsample (ko capped at 30%, en at
     * 60%) — kept vs total per language, with the realized keep rate.

@@ -141,6 +141,29 @@ class SamplingOpsSpec extends SparkSuite {
     assert(tight(1.0) > 2400 && tight(1.0) < 3600, tight)
   }
 
+  test("groupFixedSample takes min(k, group size) per group, deterministically") {
+    val got = SamplingOps.groupFixedSample(ids, "lang", "doc_id", 100)
+    val counts = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("ko" -> 100L, "en" -> 100L)) // both strata > k
+    // k above a group's size keeps the whole group
+    val all = SamplingOps.groupFixedSample(ids, "lang", "doc_id", 10000)
+    assert(all.count() === ids.count())
+    // membership is the k smallest hashes per group (brute-force check),
+    // stable under physical layout
+    val hash = (id: Long) => ((id % 1000000007L) * 8191L + 524287L) % 1000000007L
+    val brute = ids.select("doc_id", "lang").as[(Long, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (hash(r._1), r._1)).take(100).map(_._1) }.toSet
+    val a = got.select("doc_id").as[Long].collect().toSet
+    val b = SamplingOps.groupFixedSample(ids.repartition(13), "lang", "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === brute && b === brute)
+    // scale shape: the rank filter runs as a window-group-limit (each task
+    // keeps <=k rows per group BEFORE the shuffle), not a full group sort
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("domains absent from the mix weights are dropped entirely") {
     val docs = ids.withColumn("n_tokens", lit(10L))
     val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",

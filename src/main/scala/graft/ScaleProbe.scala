@@ -136,6 +136,15 @@ object ScaleProbe {
     time("len_drift")(operators.DriftOps.lenDriftQuery(spark, tmp).count())
     time("resemblance")(operators.DriftOps.resemblanceQuery(spark, tmp).count())
     time("funnel")(RelationalOps.funnelQuery(spark, tmp).count())
+    // broadcast-CDF order statistics: cost is the histogram agg (linear
+    // scan, map-side combined) — the replicas keep the value grid FIXED, so
+    // the CDF frame and its broadcast stay constant-size as rows grow
+    time("pct_rank")(RankOps.pctRankProfile(spark, tmp).count())
+    time("len_median")(RankOps.medianProfile(spark, tmp).count())
+    time("sample_group_k")(SamplingOps.groupFixedSampleProfile(spark, tmp).count())
+    // canonical selection rides the cluster propagation plus two
+    // label-keyed aggs — the quality scan is the only extra corpus touch
+    time("keep_best")(DedupOps.keepBestProfile(spark, tmp).count())
     time("repetition")(TextAnalysisOps.repetitionBySource(spark, tmp).count())
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())
     time("range_join")(RelationalOps.concurrentSessionActivity(spark, tmp).count())

@@ -115,6 +115,22 @@ object StreamOps {
         .select(graft.functions.HashExpressions.rollingHash(col("word")).as("h")),
       "h", m)
 
+  /** Streaming face of the histogram quantile sketch: the same bucket
+    * aggregation as the batch sketch (SketchOps.histogramSketch) over
+    * document lengths, run as a streaming aggregation. Like the HLL face,
+    * the state IS the sketch — one row per occupied width-sized bucket,
+    * bounded by the value range rather than the stream length, so no
+    * watermark is needed — and bucket counts SUM-merge, so the streamed
+    * state always equals the batch sketch of everything ingested
+    * (StreamOpsSpec pins the parity). Read quantiles at any time with
+    * SketchOps.quantileEstimates over the sink: length-distribution
+    * monitoring at ingest without a second corpus scan.
+    */
+  def histogramStream(docs: DataFrame, textCol: String,
+                      width: Int = 64): DataFrame =
+    graft.operators.SketchOps.histogramSketch(
+      docs.select(length(col(textCol)).as("len")), "len", width)
+
   /** Exploded (doc, band, band_hash) rows of `docs` that collide with the
     * stored index's band buckets — the shared core of the incremental-dedup
     * faces. The semi join is stream-static capable: the stream side only

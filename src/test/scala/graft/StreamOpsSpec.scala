@@ -391,6 +391,39 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram buckets equal the batch sketch of everything ingested") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.histogramStream(input.toDF(), "text", width = 8)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_stream").start()
+    val b1 = Seq(
+      StreamDoc(1, ts(9, 0), "spark join filter scan window"),
+      StreamDoc(2, ts(9, 5), "hash merge sort"))
+    val b2 = Seq(
+      StreamDoc(3, ts(9, 10), "spark vector batch stream and a longer line"),
+      StreamDoc(4, ts(9, 15), "x"))
+    def batchOf(docs: Seq[StreamDoc]) = SketchOps.histogramSketch(
+      docs.toDF().select(length(col("text")).as("len")), "len", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("hist_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterB1 === batchOf(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table("hist_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterB2 === batchOf(b1 ++ b2))
+      // state is the sketch itself: one row per occupied bucket
+      assert(afterB2.size <= 8)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch sketch of everything ingested") {
     import org.apache.spark.sql.functions._
     import graft.operators.SketchOps

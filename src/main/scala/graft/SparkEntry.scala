@@ -333,6 +333,7 @@ object SparkEntry {
     "txt_len_pctrank" -> RankOps.pctRankProfile,
     "txt_len_median" -> RankOps.medianProfile,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
+    "data_quality" -> CheckOps.documentChecks,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
@@ -1004,6 +1005,31 @@ object SparkEntry {
         |  round(avg(pr), 4) AS avg_pct_rank,
         |  round(avg(cd), 4) AS avg_cume_dist
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // constraint report: every rule's violation count from one conditional
+    // aggregate, mirrored as CASE sums; uniqueness = rows - distinct
+    "data_quality" ->
+      """WITH a AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_null,
+        |  CAST(sum(CASE WHEN lang IS NULL
+        |    OR lang NOT IN ('en','ko','de','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_set,
+        |  CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 30
+        |    OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN source IS NULL
+        |    OR NOT regexp_matches(source, '^[a-z0-9_.-]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_uniq
+        | FROM documents)
+        |SELECT rule, col_name, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM (
+        |  SELECT 'unique' AS rule, 'doc_id' AS col_name, n_checked, v_uniq AS n_violations FROM a
+        |  UNION ALL SELECT 'not_null', 'text', n_checked, v_text FROM a
+        |  UNION ALL SELECT 'not_null', 'lang', n_checked, v_lang_null FROM a
+        |  UNION ALL SELECT 'in_set', 'lang', n_checked, v_lang_set FROM a
+        |  UNION ALL SELECT 'in_range', 'n_chars', n_checked, v_range FROM a
+        |  UNION ALL SELECT 'matches', 'source', n_checked, v_src FROM a)
+        |ORDER BY rule, col_name""".stripMargin,
     // JSONL sink→source roundtrip: totals must equal the parquet truth and
     // the quarantine must be empty (nothing lost, nothing corrupted)
     "src_jsonl_roundtrip" ->

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CheckOps
+import graft.operators.CheckOps._
+
+/** Constraint checker: each rule type counts exactly its violations on a
+  * frame with planted defects, nulls violate every row-wise rule, and the
+  * row-wise rules share one scan.
+  */
+class CheckOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("alpha"), Some("en"), Some(10)),
+    (2L, None, Some("ko"), Some(50)), // null text
+    (3L, Some("beta!"), Some("xx"), Some(500)), // bad lang, bad pattern, high
+    (3L, Some("gamma"), None, None) // dup id, null lang, null value
+  ).toDF("id", "text", "lang", "v")
+
+  test("each rule type counts exactly its planted violations") {
+    val got = CheckOps.check(df, Seq(
+      Unique("id"),
+      NotNull("text"),
+      InSet("lang", Seq("en", "ko")),
+      InRange("v", 0, 100),
+      Matches("text", "^[a-z]+$")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got(("unique", "id")) === ((4L, 1L, 0)))
+    assert(got(("not_null", "text")) === ((4L, 1L, 0)))
+    assert(got(("in_set", "lang")) === ((4L, 2L, 0))) // xx + null
+    assert(got(("in_range", "v")) === ((4L, 2L, 0))) // 500 + null
+    assert(got(("matches", "text")) === ((4L, 2L, 0))) // beta! + null
+  }
+
+  test("a clean frame passes every rule") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val got = CheckOps.check(clean, Seq(Unique("id"), NotNull("text")))
+    assert(got.filter(col("passed") =!= 1).count() === 0)
+    assert(got.count() === 2)
+  }
+
+  test("row-wise rules fold into one aggregate over one scan") {
+    val plan = CheckOps.check(df, Seq(
+      NotNull("text"), InSet("lang", Seq("en")), InRange("v", 0, 100)))
+      .queryExecution.executedPlan.toString
+    // no Unique rule → no expand, and the source is scanned exactly once
+    assert(!plan.contains("Expand"))
+    assert("LocalTableScan".r.findAllIn(plan).size === 1)
+  }
+
+  test("empty rule list is refused") {
+    intercept[IllegalArgumentException] { CheckOps.check(df, Nil) }
+  }
+}

@@ -334,6 +334,7 @@ object SparkEntry {
     "txt_len_median" -> RankOps.medianProfile,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
+    "embedding_quality" -> CheckOps.embeddingChecks,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
@@ -1029,6 +1030,30 @@ object SparkEntry {
         |  UNION ALL SELECT 'in_set', 'lang', n_checked, v_lang_set FROM a
         |  UNION ALL SELECT 'in_range', 'n_chars', n_checked, v_range FROM a
         |  UNION ALL SELECT 'matches', 'source', n_checked, v_src FROM a)
+        |ORDER BY rule, col_name""".stripMargin,
+    // the embedding-table admission gate: dim drift, NaN poisoning, key
+    // uniqueness, label range — same one-aggregate shape as data_quality
+    "embedding_quality" ->
+      """WITH a AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(sum(CASE WHEN embedding IS NULL
+        |    OR len(embedding) != 64 THEN 1 ELSE 0 END) AS BIGINT) AS v_dim,
+        |  CAST(sum(CASE WHEN embedding IS NULL
+        |    OR len(list_filter(embedding, v -> v IS NULL OR isnan(v))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_fin,
+        |  CAST(sum(CASE WHEN label IS NULL OR label < 0 OR label > 9
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_lab,
+        |  CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS v_uniq
+        | FROM embeddings)
+        |SELECT rule, col_name, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM (
+        |  SELECT 'unique' AS rule, 'vec_id' AS col_name, n_checked, v_uniq AS n_violations FROM a
+        |  UNION ALL SELECT 'not_null', 'embedding', n_checked, v_null FROM a
+        |  UNION ALL SELECT 'vec_dim', 'embedding', n_checked, v_dim FROM a
+        |  UNION ALL SELECT 'vec_finite', 'embedding', n_checked, v_fin FROM a
+        |  UNION ALL SELECT 'in_range', 'label', n_checked, v_lab FROM a)
         |ORDER BY rule, col_name""".stripMargin,
     // JSONL sink→source roundtrip: totals must equal the parquet truth and
     // the quarantine must be empty (nothing lost, nothing corrupted)

@@ -52,12 +52,28 @@ object CheckOps {
   final case class Unique(colName: String) extends Rule {
     val ruleName = "unique"
   }
+  /** Vector column must have exactly `dim` elements (nulls violate) — the
+    * guard against silent embedder/model drift changing dimensionality
+    * mid-corpus.
+    */
+  final case class VecDim(colName: String, dim: Int) extends Rule {
+    val ruleName = "vec_dim"
+  }
+  /** Every vector element must be a finite number: null elements and NaNs
+    * violate (a single NaN poisons every dot product it ever meets).
+    */
+  final case class VecFinite(colName: String) extends Rule {
+    val ruleName = "vec_finite"
+  }
 
   private def violates(r: Rule): Column = r match {
     case NotNull(c) => col(c).isNull
     case InSet(c, vs) => col(c).isNull || !col(c).isin(vs: _*)
     case InRange(c, lo, hi) => col(c).isNull || col(c) < lo || col(c) > hi
     case Matches(c, re) => col(c).isNull || !col(c).rlike(re)
+    case VecDim(c, d) => col(c).isNull || size(col(c)) =!= d
+    case VecFinite(c) => col(c).isNull ||
+      exists(col(c), v => v.isNull || isnan(v))
     case _: Unique =>
       throw new IllegalArgumentException("Unique is not row-wise")
   }
@@ -96,6 +112,20 @@ object CheckOps {
     * path is pinned on non-zero numbers), a length band, and a source
     * pattern.
     */
+  /** Query: the embedding-table admission gate — id uniqueness, fixed
+    * dimensionality, element finiteness (NaN poisoning), and the label
+    * range. The rules a similarity/dedup tier must hold before its indexes
+    * mean anything.
+    */
+  def embeddingChecks(spark: SparkSession, dir: String): DataFrame =
+    check(Tables.embeddings(spark, dir), Seq(
+      Unique("vec_id"),
+      NotNull("embedding"),
+      VecDim("embedding", 64),
+      VecFinite("embedding"),
+      InRange("label", 0, 9)))
+      .orderBy(col("rule"), col("col_name"))
+
   def documentChecks(spark: SparkSession, dir: String): DataFrame =
     check(Tables.documents(spark, dir), Seq(
       Unique("doc_id"),

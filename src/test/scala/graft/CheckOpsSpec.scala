@@ -36,6 +36,23 @@ class CheckOpsSpec extends SparkSuite {
     assert(got(("matches", "text")) === ((4L, 2L, 0))) // beta! + null
   }
 
+  test("vector rules catch dim drift, NaNs, and null elements") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f)), // clean
+      (2L, Seq(1.0f, 2.0f, 3.0f)), // wrong dim
+      (3L, Seq(Float.NaN, 2.0f)), // NaN element
+      (4L, null.asInstanceOf[Seq[Float]]) // null vector
+    ).toDF("vec_id", "emb")
+    val withNullElem = vecs.union(
+      Seq((5L, Seq[java.lang.Float](1.0f, null))
+      ).toDF("vec_id", "emb"))
+    val got = CheckOps.check(withNullElem, Seq(
+      VecDim("emb", 2), VecFinite("emb")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("vec_dim") === 2L) // wrong dim + null vector
+    assert(got("vec_finite") === 3L) // NaN + null vector + null element
+  }
+
   test("a clean frame passes every rule") {
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
     val got = CheckOps.check(clean, Seq(Unique("id"), NotNull("text")))

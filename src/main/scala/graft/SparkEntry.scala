@@ -335,6 +335,7 @@ object SparkEntry {
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
+    "data_quality_by_source" -> CheckOps.documentChecksBySource,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
@@ -1031,6 +1032,23 @@ object SparkEntry {
         |  UNION ALL SELECT 'in_range', 'n_chars', n_checked, v_range FROM a
         |  UNION ALL SELECT 'matches', 'source', n_checked, v_src FROM a)
         |ORDER BY rule, col_name""".stripMargin,
+    // the grouped diagnosis face: same conditional sums, keyed by source
+    "data_quality_by_source" ->
+      """WITH a AS (SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+        |  CAST(sum(CASE WHEN lang IS NULL
+        |    OR lang NOT IN ('en','ko','de','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+        |  CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 30
+        |    OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+        | FROM documents GROUP BY 1)
+        |SELECT source, rule, col_name, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM (
+        |  SELECT source, 'not_null' AS rule, 'text' AS col_name, n_checked, v_text AS n_violations FROM a
+        |  UNION ALL SELECT source, 'in_set', 'lang', n_checked, v_lang FROM a
+        |  UNION ALL SELECT source, 'in_range', 'n_chars', n_checked, v_range FROM a)
+        |ORDER BY source, rule, col_name""".stripMargin,
     // the embedding-table admission gate: dim drift, NaN poisoning, key
     // uniqueness, label range — same one-aggregate shape as data_quality
     "embedding_quality" ->

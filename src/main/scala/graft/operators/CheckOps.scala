@@ -112,6 +112,48 @@ object CheckOps {
     * path is pinned on non-zero numbers), a length band, and a source
     * pattern.
     */
+  /** Row-wise rules, reported PER GROUP — the diagnosing face: a failing
+    * whole-corpus gate says the corpus is bad, the grouped report says
+    * WHICH source/shard/day brought the violations in. Same one-aggregate
+    * shape, keyed on the group (|groups| × |rules| output rows). `Unique`
+    * is not row-wise and has its own whole-frame semantics — use `check`.
+    */
+  def checkBy(df: DataFrame, groupCol: String, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules given")
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "Unique is whole-frame; use check()")
+    val aggs = count(lit(1)).cast("long").as("n_checked") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(violates(r), 1L).otherwise(0L)).as(s"v$i")
+      }
+    val entries = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.ruleName}', '${r.colName}', v$i" }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(groupCol, "n_checked",
+        s"stack(${entries.size}, ${entries.mkString(", ")}) " +
+          "AS (rule, col_name, n_violations)")
+      .select(col(groupCol), col("rule"), col("col_name"), col("n_checked"),
+        col("n_violations"),
+        (col("n_violations") === 0L).cast("int").as("passed"))
+  }
+
+  /** Merge constraint reports (e.g. per-shard or per-day runs of the SAME
+    * rule set): counts sum by (rule, col_name), `passed` re-derives — the
+    * merged report equals one `check` over the concatenated data, so
+    * history never needs rescanning. (Not valid for `unique` rows:
+    * distinct counts don't sum across shards; merge those upstream.)
+    */
+  def mergeReports(reports: Seq[DataFrame]): DataFrame = {
+    require(reports.nonEmpty, "no reports given")
+    reports.reduce(_ unionByName _)
+      .groupBy(col("rule"), col("col_name"))
+      .agg(sum(col("n_checked")).as("n_checked"),
+        sum(col("n_violations")).as("n_violations"))
+      .select(col("rule"), col("col_name"), col("n_checked"),
+        col("n_violations"),
+        (col("n_violations") === 0L).cast("int").as("passed"))
+  }
+
   /** Query: the embedding-table admission gate — id uniqueness, fixed
     * dimensionality, element finiteness (NaN poisoning), and the label
     * range. The rules a similarity/dedup tier must hold before its indexes
@@ -125,6 +167,16 @@ object CheckOps {
       VecFinite("embedding"),
       InRange("label", 0, 9)))
       .orderBy(col("rule"), col("col_name"))
+
+  /** Query: the per-source diagnosis — the same document rules sliced by
+    * origin, so a violation spike names the shard that shipped it.
+    */
+  def documentChecksBySource(spark: SparkSession, dir: String): DataFrame =
+    checkBy(Tables.documents(spark, dir), "source", Seq(
+      NotNull("text"),
+      InSet("lang", Seq("en", "ko", "de", "es", "fr")),
+      InRange("n_chars", 30, 100000)))
+      .orderBy(col("source"), col("rule"), col("col_name"))
 
   def documentChecks(spark: SparkSession, dir: String): DataFrame =
     check(Tables.documents(spark, dir), Seq(

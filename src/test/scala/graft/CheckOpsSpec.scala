@@ -72,4 +72,34 @@ class CheckOpsSpec extends SparkSuite {
   test("empty rule list is refused") {
     intercept[IllegalArgumentException] { CheckOps.check(df, Nil) }
   }
+
+  test("checkBy slices violations to the group that shipped them") {
+    val sliced = Seq(
+      ("a", Some("x"), 10), ("a", None, 20), // a: 1 null text
+      ("b", Some("y"), 999), ("b", Some("z"), 5) // b: 1 out of range
+    ).toDF("src", "text", "v")
+    val got = CheckOps.checkBy(sliced, "src",
+      Seq(NotNull("text"), InRange("v", 0, 100)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got(("a", "not_null")) === 1L && got(("a", "in_range")) === 0L)
+    assert(got(("b", "not_null")) === 0L && got(("b", "in_range")) === 1L)
+    intercept[IllegalArgumentException] {
+      CheckOps.checkBy(sliced, "src", Seq(Unique("src")))
+    }
+  }
+
+  test("merged shard reports equal one check over the concatenated data") {
+    val s1 = df.filter(col("id") <= 2)
+    val s2 = df.filter(col("id") > 2)
+    val rules = Seq(NotNull("text"), InRange("v", 0, 100))
+    val merged = CheckOps.mergeReports(
+        Seq(CheckOps.check(s1, rules), CheckOps.check(s2, rules)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val whole = CheckOps.check(df, rules)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(merged === whole)
+  }
 }

@@ -46,6 +46,34 @@ object StreamOps {
                            delay: String = "30 minutes"): DataFrame =
     windowedCounts(events.withWatermark("ts", delay), windowDur)
 
+  /** Stream-STREAM event-time join: attribute each conversion to the
+    * trigger events that preceded it within `horizon` for the same user
+    * (view→purchase attribution). Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, which is exactly what
+    * Spark needs to EVICT join state: a buffered trigger row is droppable
+    * once the conversion-side watermark passes `trigger.ts + horizon`, so
+    * state is bounded by rate × horizon — never stream length. The same
+    * join expression runs in batch (StreamOpsSpec pins stream/batch
+    * parity); this is the two-unbounded-inputs shape the stream-static
+    * index probes can't express.
+    */
+  def attributionStream(triggers: DataFrame, conversions: DataFrame,
+                        horizon: String = "30 minutes",
+                        delay: String = "1 hour"): DataFrame = {
+    val t = triggers.select(col("user_id").as("trigger_user"),
+        col("ts").as("trigger_ts"), col("event_id").as("trigger_id"))
+      .withWatermark("trigger_ts", delay)
+    val c = conversions.select(col("user_id"), col("ts").as("conv_ts"),
+        col("event_id").as("conv_id"), col("value"))
+      .withWatermark("conv_ts", delay)
+    t.join(c,
+        col("trigger_user") === col("user_id") &&
+          col("conv_ts") >= col("trigger_ts") &&
+          col("conv_ts") <= col("trigger_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("trigger_id"), col("trigger_ts"),
+        col("conv_id"), col("conv_ts"), col("value"))
+  }
+
   /** Windowed per-class keyword counts — the "online topic modeling" the
     * reference lists as future work (BERTopic_guideline.md:175), as its
     * tractable streaming core: tokenized keyword frequencies per (window,

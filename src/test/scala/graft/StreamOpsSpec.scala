@@ -391,6 +391,43 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution joins conversions to in-horizon triggers") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = StreamOps.attributionStream(views.toDF(), buys.toDF(),
+        horizon = "30 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    val v1 = Seq(
+      ev(10, 1, ts(9, 0), "view"), // attributed: buy at 9:20
+      ev(11, 2, ts(9, 5), "view"), // NOT: user 2's buy is 40 min later
+      ev(12, 3, ts(9, 10), "view")) // NOT: no buy from user 3
+    val b1 = Seq(
+      ev(20, 1, ts(9, 20), "purchase", 5.0),
+      ev(21, 2, ts(9, 45), "purchase", 7.0),
+      ev(22, 4, ts(9, 30), "purchase", 9.0)) // no prior view
+    try {
+      views.addData(v1: _*)
+      buys.addData(b1: _*)
+      q.processAllAvailable()
+      // a later view arrives cross-batch, still inside user 2's horizon
+      views.addData(ev(13, 2, ts(9, 30), "view"))
+      q.processAllAvailable()
+      val got = spark.table("attr_stream")
+        .select("user_id", "trigger_id", "conv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 10L, 20L), (2L, 13L, 21L)))
+      // batch parity: the same join expression over the full static frames
+      val batch = StreamOps.attributionStream(
+        (v1 :+ ev(13, 2, ts(9, 30), "view")).toDF(), b1.toDF())
+        .select("user_id", "trigger_id", "conv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming histogram buckets equal the batch sketch of everything ingested") {
     import org.apache.spark.sql.functions._
     import graft.operators.SketchOps

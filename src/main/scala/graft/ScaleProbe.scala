@@ -145,6 +145,12 @@ object ScaleProbe {
     // canonical selection rides the cluster propagation plus two
     // label-keyed aggs — the quality scan is the only extra corpus touch
     time("keep_best")(DedupOps.keepBestProfile(spark, tmp).count())
+    // constraint checks: one conditional aggregate per frame (the unique
+    // rule adds a distinct agg); output bounded by rules × groups
+    time("data_quality")(CheckOps.documentChecks(spark, tmp).count())
+    time("data_quality_by_source")(
+      CheckOps.documentChecksBySource(spark, tmp).count())
+    time("embedding_quality")(CheckOps.embeddingChecks(spark, tmp).count())
     time("repetition")(TextAnalysisOps.repetitionBySource(spark, tmp).count())
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())
     time("range_join")(RelationalOps.concurrentSessionActivity(spark, tmp).count())

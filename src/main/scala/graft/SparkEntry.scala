@@ -336,6 +336,7 @@ object SparkEntry {
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
     "data_quality_by_source" -> CheckOps.documentChecksBySource,
+    "rel_ref_integrity" -> CheckOps.refIntegrityChecks,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
@@ -1031,6 +1032,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'in_set', 'lang', n_checked, v_lang_set FROM a
         |  UNION ALL SELECT 'in_range', 'n_chars', n_checked, v_range FROM a
         |  UNION ALL SELECT 'matches', 'source', n_checked, v_src FROM a)
+        |ORDER BY rule, col_name""".stripMargin,
+    // cross-table constraints: orphans (incl. null keys) via NOT EXISTS,
+    // the decorrelated twin of the anti join
+    "rel_ref_integrity" ->
+      """SELECT rule, col_name, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM (
+        |  SELECT 'ref_integrity' AS rule, 'o_custkey' AS col_name,
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked,
+        |    CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_violations
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'l_orderkey',
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'user_id',
+        |    CAST((SELECT count(*) FROM events) AS BIGINT),
+        |    CAST((SELECT count(*) FROM events e WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'in_population', 'user_id',
+        |    CAST((SELECT count(*) FROM events) AS BIGINT),
+        |    CAST((SELECT count(*) FROM events e WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING'
+        |         AND c.c_custkey = e.user_id)) AS BIGINT))
         |ORDER BY rule, col_name""".stripMargin,
     // the grouped diagnosis face: same conditional sums, keyed by source
     "data_quality_by_source" ->

@@ -137,6 +137,29 @@ object CheckOps {
         (col("n_violations") === 0L).cast("int").as("passed"))
   }
 
+  /** Referential-integrity rule — the cross-TABLE constraint class: every
+    * value of `colName` must exist in `dim.dimCol` (orphans and null keys
+    * violate). Counted with a left-anti join against the dim side's
+    * distinct keys: a dimension that fits the broadcast threshold never
+    * shuffles the fact side; a larger one runs as an ordinary shuffled
+    * anti join — the fact table is never collected either way. Returns the
+    * same report row shape as `check`, so reports compose with
+    * `unionByName` / `mergeReports` (anti-join counts sum across
+    * fact-side shards against the same dimension).
+    */
+  def checkRef(df: DataFrame, colName: String, dim: DataFrame,
+               dimCol: String, ruleName: String = "ref_integrity"): DataFrame = {
+    val total = df.agg(count(lit(1)).cast("long").as("n_checked"))
+    val orphans = df.select(col(colName))
+      .join(dim.select(col(dimCol).as(colName)).distinct(),
+        Seq(colName), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+    total.crossJoin(orphans)
+      .select(lit(ruleName).as("rule"), lit(colName).as("col_name"),
+        col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).cast("int").as("passed"))
+  }
+
   /** Merge constraint reports (e.g. per-shard or per-day runs of the SAME
     * rule set): counts sum by (rule, col_name), `passed` re-derives — the
     * merged report equals one `check` over the concatenated data, so
@@ -167,6 +190,27 @@ object CheckOps {
       VecFinite("embedding"),
       InRange("label", 0, 9)))
       .orderBy(col("rule"), col("col_name"))
+
+  /** Query: the cross-table admission gate over the relational fixtures —
+    * the three real foreign keys (all hold) plus a population-membership
+    * check (events must come from BUILDING-segment customers — they
+    * don't all, pinning the non-zero orphan path).
+    */
+  def refIntegrityChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val events = Tables.events(spark, dir)
+    Seq(
+      checkRef(orders, "o_custkey", customer, "c_custkey"),
+      checkRef(lineitem, "l_orderkey", orders, "o_orderkey"),
+      checkRef(events, "user_id", customer, "c_custkey"),
+      checkRef(events, "user_id",
+        customer.filter(col("c_mktsegment") === "BUILDING"), "c_custkey",
+        ruleName = "in_population"))
+      .reduce(_ unionByName _)
+      .orderBy(col("rule"), col("col_name"))
+  }
 
   /** Query: the per-source diagnosis — the same document rules sliced by
     * origin, so a violation spike names the shard that shipped it.

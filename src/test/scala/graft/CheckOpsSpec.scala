@@ -89,6 +89,19 @@ class CheckOpsSpec extends SparkSuite {
     }
   }
 
+  test("checkRef counts orphans and null keys; small dims broadcast") {
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("k") // 9 is an orphan, null violates
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val report = CheckOps.checkRef(fact, "k", dim, "dk")
+    val r = report.collect().head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      === (("ref_integrity", "k", 4L, 2L, 0)))
+    // the fact side anti-joins a broadcast of the dim's distinct keys
+    assert(report.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("merged shard reports equal one check over the concatenated data") {
     val s1 = df.filter(col("id") <= 2)
     val s2 = df.filter(col("id") > 2)

@@ -332,6 +332,7 @@ object SparkEntry {
     "txt_len_quantiles" -> SketchOps.lengthQuantiles,
     "txt_len_pctrank" -> RankOps.pctRankProfile,
     "txt_len_median" -> RankOps.medianProfile,
+    "txt_len_quantiles_exact" -> RankOps.quantileProfile,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -1108,6 +1109,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(0 AS BIGINT) AS n_quarantined
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact grouped quantiles: both engines implement ANSI percentile_cont
+    // (type-7) — DuckDB's quantile_cont is the reference implementation
+    "txt_len_quantiles_exact" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS q50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS q95
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // sort-free exact median: interpolating (even-n averages the middle two),
     // matching DuckDB's median() over integers
     "txt_len_median" ->

@@ -83,6 +83,40 @@ object RankOps {
         min(when(col("cum") >= hi, col(valueCol)))) / 2.0).as(out))
   }
 
+  /** Exact per-group quantiles (ANSI `percentile_cont` / type-7: h =
+    * (n−1)q + 1, linear interpolation between the order statistics at
+    * ⌊h⌋ and ⌈h⌉) from the same per-group histograms. Spark's own exact
+    * `percentile` aggregate buffers EVERY value of a group on one reducer
+    * — the formulation that dies on a 100 TB group; this one touches only
+    * (key, distinct value) rows after the histogram aggregate. All
+    * requested quantiles come out of the same two aggregates, one column
+    * each.
+    */
+  def groupedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                       qs: Seq[(String, Double)]): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol)).agg(count(lit(1)).as("qn"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val cum = counts
+      .withColumn("cum", sum(col("qn")).over(byKey))
+      .withColumn("nk", sum(col("qn")).over(Window.partitionBy(col(keyCol))))
+    val aggsPerQ = qs.flatMap { case (name, q) =>
+      val h = (col("nk") - 1) * q + 1 // 1-based fractional rank
+      val lo = floor(h).cast("long")
+      Seq(
+        min(when(col("cum") >= lo, col(valueCol))).as(s"${name}_lo"),
+        min(when(col("cum") >= lo + 1, col(valueCol))).as(s"${name}_hi"),
+        min(h - lo).as(s"${name}_frac")) // constant per key (min = the value)
+    }
+    val raw = cum.groupBy(col(keyCol)).agg(aggsPerQ.head, aggsPerQ.tail: _*)
+    qs.foldLeft(raw) { case (acc, (name, _)) =>
+      acc.withColumn(name,
+        col(s"${name}_lo") + col(s"${name}_frac") *
+          (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")))
+        .drop(s"${name}_lo", s"${name}_hi", s"${name}_frac")
+    }
+  }
+
   /** Query: document-length decile profile from exact percent ranks — the
     * rank/CDF numbers a curation pass thresholds on, grouped so the output
     * stays 10 rows at any corpus size.
@@ -99,6 +133,21 @@ object RankOps {
         round(avg(col("pct_rank")), 4).as("avg_pct_rank"),
         round(avg(col("cume_dist")), 4).as("avg_cume_dist"))
       .orderBy(col("decile"))
+  }
+
+  /** Query: exact per-language length quantiles, sort-free — the exact
+    * twin of `txt_len_quantiles`' sketch estimates.
+    */
+  def quantileProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("lang", "n_chars")
+    val qs = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75, "q95" -> 0.95)
+    val quant = groupedQuantiles(docs, "lang", "n_chars", qs)
+    val rounded = qs.foldLeft(quant) { case (acc, (name, _)) =>
+      acc.withColumn(name, round(col(name), 4))
+    }
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(rounded), "lang")
+      .orderBy(col("lang"))
   }
 
   /** Query: exact per-language length stats incl. the sort-free median. */

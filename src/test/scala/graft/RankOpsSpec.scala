@@ -54,6 +54,28 @@ class RankOpsSpec extends SparkSuite {
     assert(got === ansi)
   }
 
+  test("groupedQuantiles equals Spark's exact percentile aggregate") {
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 3), ("a", 10), // interpolation between gaps
+      ("b", 5), ("b", 5), ("b", 5), ("b", 7), ("b", 9), // heavy ties
+      ("c", 4) // singleton
+    ).toDF("k", "v")
+    val qs = Seq("q0" -> 0.0, "q25" -> 0.25, "q50" -> 0.5,
+      "q90" -> 0.9, "q100" -> 1.0)
+    val got = RankOps.groupedQuantiles(df, "k", "v", qs)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(i + 1)).toSeq).toMap
+    val want = df.groupBy("k")
+      .agg(expr("percentile(v, array(0.0, 0.25, 0.5, 0.9, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, vs) =>
+      vs.zip(want(k)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"$k: $vs vs ${want(k)}")
+      }
+    }
+  }
+
   test("the data frame is never globally sorted — only the histogram is") {
     // The plan must contain no Sort over the full row frame: ranking joins
     // a broadcast CDF back, so every Sort in the plan sits above the

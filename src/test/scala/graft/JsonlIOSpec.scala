@@ -38,6 +38,17 @@ class JsonlIOSpec extends SparkSuite {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("gzip-compressed roundtrip is lossless too") {
+    val docs = Tables.documents(spark, SparkSpec.FixtureDir)
+    val dir = tmpDir("graft_jsonl_gz_").toString
+    JsonlIO.writeJsonl(docs, dir, compression = Some("gzip"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
+    val (good, bad) = JsonlIO.readSplit(spark, dir, docs.schema)
+    assert(bad.count() === 0)
+    assert(good.exceptAll(docs.select(good.columns.map(col).toSeq: _*)).count() === 0)
+    assert(good.count() === docs.count())
+  }
+
   test("malformed lines are quarantined verbatim; good lines still parse") {
     val dir = tmpDir("graft_jsonl_bad_")
     val lines = Seq(

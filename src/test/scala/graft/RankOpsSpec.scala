@@ -76,6 +76,23 @@ class RankOpsSpec extends SparkSuite {
     }
   }
 
+  test("rankByCdf matches ANSI windows on randomized multisets") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 50 + rnd.nextInt(200)
+      val df = Seq.tabulate(n)(i => (i.toLong, rnd.nextInt(12) - 3))
+        .toDF("doc_id", "v")
+      val got = RankOps.rankByCdf(df, "v")
+      val want = df
+        .withColumn("pr", percent_rank().over(Window.orderBy("v")))
+        .withColumn("cd", cume_dist().over(Window.orderBy("v")))
+      val bad = got.join(want, "doc_id")
+        .filter(abs(col("pct_rank") - col("pr")) > 1e-12 ||
+          abs(col("cume_dist") - col("cd")) > 1e-12)
+      assert(bad.count() === 0)
+    }
+  }
+
   test("the data frame is never globally sorted — only the histogram is") {
     // The plan must contain no Sort over the full row frame: ranking joins
     // a broadcast CDF back, so every Sort in the plan sits above the

@@ -428,6 +428,30 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attribution join drops pairs that arrive behind both watermarks") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = StreamOps.attributionStream(views.toDF(), buys.toDF(),
+        horizon = "30 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("attr_late")
+      .outputMode("append").start()
+    try {
+      // advance both watermarks to ~14:00 (15:00 − 1h delay)
+      views.addData(ev(30, 9, ts(15, 0), "view"))
+      buys.addData(ev(40, 9, ts(15, 0), "purchase"))
+      q.processAllAvailable()
+      val before = spark.table("attr_late").count()
+      // a matching pair far below the watermark: state for that region is
+      // evicted, late rows drop — no new output
+      views.addData(ev(31, 5, ts(9, 0), "view"))
+      buys.addData(ev(41, 5, ts(9, 10), "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("attr_late").count() === before)
+    } finally q.stop()
+  }
+
   test("streaming histogram buckets equal the batch sketch of everything ingested") {
     import org.apache.spark.sql.functions._
     import graft.operators.SketchOps

@@ -340,6 +340,9 @@ object SparkEntry {
     "rel_ref_integrity" -> CheckOps.refIntegrityChecks,
     "rel_bloom_semi" -> SketchOps.bloomSemiQuery,
     "rel_funnel" -> RelationalOps.funnelQuery,
+    // batch face of the stream-stream attribution join (StreamOps
+    // .attributionStream): same join expression, watermarks no-op in batch
+    "rel_attribution" -> graft.streaming.StreamOps.attributionQuery,
     "rel_skew_profile" -> RelationalOps.skewProfileQuery,
     "decontam_bloom" -> CurationOps.decontamBloomProfile,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
@@ -361,7 +364,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
-    "dedup_embed_clusters" -> SimilarityOps.lshDupClusterProfile,
+    "dedup_embed_clusters" -> ((s, d) => SimilarityOps.lshDupClusterProfile(s, d)),
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
     "dedup_keep_best" -> DedupOps.keepBestProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
@@ -444,6 +447,10 @@ object SparkEntry {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n_events"), col("sum_value"))
     }),
+    // ranked batch sink of windowedKeywordCounts — the online-topic core's
+    // top-k-per-(window, class) face
+    "stream_topk_keywords" -> ((s, d) =>
+      graft.streaming.StreamOps.topKeywordsQuery(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -678,6 +685,35 @@ object SparkEntry {
         |  count(*) AS n_assets, CAST(16 AS INT) AS feat_dim,
         |  round(avg(norm), 4) AS avg_norm
         |FROM norms GROUP BY 1""".stripMargin,
+    // the stream-stream attribution join stated declaratively: per-user
+    // equi-join with the two-sided event-time bound; micros cross engines
+    "rel_attribution" ->
+      """SELECT c.user_id, t.event_id AS trigger_id, c.event_id AS conv_id,
+        | epoch_us(t.ts) AS trigger_us, epoch_us(c.ts) AS conv_us,
+        | round(c.value, 2) AS value
+        |FROM events t JOIN events c ON t.user_id = c.user_id
+        |WHERE t.event_type = 'view' AND c.event_type = 'purchase'
+        |  AND c.ts >= t.ts AND c.ts <= t.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // top-k keywords per (1h window, class) under the synthetic ingest
+    // clock doc_id -> minute (StreamOps.DocClockEpoch); window(ts,'1 hour')
+    // is epoch-aligned == date_trunc (session TZ UTC)
+    "stream_topk_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT lang AS cls,
+         |    make_timestamp(${graft.streaming.StreamOps.DocClockEpoch}000000
+         |                   + doc_id * 60000000) AS ts,
+         |    unnest($TOKS) AS word
+         |  FROM documents),
+         |wc AS (
+         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    cls, word, count(*) AS n
+         |  FROM toks GROUP BY 1, 2, 3)
+         |SELECT hour, cls, CAST(rank AS INT) AS rank, word, n
+         |FROM (SELECT hour, cls, word, n,
+         |        row_number() OVER (PARTITION BY hour, cls
+         |                           ORDER BY n DESC, word) AS rank
+         |      FROM wc)
+         |WHERE rank <= 5""".stripMargin,
     // window(ts, '1 hour') tumbling windows are epoch-aligned == date_trunc
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

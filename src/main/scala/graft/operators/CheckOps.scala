@@ -21,8 +21,9 @@ import graft.Tables
   *
   * Scale shape: every ROW-WISE rule folds into ONE aggregate over one scan
   * (conditional sums, map-side combined) regardless of rule count; the
-  * single-row result explodes to rule rows via `stack` — never a re-scan
-  * per rule. `Unique` rules need a distinct count, which is its own
+  * single-row result explodes to rule rows via one in-plan array-of-structs
+  * explode — never a re-scan per rule. `Unique` rules need a distinct
+  * count, which is its own
   * two-phase aggregate; each distinct column adds an expand copy of the
   * scan, so key-uniqueness checks are priced per column, not free.
   */
@@ -78,6 +79,18 @@ object CheckOps {
       throw new IllegalArgumentException("Unique is not row-wise")
   }
 
+  /** The report-row explode, as typed Columns: one array-of-structs literal
+    * over the 1-row aggregate, so every rule row comes out of ONE scan
+    * (the same in-plan shape as `stack`) — but rule/column names travel as
+    * `lit` values, never spliced into SQL text, so a name carrying a
+    * quote, backtick, or comma cannot break or inject into the plan.
+    */
+  private def ruleRows(entries: Seq[(Rule, String)]): Column =
+    array(entries.map { case (r, v) =>
+      struct(lit(r.ruleName).as("rule"), lit(r.colName).as("col_name"),
+        col(v).as("n_violations"))
+    }: _*)
+
   /** Run all rules; returns (rule, col_name, n_checked, n_violations,
     * passed) — passed as 0/1 so the frame stays engine-portable.
     */
@@ -92,18 +105,12 @@ object CheckOps {
         (count(lit(1)) - countDistinct(col(r.colName))).cast("long").as(s"u$i")
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // stack() keeps the explode in-plan: the 1-row aggregate is scanned
-    // once, not once per rule branch.
-    val entries = (rowwise.zipWithIndex.map { case (r, i) =>
-      (r, s"v$i")
-    } ++ uniques.zipWithIndex.map { case (r, i) => (r, s"u$i") })
-      .map { case (r, v) => s"'${r.ruleName}', '${r.colName}', $v" }
-    one.selectExpr("n_checked",
-        s"stack(${entries.size}, ${entries.mkString(", ")}) " +
-          "AS (rule, col_name, n_violations)")
-      .select(col("rule"), col("col_name"), col("n_checked"),
-        col("n_violations"),
-        (col("n_violations") === 0L).cast("int").as("passed"))
+    val entries = rowwise.zipWithIndex.map { case (r, i) => (r, s"v$i") } ++
+      uniques.zipWithIndex.map { case (r, i) => (r, s"u$i") }
+    one.select(col("n_checked"), explode(ruleRows(entries)).as("e"))
+      .select(col("e.rule").as("rule"), col("e.col_name").as("col_name"),
+        col("n_checked"), col("e.n_violations").as("n_violations"),
+        (col("e.n_violations") === 0L).cast("int").as("passed"))
   }
 
   /** Query: the admission report for the documents fixture — key
@@ -126,15 +133,13 @@ object CheckOps {
       rules.zipWithIndex.map { case (r, i) =>
         sum(when(violates(r), 1L).otherwise(0L)).as(s"v$i")
       }
-    val entries = rules.zipWithIndex
-      .map { case (r, i) => s"'${r.ruleName}', '${r.colName}', v$i" }
+    val entries = rules.zipWithIndex.map { case (r, i) => (r, s"v$i") }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .selectExpr(groupCol, "n_checked",
-        s"stack(${entries.size}, ${entries.mkString(", ")}) " +
-          "AS (rule, col_name, n_violations)")
-      .select(col(groupCol), col("rule"), col("col_name"), col("n_checked"),
-        col("n_violations"),
-        (col("n_violations") === 0L).cast("int").as("passed"))
+      .select(col(groupCol), col("n_checked"), explode(ruleRows(entries)).as("e"))
+      .select(col(groupCol), col("e.rule").as("rule"),
+        col("e.col_name").as("col_name"), col("n_checked"),
+        col("e.n_violations").as("n_violations"),
+        (col("e.n_violations") === 0L).cast("int").as("passed"))
   }
 
   /** Referential-integrity rule — the cross-TABLE constraint class: every
@@ -163,12 +168,20 @@ object CheckOps {
   /** Merge constraint reports (e.g. per-shard or per-day runs of the SAME
     * rule set): counts sum by (rule, col_name), `passed` re-derives — the
     * merged report equals one `check` over the concatenated data, so
-    * history never needs rescanning. (Not valid for `unique` rows:
-    * distinct counts don't sum across shards; merge those upstream.)
+    * history never needs rescanning. Not valid for `unique` rows —
+    * distinct counts don't sum across shards (the same key can appear in
+    * two shards, each locally unique) — so a report carrying one is
+    * REJECTED loudly at plan time rather than merged into a wrong number;
+    * run whole-frame `check` for uniqueness instead.
     */
   def mergeReports(reports: Seq[DataFrame]): DataFrame = {
     require(reports.nonEmpty, "no reports given")
-    reports.reduce(_ unionByName _)
+    val merged = reports.reduce(_ unionByName _)
+    val nUnique = merged.filter(col("rule") === Unique("x").ruleName).count()
+    require(nUnique == 0L,
+      s"mergeReports: $nUnique 'unique' rows in input reports — distinct " +
+        "counts are not mergeable across shards; check uniqueness whole-frame")
+    merged
       .groupBy(col("rule"), col("col_name"))
       .agg(sum(col("n_checked")).as("n_checked"),
         sum(col("n_violations")).as("n_violations"))

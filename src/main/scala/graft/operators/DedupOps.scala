@@ -59,16 +59,19 @@ object DedupOps {
     */
   val HotBucketCap = 4096
 
-  /** Keep each (band, key) bucket's `cap` lowest doc ids. The row_number
+  /** Keep each (band, key) bucket's `cap` lowest ids. The row_number
     * sort folds into the sort the pair self-join needs anyway (same
-    * (band, key) prefix), so the cap costs no extra exchange.
+    * (band, key) prefix), so the cap costs no extra exchange. Shared by
+    * the minhash/simhash pair faces (doc_id) and the embedding-LSH pair
+    * face (vec_id — SimilarityOps.lshCosinePairs).
     */
-  private def capHotBuckets(buckets: DataFrame, keyCol: String,
-                            cap: Int): DataFrame =
+  private[operators] def capHotBuckets(buckets: DataFrame, keyCol: String,
+                                       cap: Int,
+                                       idCol: String = "doc_id"): DataFrame =
     if (cap == Int.MaxValue) buckets
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col(keyCol)).orderBy(col("doc_id"))
+        .partitionBy(col("band"), col(keyCol)).orderBy(col(idCol))
       buckets.withColumn("bkt_rk", row_number().over(w))
         .filter(col("bkt_rk") <= cap).drop("bkt_rk")
     }
@@ -295,6 +298,33 @@ object DedupOps {
     propagateLabels(buckets, rounds)
   }
 
+  /** Should the cluster faces run their duplicate-contraction pre-pass?
+    * Contraction (group key-equal rows, pair only class reps, map labels
+    * back) costs an extra aggregate and two join-backs over the corpus; it
+    * pays only when the duplicate-pair mass it collapses — Σ C(m,2) over
+    * the key's equality classes — is comparable to the corpus itself (the
+    * viral-multiplicity regime the guard exists for). This decides with
+    * ONE cheap aggregate over the already-cached signature frame: pairs >
+    * max(1024, n/4). At fixture scale (sf0.1: 8 duplicate texts, 0
+    * duplicate vectors) the mass is ~zero, so the queries keep the direct
+    * r9-shaped build and its medians; the multiplicity-100 probes cross
+    * the threshold immediately and keep the contraction win. Either path
+    * produces IDENTICAL labels (spec-pinned) — this is a cost decision,
+    * never a semantics one.
+    */
+  private[graft] def contractionPays(keyed: DataFrame,
+                                     keyCol: String): Boolean = {
+    val r = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m")), lit(0L)).cast("long").as("n"),
+        // m·(m−1) is even, so the double division is exact (up to 2^53 —
+        // class sizes past 9e7 would saturate the decision long before
+        // precision matters)
+        coalesce(sum((col("m") * (col("m") - 1L)) / 2L), lit(0.0))
+          .cast("long").as("dup_pairs"))
+      .collect()(0)
+    r.getLong(1) > math.max(1024L, r.getLong(0) / 4L)
+  }
+
   /** SimHash sibling of minhashClusters. Unlike a 32-bit minhash band hash,
     * a byte band is NOT a near-dup criterion on its own — 256 values per
     * band means every bucket chains transitively at corpus scale (the 10×
@@ -306,7 +336,8 @@ object DedupOps {
     * without a verified partner keep their own label.
     */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
-                      rounds: Int = ClusterRounds, maxDist: Int = 3): DataFrame = {
+                      rounds: Int = ClusterRounds, maxDist: Int = 3,
+                      contract: Option[Boolean] = None): DataFrame = {
     // Fingerprint-equal docs CONTRACT to one node before pairing (r10):
     // equal 60-bit fps share every band and sit at hamming 0, so class
     // members are guaranteed mutual edges — a viral group of m
@@ -320,17 +351,31 @@ object DedupOps {
     // Edges between distinct fps stay UNCAPPED: single-linkage
     // connectivity needs every verified edge — a capped bucket would
     // orphan its overflow docs into singleton labels.
+    //
+    // The pre-pass only runs when its duplicate-pair mass pays for the
+    // class materialization + two join-backs (`contractionPays` — r11:
+    // the near-duplicate-free fixture regime takes the direct build and
+    // its r9 medians; adversarial multiplicity contracts as before).
+    // `contract` forces a path for spec-level equality pinning.
     val fps = bandedFps(docs, idCol, textCol)
-    val classes = graft.Caching.track(fps.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands")))
-    val reps = classes.select(col("rep").as("doc_id"), col("simhash"), col("bands"))
-    val edges = simhashPairsOfFps(reps, maxDist, Int.MaxValue)
-      .select(col("doc_a"), col("doc_b"))
-    propagateEdges(edges, rounds)
-      .select(col("doc_id").as("rep"), col("label"))
-      .join(classes.select(col("simhash"), col("rep")), Seq("rep"), "right")
-      .join(fps.select(col("doc_id"), col("simhash")), Seq("simhash"))
-      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+    if (!contract.getOrElse(contractionPays(fps, "simhash"))) {
+      val edges = simhashPairsOfFps(fps, maxDist, Int.MaxValue)
+        .select(col("doc_a"), col("doc_b"))
+      propagateEdges(edges, rounds)
+        .join(fps.select(col("doc_id")), Seq("doc_id"), "right")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    } else {
+      val classes = graft.Caching.track(fps.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands")))
+      val reps = classes.select(col("rep").as("doc_id"), col("simhash"), col("bands"))
+      val edges = simhashPairsOfFps(reps, maxDist, Int.MaxValue)
+        .select(col("doc_a"), col("doc_b"))
+      propagateEdges(edges, rounds)
+        .select(col("doc_id").as("rep"), col("label"))
+        .join(classes.select(col("simhash"), col("rep")), Seq("rep"), "right")
+        .join(fps.select(col("doc_id"), col("simhash")), Seq("simhash"))
+        .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+    }
   }
 
   /** Query: hamming-verified SimHash duplicate-cluster profile — the

@@ -46,13 +46,19 @@ object RankOps {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1)).as("cdf_n"))
     // The only unpartitioned window: |distinct valueCol| rows, never data.
+    // The grand total rides the SAME frame as an unbounded window sum, so
+    // one histogram aggregate feeds both the CDF and the total — a second
+    // independent `counts.agg(...)` subtree would re-scan the input and
+    // recompute the aggregate (broadcast exchanges differ, so Spark
+    // wouldn't reuse them).
     val below = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cdf = counts.withColumn("cdf_below",
-      coalesce(sum(col("cdf_n")).over(below), lit(0L)))
-    val total = counts.agg(sum(col("cdf_n")).as("cdf_total"))
+    val whole = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = counts
+      .withColumn("cdf_below", coalesce(sum(col("cdf_n")).over(below), lit(0L)))
+      .withColumn("cdf_total", sum(col("cdf_n")).over(whole))
     df.join(broadcast(cdf), valueCol)
-      .crossJoin(broadcast(total))
       .withColumn("pct_rank",
         when(col("cdf_total") === 1, lit(0.0))
           .otherwise(col("cdf_below").cast("double") / (col("cdf_total") - 1)))
@@ -145,14 +151,21 @@ object RankOps {
     val rounded = qs.foldLeft(quant) { case (acc, (name, _)) =>
       acc.withColumn(name, round(col(name), 4))
     }
-    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // n_docs counts only rows the quantiles see (non-null values) — the
+    // oracle's WHERE clause; an unfiltered count would diverge on any
+    // corpus with null lengths.
+    docs.filter(col("n_chars").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .join(broadcast(rounded), "lang")
       .orderBy(col("lang"))
   }
 
   /** Query: exact per-language length stats incl. the sort-free median. */
   def medianProfile(spark: SparkSession, dir: String): DataFrame = {
+    // same null discipline as quantileProfile: stats cover exactly the rows
+    // the median sees, matching the oracle's WHERE clause
     val docs = Tables.documents(spark, dir).select("lang", "n_chars")
+      .filter(col("n_chars").isNotNull)
     val stats = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       min(col("n_chars")).cast("long").as("min_chars"),

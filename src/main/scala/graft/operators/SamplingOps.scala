@@ -93,8 +93,10 @@ object SamplingOps {
     val h = ((col(idCol) % P) * 8191L + 524287L) % P
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(h, col(idCol))
-    df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k).drop("rk")
+    // collision-safe scratch name: a bare "rk" would silently overwrite
+    // (and then destroy) a caller's own rk column
+    df.withColumn("__gfs_rk", row_number().over(w))
+      .filter(col("__gfs_rk") <= k).drop("__gfs_rk")
   }
 
   /** Domain mixing toward a target TOKEN distribution: given per-domain

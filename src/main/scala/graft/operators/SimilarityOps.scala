@@ -322,9 +322,20 @@ object SimilarityOps {
     * log2(n) to pin the floor (the ScaleProbe drives exactly that knob).
     * `corpus` needs (vec_id, nv, label, bands) — see withBands.
     */
-  def lshCosinePairs(corpus: DataFrame, minCosine: Double): DataFrame = {
-    val buckets = corpus.select(col("vec_id"),
-      posexplode(col("bands")).as(Seq("band", "band_val")))
+  def lshCosinePairs(corpus: DataFrame, minCosine: Double,
+                     maxBucket: Int = DedupOps.HotBucketCap): DataFrame = {
+    // Same production guard as the minhash/simhash pair faces: a band
+    // bucket holding m identical (or merely band-colliding) vectors emits
+    // C(m,2) candidate rows, so the PAIR query caps each (band, value)
+    // bucket at its `maxBucket` lowest vec_ids before the self-join —
+    // bounded emission under adversarial multiplicity, truncation
+    // observable via `bucketTruncationReport`. The CLUSTER path passes
+    // Int.MaxValue: single-linkage needs every verified edge, and its
+    // vector-equal contraction already collapses the viral-duplicate case.
+    val buckets = DedupOps.capHotBuckets(
+      corpus.select(col("vec_id"),
+        posexplode(col("bands")).as(Seq("band", "band_val"))),
+      "band_val", maxBucket, idCol = "vec_id")
     // dedup candidate ids before re-attaching vectors (hashing 64-dim arrays
     // through the distinct would dominate the exchange)
     val cands = buckets.as("a")
@@ -386,6 +397,23 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Diagnostic twin of the embed pair face's cap (the embedding sibling of
+    * DedupOps.bucketTruncationReport): the (band, band_val) buckets
+    * `lshCosinePairs` truncated, with occupancy and kept count. Empty
+    * whenever the cap is not binding — the fixture/bench regime — so a
+    * deployment runs it next to the capped pairs job and truncation is a
+    * reported fact, never a silent one.
+    */
+  def bucketTruncationReport(corpus: DataFrame,
+                             cap: Int = DedupOps.HotBucketCap): DataFrame =
+    corpus
+      .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "band_val")))
+      .groupBy(col("band"), col("band_val").as("bucket_key"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > cap)
+      .select(lit("embed_lsh").as("tier"), col("band"), col("bucket_key"),
+        col("n_vecs"), lit(cap).as("kept"))
+
   /** Query: embedding near-dup CLUSTERS — the dedup-ACTION view of the LSH
     * pair path, completing the cluster trio next to minhash/simhash:
     * cosine-verified pairs (≥ the dedup_embed_lsh threshold) are the edges,
@@ -393,7 +421,8 @@ object SimilarityOps {
     * report size and representative. Linear output at any duplicate
     * multiplicity.
     */
-  def lshDupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+  def lshDupClusterProfile(spark: SparkSession, dir: String,
+                           contract: Option[Boolean] = None): DataFrame = {
     // Vector-equal rows CONTRACT to one node before pairing (r10, the
     // embed twin of simhashClusters' fp contraction): identical unit
     // vectors share every band (the planes are deterministic) and pair at
@@ -404,19 +433,36 @@ object SimilarityOps {
     // propagated labels are unchanged (pinned by spec). The nv groupBy
     // hashes each 64-dim vector once — the index-build class of cost, not
     // a per-pair one.
+    //
+    // As with simhashClusters (r11), the pre-pass runs only when its
+    // duplicate-pair mass pays (`contractionPays` over the cached unit
+    // corpus): the fixture's fully-distinct vectors take the direct
+    // verified-edge build; adversarial copy-multiplicity contracts.
     val corpus = dedupCorpus(spark, dir)
-    val classes = graft.Caching.track(corpus.groupBy(col("nv"))
-      .agg(min(col("vec_id")).as("rep"), first(col("bands")).as("bands"),
-        first(col("label")).as("label")))
-    val reps = classes.select(col("rep").as("vec_id"), col("nv"),
-      col("label"), col("bands"))
-    val edges = lshCosinePairs(reps, minCosine = 0.4)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
-      .select(col("doc_id").as("rep"), col("label"))
-      .join(classes.select(col("nv"), col("rep")), Seq("rep"), "right")
-      .join(corpus.select(col("vec_id").as("doc_id"), col("nv")), Seq("nv"))
-      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+    val labels =
+      if (!contract.getOrElse(DedupOps.contractionPays(corpus, "nv"))) {
+        val edges = lshCosinePairs(corpus, minCosine = 0.4,
+            maxBucket = Int.MaxValue)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
+          .join(corpus.select(col("vec_id").as("doc_id")), Seq("doc_id"), "right")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      } else {
+        val classes = graft.Caching.track(corpus.groupBy(col("nv"))
+          .agg(min(col("vec_id")).as("rep"), first(col("bands")).as("bands"),
+            first(col("label")).as("label")))
+        val reps = classes.select(col("rep").as("vec_id"), col("nv"),
+          col("label"), col("bands"))
+        val edges = lshCosinePairs(reps, minCosine = 0.4,
+            maxBucket = Int.MaxValue)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
+          .select(col("doc_id").as("rep"), col("label"))
+          .join(classes.select(col("nv"), col("rep")), Seq("rep"), "right")
+          .join(corpus.select(col("vec_id").as("doc_id"), col("nv")), Seq("nv"))
+          .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+      }
+    labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_vecs"), max(col("doc_id")).as("max_vec_id"))
       .filter(col("n_vecs") > 1)

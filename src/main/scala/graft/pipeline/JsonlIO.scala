@@ -70,9 +70,14 @@ object JsonlIO {
     */
   def roundtripQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
-    writeJsonl(docs, tmp)
-    val (good, bad) = readSplit(spark, tmp, docs.schema)
+    // One warehouse-relative path, overwritten per run: repeated
+    // Verify/Bench invocations reuse it instead of leaking a fresh
+    // driver-local temp corpus each call — and the warehouse dir is the
+    // location that is actually SHARED on a multi-node cluster, where a
+    // java.nio temp path would land on each node's private filesystem.
+    val out = s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_jsonl_roundtrip"
+    writeJsonl(docs, out)
+    val (good, bad) = readSplit(spark, out, docs.schema)
     val nBad = bad.agg(count(lit(1)).as("n_quarantined"))
     good.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),

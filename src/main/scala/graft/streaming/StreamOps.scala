@@ -74,6 +74,26 @@ object StreamOps {
         col("conv_id"), col("conv_ts"), col("value"))
   }
 
+  /** Query: the attribution join's BATCH face over the events fixture —
+    * view→purchase within 30 minutes per user, the exact join expression
+    * `attributionStream` runs on two unbounded inputs (watermarks are
+    * no-ops in batch), so the stream-stream operator sits under the same
+    * DuckDB hash gate as every sibling streaming face. Timestamps cross
+    * engines as epoch micros (the events fixture is micro-truncated), and
+    * StreamOpsSpec pins stream/batch parity against this same shape.
+    */
+  def attributionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    attributionStream(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      horizon = "30 minutes", delay = "1 hour")
+      .select(col("user_id"), col("trigger_id"), col("conv_id"),
+        unix_micros(col("trigger_ts")).as("trigger_us"),
+        unix_micros(col("conv_ts")).as("conv_us"),
+        round(col("value"), 2).as("value"))
+  }
+
   /** Windowed per-class keyword counts — the "online topic modeling" the
     * reference lists as future work (BERTopic_guideline.md:175), as its
     * tractable streaming core: tokenized keyword frequencies per (window,
@@ -99,6 +119,37 @@ object StreamOps {
                              delay: String = "30 minutes"): DataFrame =
     windowedKeywordCounts(docs.withWatermark(tsCol, delay), textCol, clsCol,
       tsCol, windowDur)
+
+  /** Epoch seconds of 2026-01-01 00:00:00 UTC — the synthetic ingest clock
+    * `topKeywordsQuery` assigns the documents fixture (one doc per minute),
+    * shared with its oracle SQL so both engines derive identical windows.
+    */
+  val DocClockEpoch: Long = 1767225600L
+
+  /** Query: top-k keywords per (window, class) — the batch sink over
+    * `windowedKeywordCounts`, i.e. the ranked face of the online-topic
+    * core, under the oracle. The documents fixture carries no timestamp, so
+    * the query assigns the deterministic ingest clock doc_id → minute
+    * (DocClockEpoch + 60·doc_id): windows are real 1-hour tumbling windows
+    * over a real timestamp column, reproduced exactly by the oracle's
+    * date_trunc (session TZ is UTC; stream_hourly pins the alignment). The
+    * per-(window, class) rank runs as a window-group-limit top-k — each
+    * task keeps ≤ k rows per group before the shuffle, never a global sort.
+    */
+  def topKeywordsQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("ts", timestamp_seconds(lit(DocClockEpoch) + col("doc_id") * 60L))
+    val counts = windowedKeywordCounts(docs, "text", "lang", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"), col("cls"))
+      .orderBy(col("n").desc, col("word"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("cls"), col("rank"), col("word"), col("n"))
+  }
 
   /** Content fingerprint for exact dedup: seed-7 rolling hash of the
     * normalized text (the oracle-checked fingerprint the dedup family
@@ -244,8 +295,29 @@ object StreamOps {
   private def micros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
-  case class FunnelState(stage: Int, lastTsMicros: Long)
+  /** lastTsMicros = time of the last stage ADVANCE (the strictly-after
+    * chain's anchor); lastSeenMicros = time of the user's last event of any
+    * type (the idleness clock the eviction timeout runs on).
+    */
+  case class FunnelState(stage: Int, lastTsMicros: Long, lastSeenMicros: Long)
   case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Event-time eviction timestamp for a per-user state machine: the state
+    * is droppable once the watermark passes `lastTsMicros + ttlMicros`
+    * (converted to the ms granularity GroupState timeouts use, rounded UP
+    * so the timeout never fires while an in-watermark event could still
+    * matter). Clamped above the current watermark — Spark rejects a
+    * timeout at or below it, which a late-ish event's timestamp could
+    * otherwise produce — so a stale update still evicts on the very next
+    * watermark advance.
+    */
+  private def evictionMs(state: GroupState[_], lastTsMicros: Long,
+                         ttlMicros: Long): Long = {
+    val base =
+      if (lastTsMicros == Long.MinValue) Long.MinValue // no event-time yet
+      else math.floorDiv(lastTsMicros + ttlMicros, 1000L) + 1L
+    math.max(base, state.getCurrentWatermarkMs + 1L)
+  }
 
   /** Streaming face of the ordered-sequence funnel: a per-user stage
     * machine under `mapGroupsWithState`. Each micro-batch's events for a
@@ -254,29 +326,47 @@ object StreamOps {
     * the greedy earliest-advance walk computes exactly the batch operator's
     * sequential minima (RelationalOps.funnelStages), so in-order ingest
     * matches the batch funnel stage-for-stage (spec-pinned). State per user
-    * is two numbers (stage, last stage time) FOREVER — no watermark needed
-    * for boundedness. Stage times are monotone, so an event arriving in a
-    * LATER batch with an earlier timestamp cannot retroactively advance a
-    * stage it preceded — the documented at-ingest semantics (the batch twin
-    * is the replay tool when late data matters).
+    * is two numbers (stage, last stage time); with event-time timeout the
+    * entry is EVICTED once the watermark passes the user's last observed
+    * event by `ttl` — complete and abandoned funnels both age out, so the
+    * state store tracks users active within the ttl horizon, not every
+    * user ever seen. An evicted user re-entering restarts at stage 0
+    * (spec-pinned): the streaming face answers "funnel progress within the
+    * ttl window" at ingest; cumulative all-time funnels are the batch
+    * twin's replay job. Stage times are monotone, so an event arriving in
+    * a LATER batch with an earlier timestamp cannot retroactively advance
+    * a stage it preceded — the documented at-ingest semantics.
     */
-  def funnelStream(events: Dataset[Event], stages: Seq[String])
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+                   delay: String = "30 minutes", ttlHours: Long = 24)
                   (implicit spark: SparkSession): Dataset[FunnelProgress] = {
     import spark.implicits._
+    val ttlMicros = ttlHours * 3600L * 1000000L
     events
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val init = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val next = sorted.foldLeft(init) { (s, e) =>
-            if (s.stage < stages.length && e.event_type == stages(s.stage) &&
-                micros(e.ts) > s.lastTsMicros)
-              FunnelState(s.stage + 1, micros(e.ts))
-            else s
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            FunnelProgress(userId, last.stage) // final emission at eviction
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val init = state.getOption
+              .getOrElse(FunnelState(0, Long.MinValue, Long.MinValue))
+            val next = sorted.foldLeft(init) { (s, e) =>
+              val seen = math.max(s.lastSeenMicros, micros(e.ts))
+              if (s.stage < stages.length && e.event_type == stages(s.stage) &&
+                  micros(e.ts) > s.lastTsMicros)
+                FunnelState(s.stage + 1, micros(e.ts), seen)
+              else s.copy(lastSeenMicros = seen)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(
+              evictionMs(state, next.lastSeenMicros, ttlMicros))
+            FunnelProgress(userId, next.stage)
           }
-          state.update(next)
-          FunnelProgress(userId, next.stage)
       }
   }
 
@@ -287,28 +377,48 @@ object StreamOps {
 
   /** Stateful streaming sessionization (gap-based, 1 hour) — the streaming
     * twin of RelationalOps.userSessions, via mapGroupsWithState. State per
-    * user is three longs; with event-time timeout it is evicted for idle
-    * users, so state size tracks ACTIVE users, not corpus size.
+    * user is three longs, and with EVENT-TIME TIMEOUT the entry is evicted
+    * once the watermark passes the user's last event by the session gap —
+    * at that point no in-watermark event can extend the current session,
+    * so dropping the state cannot move a session boundary: an evicted user
+    * re-entering starts a new session (spec-pinned), EXACTLY what the
+    * batch twin would decide for an event a full gap after its
+    * predecessor. State size therefore tracks users active within the gap
+    * horizon, never the total distinct users the stream has ever seen —
+    * the difference between a bounded state store and one that grows
+    * forever on a 100 TB stream. The one semantic trade: the per-user
+    * counters (n_sessions/n_events) cover the user's current activity era
+    * — eviction emits the closing totals, then a re-entry counts afresh;
+    * all-time cumulative totals are the batch twin's replay job.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Long = 60)
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 60,
+                 delay: String = "30 minutes")
                 (implicit spark: SparkSession): Dataset[UserSessions] = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     events
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          val next = sorted.foldLeft(init) { (s, e) =>
-            val tsMicros = micros(e.ts)
-            val newSession = s.lastTsMicros == Long.MinValue ||
-              tsMicros - s.lastTsMicros > gapMicros
-            SessionState(tsMicros,
-              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            UserSessions(userId, last.nSessions, last.nEvents) // closing totals
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            val next = sorted.foldLeft(init) { (s, e) =>
+              val tsMicros = micros(e.ts)
+              val newSession = s.lastTsMicros == Long.MinValue ||
+                tsMicros - s.lastTsMicros > gapMicros
+              SessionState(tsMicros,
+                s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(evictionMs(state, next.lastTsMicros, gapMicros))
+            UserSessions(userId, next.nSessions, next.nEvents)
           }
-          state.update(next)
-          UserSessions(userId, next.nSessions, next.nEvents)
       }
   }
 }

@@ -115,4 +115,32 @@ class CheckOpsSpec extends SparkSuite {
         (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
     assert(merged === whole)
   }
+
+  test("mergeReports rejects reports carrying unique rows") {
+    // distinct counts don't sum across shards: the same key can appear in
+    // two shards, each locally unique — merging would return a wrong
+    // number, so the merge must fail loudly instead
+    val s1 = df.filter(col("id") <= 2)
+    val s2 = df.filter(col("id") > 2)
+    val withUnique = Seq(Unique("id"), NotNull("text"))
+    val ex = intercept[IllegalArgumentException] {
+      CheckOps.mergeReports(
+        Seq(CheckOps.check(s1, withUnique), CheckOps.check(s2, withUnique)))
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
+
+  test("hostile column names survive the report explode (no SQL splicing)") {
+    // a column named with quotes/commas must flow through as a literal,
+    // not break (or inject into) the generated plan. (Backticks stay
+    // subject to Spark's own attribute-name grammar in col() — unpaired
+    // ones are rejected by the engine itself, before any rule runs.)
+    val weird = "it's, a 'weird' name"
+    val data = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("id", weird)
+    val rows = CheckOps.check(data, Seq(NotNull(weird)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(rows.toSeq == Seq(("not_null", weird, 2L, 1L, 0)))
+  }
 }

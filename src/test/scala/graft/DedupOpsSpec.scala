@@ -210,14 +210,37 @@ class DedupOpsSpec extends SparkSuite {
     graft.Caching.releaseAll()
   }
 
+  test("contractionPays: skips on near-duplicate-free corpora, fires under multiplicity") {
+    import org.apache.spark.sql.functions._
+    // all-distinct keys: zero duplicate-pair mass -> the pre-pass is pure
+    // overhead and the gate must skip it
+    val distinctKeys = spark.range(10000)
+      .select(col("id").as("doc_id"), col("id").as("simhash"))
+    assert(!DedupOps.contractionPays(distinctKeys, "simhash"))
+    // a handful of small duplicate classes (the sf0.1 fixture regime:
+    // 8 duplicate texts in 5000 docs) still skips — the mass is trivial
+    val fewDups = spark.range(5000)
+      .select(col("id").as("doc_id"), (col("id") % 4992).as("simhash"))
+    assert(!DedupOps.contractionPays(fewDups, "simhash"))
+    // viral multiplicity: 100 copies of each of 500 keys -> C(100,2)·500
+    // ≈ 2.5M duplicate pairs over 50k rows -> contraction pays
+    val viral = spark.range(50000)
+      .select(col("id").as("doc_id"), (col("id") % 500).as("simhash"))
+    assert(DedupOps.contractionPays(viral, "simhash"))
+  }
+
   test("cluster contraction preserves labels vs the uncontracted build (sf0.01)") {
     // simhashClusters/lshDupClusterProfile contract fp-equal / vector-equal
     // rows to one node before pairing (the viral-group guard on the CLUSTER
     // faces); this pins that the contracted graph propagates to the exact
     // labels of the plain verified-pair build on the real fixture corpus.
+    // contract = Some(true) FORCES the pre-pass: the r11 cost gate
+    // (contractionPays) would skip it on this near-duplicate-free fixture,
+    // and this spec exists to pin the contracted machinery itself
     val dir = "/root/testdata/sf0.01"
     val fdocs = Tables.documents(spark, dir)
-    val contracted = DedupOps.simhashClusters(fdocs, "doc_id", "text")
+    val contracted = DedupOps.simhashClusters(fdocs, "doc_id", "text",
+        contract = Some(true))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.Caching.releaseAll()
     val edges = DedupOps.simhashPairs(fdocs, "doc_id", "text", 3)
@@ -232,8 +255,10 @@ class DedupOpsSpec extends SparkSuite {
   }
 
   test("embed cluster contraction matches the uncontracted profile (sf0.01)") {
+    // forced contraction, same rationale as the simhash pin above
     val dir = "/root/testdata/sf0.01"
-    val profile = operators.SimilarityOps.lshDupClusterProfile(spark, dir)
+    val profile = operators.SimilarityOps.lshDupClusterProfile(spark, dir,
+        contract = Some(true))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     graft.Caching.releaseAll()
     val edges = operators.SimilarityOps.lshDupPairs(spark, dir)

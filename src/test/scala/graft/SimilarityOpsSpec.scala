@@ -49,4 +49,43 @@ class SimilarityOpsSpec extends SparkSuite {
     val b = SimilarityOps.ivfAnn(spark, dir).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("hot-bucket cap bounds embed-LSH pair emission on 10k identical vectors") {
+    // 10k exact-copy vectors share every band value (the hyperplanes are
+    // deterministic), so every band has ONE bucket of 10k members — the
+    // uncapped pair face would emit C(10000,2) ≈ 50M candidate rows per
+    // band. With the cap each bucket truncates to its `cap` lowest vec_ids
+    // and output is exactly C(cap,2); the truncation report names every
+    // truncated bucket.
+    import org.apache.spark.sql.functions._
+    val vec = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val viral = spark.range(10000).select(
+      col("id").as("vec_id"),
+      typedLit(vec).as("embedding"), lit(0).as("label"))
+    val corpus = SimilarityOps.withBands(
+      viral.select(col("vec_id"),
+        graft.functions.HashExpressions.unitVector(
+          graft.functions.VectorFunctions.asDouble(col("embedding"))).as("nv"),
+        col("label")),
+      SimilarityOps.DedupBands, SimilarityOps.DedupBandBits)
+    val cap = 32
+    val expected = cap.toLong * (cap - 1) / 2
+    assert(SimilarityOps.lshCosinePairs(corpus, 0.9, maxBucket = cap).count()
+      == expected)
+    val rep = SimilarityOps.bucketTruncationReport(corpus, cap).collect()
+    assert(rep.length == SimilarityOps.DedupBands)
+    assert(rep.forall(r => r.getAs[Long]("n_vecs") == 10000L &&
+      r.getAs[Int]("kept") == cap))
+    // ...and the shipped cap is not binding on the fixture: the capped
+    // query face is bit-equal to the uncapped build there
+    val fixture = graft.Tables.embeddings(spark, dir)
+    val fcorpus = SimilarityOps.withBands(
+      fixture.select(col("vec_id"),
+        graft.functions.HashExpressions.unitVector(
+          graft.functions.VectorFunctions.asDouble(col("embedding"))).as("nv"),
+        col("label")),
+      SimilarityOps.DedupBands,
+      SimilarityOps.dedupBandBits(fixture.count()))
+    assert(SimilarityOps.bucketTruncationReport(fcorpus).count() == 0)
+  }
 }

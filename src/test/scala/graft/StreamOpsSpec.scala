@@ -523,4 +523,109 @@ class StreamOpsSpec extends SparkSuite {
       assert(afterB2.size <= 1024)
     } finally q.stop()
   }
+
+  test("sessionize evicts idle users at watermark + gap; re-entry starts a new era") {
+    // The r11 eviction contract: once the watermark passes a user's last
+    // event by the session gap, the state entry is dropped (emitting its
+    // closing totals), and a re-entering user counts a NEW session from
+    // fresh counters — the same boundary the batch twin draws for an event
+    // a full gap after its predecessor. Without eviction the re-entry
+    // would emit the cumulative (2 sessions, 3 events).
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionize(input.toDS(), gapMinutes = 60,
+        delay = "30 minutes")
+      .writeStream.format("memory").queryName("sessions_evict")
+      .outputMode("update").start()
+    try {
+      // user 1: one session of two events
+      input.addData(ev(1, 1, ts(9, 0)), ev(2, 1, ts(9, 10)))
+      q.processAllAvailable() // watermark (after batch): 8:40
+      // two watermark-advancing batches from another user: the timeout
+      // fires against the PREVIOUS trigger's watermark, so the second
+      // batch is what evicts user 1 (wm 13:30 > 9:10 + gap)
+      input.addData(ev(3, 2, ts(14, 0)))
+      q.processAllAvailable()
+      input.addData(ev(4, 2, ts(14, 5)))
+      q.processAllAvailable()
+      // user 1 re-enters after eviction: fresh era, one session, one event
+      input.addData(ev(5, 1, ts(15, 0)))
+      q.processAllAvailable()
+      val user1 = spark.table("sessions_evict")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+      // b1 emit (1,2) + eviction closing emit (1,2) + re-entry (1,1);
+      // the absence of (2,3) is the eviction proof
+      assert(user1 == Seq((1L, 1L), (1L, 2L), (1L, 2L)),
+        s"expected eviction + fresh re-entry, got $user1")
+    } finally q.stop()
+  }
+
+  test("funnelStream evicts stale users; an evicted user restarts at stage 0") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    // ttl of 1 hour so fixture-scale gaps cross it
+    val q = StreamOps.funnelStream(input.toDS(), stages,
+        delay = "30 minutes", ttlHours = 1)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("update").start()
+    try {
+      // user 1 reaches stage 2
+      input.addData(ev(1, 1, ts(9, 0), "view"), ev(2, 1, ts(9, 5), "click"))
+      q.processAllAvailable()
+      // advance the watermark far past 9:05 + 1h (two batches: timeout
+      // processing uses the previous trigger's watermark)
+      input.addData(ev(3, 2, ts(14, 0), "view"))
+      q.processAllAvailable()
+      input.addData(ev(4, 2, ts(14, 5), "view"))
+      q.processAllAvailable()
+      // user 1 re-enters with a view: a LIVE stage-2 state would ignore it
+      // (it awaits 'purchase'); a fresh post-eviction walk advances to 1
+      input.addData(ev(5, 1, ts(15, 0), "view"))
+      q.processAllAvailable()
+      val user1 = spark.table("funnel_evict")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+        .collect().map(_.getInt(1)).toSeq.sorted
+      // b1 emit (2) + eviction closing emit (2) + post-eviction restart (1)
+      assert(user1 == Seq(1, 2, 2),
+        s"expected eviction + stage-0 restart, got $user1")
+    } finally q.stop()
+  }
+
+  test("attribution stream/batch parity against the oracle-checked query face") {
+    // the rel_attribution query runs attributionStream's exact join
+    // expression in batch over the events fixture; this pins that a
+    // streamed replay of fixture-shaped data produces the same pairs the
+    // query face computes on the same frames
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      ev(1, 1, ts(9, 0), "view"), ev(2, 2, ts(9, 5), "view"),
+      ev(3, 1, ts(10, 0), "view"))
+    val buys = Seq(
+      ev(10, 1, ts(9, 20), "purchase", 5.0),
+      ev(11, 2, ts(9, 50), "purchase", 7.0), // 45 min after the view: out
+      ev(12, 1, ts(10, 10), "purchase", 9.0))
+    val vstream = MemoryStream[Event]
+    val bstream = MemoryStream[Event]
+    val q = StreamOps.attributionStream(vstream.toDF(), bstream.toDF())
+      .select("user_id", "trigger_id", "conv_id")
+      .writeStream.format("memory").queryName("attr_parity")
+      .outputMode("append").start()
+    try {
+      vstream.addData(views: _*)
+      bstream.addData(buys: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_parity")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamOps.attributionStream(views.toDF(), buys.toDF())
+        .select("user_id", "trigger_id", "conv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 1L, 10L), (1L, 3L, 12L)))
+    } finally q.stop()
+  }
 }

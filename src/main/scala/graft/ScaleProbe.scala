@@ -155,6 +155,35 @@ object ScaleProbe {
     time("train_assembly")(AssemblyOps.trainAssembly(spark, tmp).count())
     time("range_join")(RelationalOps.concurrentSessionActivity(spark, tmp).count())
     time("sessionize")(RelationalOps.userSessions(spark, tmp).count())
+    // streaming batch faces: the attribution join is a per-user range
+    // join (pair volume bounded by rate × horizon); top-k keywords ride
+    // the tokenize + window-group-limit path
+    time("attribution")(graft.streaming.StreamOps.attributionQuery(spark, tmp).count())
+    time("topk_keywords")(graft.streaming.StreamOps.topKeywordsQuery(spark, tmp).count())
+    // layout tier: the SAME unique-key equi-join over the replicated docs,
+    // shuffled vs pre-bucketed — the measured evidence for LayoutOps'
+    // zero-exchange claim. merge hints pin SMJ on both faces so the
+    // comparison isolates the EXCHANGES (broadcast would hide them); the
+    // bucketed faces read sorted co-located buckets, so they skip both the
+    // shuffle and the sort. The one-time bucket write is timed next to the
+    // joins: it amortizes across every later join/agg on the key.
+    val evT = Tables.events(spark, tmp)
+    val sideA = evT.select(col("event_id"), col("value"))
+    val sideB = evT.select(col("event_id"), col("user_id"))
+    time("join_unbucketed")(
+      sideA.hint("merge").join(sideB, "event_id")
+        .agg(sum(col("value") + col("user_id"))).count())
+    time("layout_bucket_write") {
+      operators.LayoutOps.writeBucketed(sideA, "probe_bkt_a", "event_id", 32,
+        sortCols = Seq("event_id"))
+      operators.LayoutOps.writeBucketed(sideB, "probe_bkt_b", "event_id", 32,
+        sortCols = Seq("event_id"))
+      2L
+    }
+    time("join_bucketed")(
+      spark.table("probe_bkt_a").hint("merge")
+        .join(spark.table("probe_bkt_b"), "event_id")
+        .agg(sum(col("value") + col("user_id"))).count())
     spark.stop()
   }
 }

@@ -333,6 +333,13 @@ object SparkEntry {
     "txt_len_pctrank" -> RankOps.pctRankProfile,
     "txt_len_median" -> RankOps.medianProfile,
     "txt_len_quantiles_exact" -> RankOps.quantileProfile,
+    // corpus-version audit: added/removed/changed/unchanged between two
+    // snapshots, classified on content fingerprints (one full-outer join)
+    "snapshot_diff" -> SnapshotOps.snapshotDiffQuery,
+    // tokenizer induction: BPE-style merge-candidate counts + the OOV-rate
+    // gauge of a fixed-size vocabulary
+    "vocab_merge_pairs" -> VocabOps.mergePairsQuery,
+    "vocab_coverage" -> VocabOps.coverageQuery,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -685,6 +692,50 @@ object SparkEntry {
         |  count(*) AS n_assets, CAST(16 AS INT) AS feat_dim,
         |  round(avg(norm), 4) AS avg_norm
         |FROM norms GROUP BY 1""".stripMargin,
+    // snapshot diff: both synthetic versions re-derive in SQL (same mod
+    // arithmetic, same seed-7 content fingerprint), full-outer join on id
+    "snapshot_diff" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS c FROM documents),
+         |oldsnap AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 0 THEN text || ' stale edition'
+         |         ELSE text END AS text
+         |  FROM documents, cut WHERE doc_id <= c),
+         |ofp AS (SELECT doc_id, ${polyFold(cps(NORM))} AS fp FROM oldsnap),
+         |nfp AS (SELECT doc_id, ${polyFold(cps(NORM))} AS fp FROM documents
+         |        WHERE doc_id % 101 <> 0),
+         |d AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.fp IS NULL THEN 'added'
+         |         WHEN n.fp IS NULL THEN 'removed'
+         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id)
+         |SELECT status, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(d.doc_id) AS min_doc_id, max(d.doc_id) AS max_doc_id
+         |FROM d JOIN documents USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vocab_merge_pairs" ->
+      s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |                               i -> t[i] || ' ' || t[i + 1])) AS pair
+         |  FROM toks WHERE len(t) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT lang, unnest($TOKS) AS word FROM documents),
+         |vocab AS (
+         |  SELECT word FROM (SELECT word, count(*) AS wf FROM tok GROUP BY 1)
+         |  ORDER BY wf DESC, word LIMIT 1000)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  round(1 - CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+         |                 AS DOUBLE) / count(*), 4) AS oov_rate
+         |FROM tok LEFT JOIN vocab v USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stream-stream attribution join stated declaratively: per-user
     // equi-join with the two-sided event-time bound; micros cross engines
     "rel_attribution" ->

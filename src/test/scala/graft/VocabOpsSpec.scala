@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VocabOps
+
+/** Vocabulary induction: pair counts must equal a hand-derived answer on
+  * known text (adjacency, not co-occurrence), and coverage must honor the
+  * deterministic frequency-then-lexicographic vocabulary cut, with
+  * oov_rate = 0 exactly when the vocabulary holds every distinct token.
+  */
+class VocabOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mergePairCounts counts adjacent pairs, not co-occurrence") {
+    val docs = Seq("aa bb aa bb cc", "bb cc", "xx").toDF("text")
+    val got = VocabOps.mergePairCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc 1: pairs (aa bb)(bb aa)(aa bb)(bb cc); doc 2: (bb cc); doc 3: none
+    assert(got === Map("aa bb" -> 2L, "bb aa" -> 1L, "bb cc" -> 2L))
+  }
+
+  test("vocabCoverage: full vocab means zero OOV; cut is deterministic on ties") {
+    val docs = Seq(
+      ("g1", "aa aa bb cc"),
+      ("g2", "bb cc dd dd")
+    ).toDF("grp", "text")
+    val full = VocabOps.vocabCoverage(docs, "text", "grp", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSet === Set(("g1", 4L, 4L, 0.0), ("g2", 4L, 4L, 0.0)))
+    // freqs: aa=2, bb=2, cc=2, dd=2 — all tied; vocabSize=2 takes the
+    // lexicographically smallest two (aa, bb)
+    val cut = VocabOps.vocabCoverage(docs, "text", "grp", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(cut === Map("g1" -> (3L, 0.25), "g2" -> (1L, 0.75)))
+  }
+
+  test("fixture queries: bounded output, rates in range, covered <= total") {
+    val dir = SparkSpec.FixtureDir
+    val pairs = VocabOps.mergePairsQuery(spark, dir).collect()
+    assert(pairs.length <= 50 && pairs.nonEmpty)
+    // descending by n, ties broken by pair asc — the order is total
+    val ns = pairs.map(_.getLong(1))
+    assert(ns.sameElements(ns.sortBy(-_)))
+    val cov = VocabOps.coverageQuery(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cov.nonEmpty)
+    assert(cov.forall { case (tot, covd, oov) =>
+      covd <= tot && oov >= 0.0 && oov <= 1.0 })
+  }
+}

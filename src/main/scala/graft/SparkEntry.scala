@@ -340,6 +340,9 @@ object SparkEntry {
     // gauge of a fixed-size vocabulary
     "vocab_merge_pairs" -> VocabOps.mergePairsQuery,
     "vocab_coverage" -> VocabOps.coverageQuery,
+    // LM quality gate: per-language NLL band histogram under a smoothed
+    // self-trained bigram model (the perplexity-cut shape)
+    "txt_lm_nll" -> LmOps.nllBandsQuery,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -736,6 +739,43 @@ object SparkEntry {
          |                 AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM tok LEFT JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bigram-LM NLL: the whole model (counts, contexts, vocab, add-0.5
+    // smoothing, ln) re-derived relationally; self-scoring, so every
+    // scored bigram hits the trained table (no backoff branch needed)
+    "txt_lm_nll" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(t)),
+         |                          i -> t[i] || ' ' || t[i + 1])) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |bg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM big),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |inst AS (
+         |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+         |nll AS (
+         |  SELECT i.doc_id, i.lang, -sum(l.logp * i.n) / sum(i.n) AS nll
+         |  FROM inst i
+         |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  GROUP BY 1, 2)
+         |SELECT lang, CAST(floor(nll) AS INT) AS nll_band,
+         |  CAST(count(*) AS BIGINT) AS n_docs, round(avg(nll), 4) AS avg_nll
+         |FROM nll GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the stream-stream attribution join stated declaratively: per-user
     // equi-join with the two-sided event-time bound; micros cross engines
     "rel_attribution" ->

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** N-gram language-model quality scoring — the "real" quality filter a
+  * training pipeline runs after the cheap heuristics: score every document
+  * by its negative log-likelihood under a smoothed bigram model (the same
+  * shape CCNet/Wenzek et al. 2020 use with KenLM — low-perplexity ≈
+  * fluent text, high ≈ boilerplate/garble). The reference has no LM tier
+  * (its quality control is manual stopword curation,
+  * /root/reference/preprocessing.py:173-214); at corpus scale a
+  * perplexity cut is the standard pre-training gate.
+  *
+  * Scale shape: the model is three vocabulary-bounded frames (bigram
+  * log-probs, context totals, per-lang vocab sizes) — corpus-size
+  * independent, buildable once and persisted. Scoring aggregates each
+  * doc's bigram INSTANCES map-side (doc × distinct-bigram rows, not
+  * token rows), joins the log-prob table on the bigram key in ONE
+  * shuffle, and routes only the UNSEEN remainder through the (lang, w1)
+  * backoff join — zero extra cost when scoring the training corpus
+  * itself, miss-proportional cost when scoring new data.
+  */
+object LmOps {
+
+  /** A trained add-alpha bigram model: P(w2|w1) = (c12+a)/(ctx1+a·V). */
+  final case class BigramLm(logp: DataFrame, missLogp: DataFrame, alpha: Double)
+
+  private def bigramInstances(docs: DataFrame, textCol: String,
+                              langCol: String, extra: Seq[String]): DataFrame =
+    docs
+      .select((extra :+ langCol).map(col) :+ tokens(col(textCol)).as("t"): _*)
+      .filter(size(col("t")) >= 2)
+      .select((extra :+ langCol).map(col) :+
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"): _*)
+      .select((extra :+ langCol).map(col) :+ col("bg.w1") :+ col("bg.w2"): _*)
+      .withColumnRenamed(langCol, "lang")
+
+  /** Train the per-language bigram model. Both returned frames are
+    * vocabulary-bounded: `logp` has one row per distinct (lang, w1, w2)
+    * seen in training; `missLogp` one row per distinct (lang, w1) — the
+    * backoff log-prob ln(a/(ctx+a·V)) any unseen continuation of w1 gets.
+    */
+  def bigramModel(train: DataFrame, textCol: String, langCol: String,
+                  alpha: Double = 0.5): BigramLm = {
+    val counts = bigramInstances(train, textCol, langCol, Nil)
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = counts.groupBy("lang", "w1").agg(sum("c12").as("ctx"))
+    val vocab = train
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("lang").agg(countDistinct("w").as("v"))
+    val ctxV = ctx.join(broadcast(vocab), Seq("lang"))
+      .withColumn("denom", col("ctx") + lit(alpha) * col("v"))
+    val logp = counts.join(ctxV, Seq("lang", "w1"))
+      .select(col("lang"), col("w1"), col("w2"),
+        log((col("c12") + alpha) / col("denom")).as("logp"))
+    val miss = ctxV.select(col("lang"), col("w1"),
+      log(lit(alpha) / col("denom")).as("logp"))
+    BigramLm(logp, miss, alpha)
+  }
+
+  /** Per-document mean negative log-likelihood under the model. Docs with
+    * fewer than two tokens are not scored (no bigrams). Bigrams whose
+    * context w1 was never seen in training fall back to the model's
+    * smallest per-lang backoff mass (alpha / (alpha·V) = 1/V is
+    * unavailable without V; unseen-context rows are instead scored at the
+    * global per-lang minimum backoff — at self-scoring this branch is
+    * provably empty, and cross-corpus it is miss-proportional).
+    */
+  def scoreNll(model: BigramLm, docs: DataFrame, textCol: String,
+               langCol: String, idCol: String): DataFrame = {
+    val inst = bigramInstances(docs, textCol, langCol, Seq(idCol))
+      .groupBy(idCol, "lang", "w1", "w2").agg(count(lit(1)).as("n"))
+    val hit = inst.join(model.logp, Seq("lang", "w1", "w2"), "left")
+    val seen = hit.filter(col("logp").isNotNull)
+      .select(col(idCol), col("lang"), col("n"), col("logp"))
+    // only genuinely-unseen bigrams reach the backoff join; unseen
+    // CONTEXTS (no missLogp row either) take the per-lang floor
+    val floorLp = model.missLogp.groupBy("lang")
+      .agg(min(col("logp")).as("floor_lp"))
+    val unseen = hit.filter(col("logp").isNull)
+      .drop("logp")
+      .join(model.missLogp, Seq("lang", "w1"), "left")
+      .join(broadcast(floorLp), Seq("lang"), "left")
+      .select(col(idCol), col("lang"), col("n"),
+        coalesce(col("logp"), col("floor_lp")).as("logp"))
+    seen.unionByName(unseen)
+      .groupBy(col(idCol), col("lang"))
+      .agg((-sum(col("logp") * col("n")) / sum(col("n"))).as("nll"))
+  }
+
+  /** Query: self-score the documents corpus and report the per-language
+    * NLL band histogram (band = floor of the mean negative log-likelihood
+    * per token transition) — the shape a perplexity cut is chosen from.
+    * Output bounded by langs × bands regardless of corpus size.
+    */
+  def nllBandsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = bigramModel(docs, "text", "lang")
+    scoreNll(model, docs, "text", "lang", "doc_id")
+      .groupBy(col("lang"), floor(col("nll")).cast("int").as("nll_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("lang"), col("nll_band"))
+  }
+}

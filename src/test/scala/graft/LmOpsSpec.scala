@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LmOps
+
+/** The bigram LM must reproduce hand-computed add-alpha probabilities,
+  * score unseen continuations through the backoff mass, and keep the
+  * self-scoring path exactly on the trained table (empty backoff branch).
+  */
+class LmOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // train: one doc "aa bb aa bb" → bigrams (aa bb)×2, (bb aa)×1; V = 2
+  // ctx(aa)=2, ctx(bb)=1; alpha 0.5 → denom(aa)=3, denom(bb)=2
+  private lazy val train = Seq((1L, "x", "aa bb aa bb")).toDF("doc_id", "lang", "text")
+  private lazy val model = LmOps.bigramModel(train, "text", "lang")
+
+  test("trained log-probs match the add-alpha formula") {
+    val lp = model.logp.collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(math.abs(lp(("aa", "bb")) - math.log(2.5 / 3.0)) < 1e-12)
+    assert(math.abs(lp(("bb", "aa")) - math.log(1.5 / 2.0)) < 1e-12)
+    val miss = model.missLogp.collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(miss("aa") - math.log(0.5 / 3.0)) < 1e-12)
+    assert(math.abs(miss("bb") - math.log(0.5 / 2.0)) < 1e-12)
+  }
+
+  test("self-scoring equals the hand-computed mean NLL") {
+    val got = LmOps.scoreNll(model, train, "text", "lang", "doc_id")
+      .collect()(0).getDouble(2)
+    val want = -(2 * math.log(2.5 / 3.0) + math.log(1.5 / 2.0)) / 3.0
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("unseen continuation takes backoff mass; unseen context the lang floor") {
+    val probe = Seq(
+      (10L, "x", "aa cc"), // seen context aa, unseen continuation → ln(0.5/3)
+      (11L, "x", "cc dd") // unseen context → per-lang floor = min backoff
+    ).toDF("doc_id", "lang", "text")
+    val got = LmOps.scoreNll(model, probe, "text", "lang", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(10L) - -math.log(0.5 / 3.0)) < 1e-12)
+    // floor = min(ln(0.5/3), ln(0.5/2)) = ln(0.5/3)
+    assert(math.abs(got(11L) - -math.log(0.5 / 3.0)) < 1e-12)
+  }
+
+  test("docs under two tokens are not scored; fixture bands are sane") {
+    val probe = Seq((20L, "x", "aa"), (21L, "x", "")).toDF("doc_id", "lang", "text")
+    assert(LmOps.scoreNll(model, probe, "text", "lang", "doc_id").count() === 0)
+    val bands = LmOps.nllBandsQuery(spark, SparkSpec.FixtureDir).collect()
+    assert(bands.nonEmpty)
+    assert(bands.forall { r =>
+      val band = r.getInt(1); val avg = r.getDouble(3)
+      band >= 0 && avg >= band && avg < band + 1 && r.getLong(2) > 0
+    })
+  }
+}

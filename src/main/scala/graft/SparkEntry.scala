@@ -405,6 +405,9 @@ object SparkEntry {
     "sim_topk_brute" -> SimilarityOps.bruteTopK,
     "sim_lsh_ann" -> SimilarityOps.lshAnn,
     "sim_ivf_ann" -> SimilarityOps.ivfAnn,
+    // index refresh: stored postings carried for unchanged vectors, only
+    // the A→B delta re-assigned at the frozen coarse quantizer
+    "sim_ivf_incremental" -> IndexMaintOps.ivfIncrementalQuery,
     "sim_recall" -> SimilarityOps.annRecall,
     "sim_ivf_recall" -> SimilarityOps.ivfRecall,
     "sim_ivfpq_ann" -> PqOps.ivfPqAnn,
@@ -2563,6 +2566,45 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
          |FROM r WHERE rk <= 3""".stripMargin,
+    // incremental index maintenance: the A→B version diff re-derived (same
+    // mod arithmetic, unit vectors bit-equal), kept postings read from the
+    // PERSISTED index artifact, delta re-assigned at the artifact centroids
+    "sim_ivf_incremental" ->
+      s"""WITH $UNIT_CTE,
+         |cutv AS (SELECT CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS c FROM u),
+         |oldv AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 97 = 0 THEN list_transform(nv, x -> -x)
+         |         ELSE nv END AS nv
+         |  FROM u, cutv WHERE vec_id <= c),
+         |newv AS (SELECT vec_id, nv FROM u WHERE vec_id % 101 <> 0),
+         |d AS (
+         |  SELECT coalesce(o.vec_id, n.vec_id) AS vec_id, o.nv AS nv_old,
+         |    n.nv AS nv_new
+         |  FROM oldv o FULL OUTER JOIN newv n ON o.vec_id = n.vec_id),
+         |kept AS (
+         |  SELECT d.vec_id, ix.list, 'kept' AS origin
+         |  FROM d JOIN ${Artifacts.ref("ivf_inc_index")} ix
+         |    ON ix.vec_id = d.vec_id
+         |  WHERE d.nv_old IS NOT NULL AND d.nv_new IS NOT NULL
+         |    AND d.nv_old = d.nv_new),
+         |fresh AS (
+         |  SELECT vec_id, list, 'reassigned' AS origin FROM (
+         |    SELECT d.vec_id, c.list,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${dotSql("d.nv_new", "c.centroid")} DESC, c.list) AS rk
+         |    FROM d, ${Artifacts.ref("ivf_inc_centroids")} c
+         |    WHERE d.nv_new IS NOT NULL
+         |      AND (d.nv_old IS NULL OR d.nv_old <> d.nv_new))
+         |  WHERE rk = 1),
+         |m AS (SELECT * FROM kept UNION ALL SELECT * FROM fresh)
+         |SELECT list, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN origin = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN origin = 'reassigned' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_reassigned,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // centroid-cosine example ranking over the fitted k=8 assignment
     "topic_examples_embed" ->
       s"""WITH $UNIT_CTE,

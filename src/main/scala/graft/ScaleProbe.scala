@@ -160,6 +160,14 @@ object ScaleProbe {
     // the tokenize + window-group-limit path
     time("attribution")(graft.streaming.StreamOps.attributionQuery(spark, tmp).count())
     time("topk_keywords")(graft.streaming.StreamOps.topKeywordsQuery(spark, tmp).count())
+    // r11 tier: version audit (fixed-width id join), tokenizer induction
+    // (explode + map-side-combined agg / broadcast vocab), LM scoring
+    // (one bigram-key shuffle), index refresh (delta-proportional argmax)
+    time("snapshot_diff")(SnapshotOps.snapshotDiffQuery(spark, tmp).count())
+    time("vocab_merge_pairs")(VocabOps.mergePairsQuery(spark, tmp).count())
+    time("vocab_coverage")(VocabOps.coverageQuery(spark, tmp).count())
+    time("lm_nll")(LmOps.nllBandsQuery(spark, tmp).count())
+    time("ivf_incremental")(IndexMaintOps.ivfIncrementalQuery(spark, tmp).count())
     // layout tier: the SAME unique-key equi-join over the replicated docs,
     // shuffled vs pre-bucketed — the measured evidence for LayoutOps'
     // zero-exchange claim. merge hints pin SMJ on both faces so the

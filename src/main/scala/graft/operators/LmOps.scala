@@ -50,10 +50,20 @@ object LmOps {
                   alpha: Double = 0.5): BigramLm = {
     val counts = bigramInstances(train, textCol, langCol, Nil)
       .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
-    val ctx = counts.groupBy("lang", "w1").agg(sum("c12").as("ctx"))
     val vocab = train
       .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("w"))
       .groupBy("lang").agg(countDistinct("w").as("v"))
+    modelFromCounts(counts, vocab, alpha)
+  }
+
+  /** Model from pre-aggregated bigram counts (lang, w1, w2, c12) and
+    * per-lang vocab sizes (lang, v) — the seam that lets the self-scoring
+    * query derive training counts from the SAME per-doc instance frame it
+    * scores, so the corpus is tokenized and exploded once, not twice.
+    */
+  def modelFromCounts(counts: DataFrame, vocab: DataFrame,
+                      alpha: Double = 0.5): BigramLm = {
+    val ctx = counts.groupBy("lang", "w1").agg(sum("c12").as("ctx"))
     val ctxV = ctx.join(broadcast(vocab), Seq("lang"))
       .withColumn("denom", col("ctx") + lit(alpha) * col("v"))
     val logp = counts.join(ctxV, Seq("lang", "w1"))
@@ -73,9 +83,15 @@ object LmOps {
     * provably empty, and cross-corpus it is miss-proportional).
     */
   def scoreNll(model: BigramLm, docs: DataFrame, textCol: String,
-               langCol: String, idCol: String): DataFrame = {
-    val inst = bigramInstances(docs, textCol, langCol, Seq(idCol))
-      .groupBy(idCol, "lang", "w1", "w2").agg(count(lit(1)).as("n"))
+               langCol: String, idCol: String): DataFrame =
+    scoreInstances(model,
+      bigramInstances(docs, textCol, langCol, Seq(idCol))
+        .groupBy(idCol, "lang", "w1", "w2").agg(count(lit(1)).as("n")),
+      idCol)
+
+  /** Score a pre-aggregated (idCol, lang, w1, w2, n) instance frame. */
+  def scoreInstances(model: BigramLm, inst: DataFrame,
+                     idCol: String): DataFrame = {
     val hit = inst.join(model.logp, Seq("lang", "w1", "w2"), "left")
     val seen = hit.filter(col("logp").isNotNull)
       .select(col(idCol), col("lang"), col("n"), col("logp"))
@@ -101,8 +117,25 @@ object LmOps {
     */
   def nllBandsQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val model = bigramModel(docs, "text", "lang")
-    scoreNll(model, docs, "text", "lang", "doc_id")
+    // self-scoring: ONE per-doc instance frame feeds BOTH the training
+    // counts (re-aggregated, map-side combined) and the scoring join. The
+    // two branches share a bit-identical exchange subtree, so Catalyst's
+    // ReuseExchange materializes the tokenize + bigram-explode + partial
+    // aggregate once — no persist needed (and none of its write cost).
+    val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("n"))
+    val counts = inst.groupBy("lang", "w1", "w2").agg(sum("n").as("c12"))
+    val vocab = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang").agg(countDistinct("w").as("v"))
+    val model = modelFromCounts(counts, vocab)
+    // self-scoring: every scored bigram is in the trained table, so the
+    // generic left-join + backoff split (scoreInstances) degenerates to an
+    // inner join — stating it as one keeps the two inst consumers'
+    // subtrees identical, so the exchange materializes once (ReuseExchange)
+    inst.join(model.logp, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((-sum(col("logp") * col("n")) / sum(col("n"))).as("nll"))
       .groupBy(col("lang"), floor(col("nll")).cast("int").as("nll_band"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("nll")), 4).as("avg_nll"))

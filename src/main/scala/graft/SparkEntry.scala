@@ -357,6 +357,8 @@ object SparkEntry {
     "decontam_bloom" -> CurationOps.decontamBloomProfile,
     // --- selection & packing (LLM-pipeline training-set assembly) ---
     "sample_split" -> SamplingOps.splitProfile,
+    // contamination-safe variant: the whole near-dup cluster moves as one
+    "sample_split_safe" -> SamplingOps.leakageSafeSplitProfile,
     "sample_stratified" -> SamplingOps.stratifiedProfile,
     "sample_fixed_k" -> SamplingOps.fixedSampleProfile,
     "sample_group_k" -> SamplingOps.groupFixedSampleProfile,
@@ -1266,6 +1268,37 @@ object SparkEntry {
          |  lang, count(*) AS n_docs,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // leakage-safe split: same minhash cluster unroll as dedup_minhash_
+    // clusters, split hashed on the group label so clusters never span
+    "sample_split_safe" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |withbands AS (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, range(0, 8) t(j)),
+         |${propagationCtes(DedupOps.ClusterRounds)},
+         |g AS (
+         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS gk
+         |  FROM documents d
+         |  LEFT JOIN l${DedupOps.ClusterRounds} l USING (doc_id)),
+         |a AS (
+         |  SELECT doc_id, gk,
+         |    CASE WHEN ${sampleBucket("gk")} < 9000 THEN 'train'
+         |         WHEN ${sampleBucket("gk")} < 9500 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN ${sampleBucket("doc_id")} < 9000 THEN 'train'
+         |         WHEN ${sampleBucket("doc_id")} < 9500 THEN 'val'
+         |         ELSE 'test' END AS naive_split
+         |  FROM g)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT gk) AS n_groups,
+         |  CAST(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_stratified" ->
       s"""WITH k AS (
          |  SELECT lang, count(*) AS n_kept FROM documents

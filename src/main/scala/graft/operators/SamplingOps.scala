@@ -232,6 +232,47 @@ object SamplingOps {
       .orderBy(col("quality").desc)
   }
 
+  /** Leakage-safe split assignment: documents in the same near-duplicate
+    * cluster MUST land in the same split, or the eval set leaks training
+    * text (the classic contamination path a doc-id hash split cannot see —
+    * near-dup copies hash independently). The split is assigned on the
+    * cluster LABEL, so the whole group moves together; docs outside any
+    * cluster (or with no label row) fall back to their own id — exactly
+    * the per-doc hash split for the non-duplicated majority.
+    *
+    * Scale shape: one left join to the (id, label) frame the dedup tier
+    * already produces — zero-exchange on an id-bucketed layout — then the
+    * same narrow codegen'd bucket arithmetic as `assignSplits`.
+    */
+  def leakageSafeSplits(docs: DataFrame, labels: DataFrame, idCol: String,
+                        weights: Seq[(String, Double)]): DataFrame =
+    assignSplits(
+      docs.join(labels.select(col(idCol), col("label")), Seq(idCol), "left")
+        .withColumn("group_key", coalesce(col("label"), col(idCol)))
+        .drop("label"),
+      "group_key", weights)
+
+  /** Query: leakage-safe 90/5/5 split over the minhash near-dup clusters —
+    * per split: docs, distinct groups, and how many docs a naive id-hash
+    * split would have placed elsewhere (the leakage mass this operator
+    * exists to prevent).
+    */
+  def leakageSafeSplitProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = DedupOps.minhashClusters(docs, "doc_id", "text")
+    val weights = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    val naive = assignSplits(docs.select("doc_id"), "doc_id", weights)
+      .withColumnRenamed("split", "naive_split")
+    leakageSafeSplits(docs.select("doc_id"), labels, "doc_id", weights)
+      .join(naive, "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_key")).as("n_groups"),
+        sum(when(col("naive_split") =!= col("split"), 1).otherwise(0))
+          .cast("long").as("n_moved"))
+      .orderBy(col("split"))
+  }
+
   /** Query: 90/5/5 split of the documents fixture — per (split, lang)
     * counts plus id bounds; the ratios land within basis-point noise of the
     * weights.

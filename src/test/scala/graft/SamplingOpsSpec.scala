@@ -164,6 +164,32 @@ class SamplingOpsSpec extends SparkSuite {
     assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("leakageSafeSplits: clusters never span splits; singletons = id split") {
+    val w = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    // 2000 docs, every 10 consecutive ids a synthetic near-dup cluster
+    val labels = ids.select(col("doc_id"),
+      (col("doc_id") - col("doc_id") % 10).as("label"))
+    val safe = SamplingOps.leakageSafeSplits(ids, labels, "doc_id", w)
+    // no cluster spans two splits
+    val spans = safe.groupBy("group_key")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(spans === 0)
+    // with no labels at all, the fallback IS the plain id-hash split
+    val none = labels.filter(lit(false))
+    val fallback = SamplingOps.leakageSafeSplits(ids, none, "doc_id", w)
+      .select("doc_id", "split")
+    val plain = SamplingOps.assignSplits(ids, "doc_id", w)
+      .select("doc_id", "split")
+    assert(fallback.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(fallback).count() === 0)
+    // fixture face: the naive split DOES strand near-dup docs across the
+    // boundary (n_moved > 0) — the operator is non-vacuous there
+    val prof = SamplingOps.leakageSafeSplitProfile(spark, SparkSpec.FixtureDir)
+      .collect()
+    assert(prof.map(_.getLong(1)).sum > 0)
+    assert(prof.map(_.getLong(3)).sum > 0)
+  }
+
   test("domains absent from the mix weights are dropped entirely") {
     val docs = ids.withColumn("n_tokens", lit(10L))
     val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",

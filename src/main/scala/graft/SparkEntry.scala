@@ -272,6 +272,40 @@ object SparkEntry {
            |       FROM p$i a LEFT JOIN p$i j ON a.label = j.doc_id)""".stripMargin
       }.mkString
 
+  /** Unrolled BPE merge rounds over the u0 units CTE (w, f, pos, unit):
+    * per round — argmax pair b_i, candidate starts c_i, leftmost-first
+    * non-overlapping activation a_i (odd ranks within runs of consecutive
+    * starts), rewrite u_{i+1}. Mirrors VocabOps.mergeRound exactly.
+    */
+  private def bpeRoundCtes(rounds: Int): String =
+    (0 until rounds).map { i =>
+      s""",
+         |b$i AS MATERIALIZED (
+         |  SELECT u1.unit AS l, u2.unit AS r, CAST(sum(u1.f) AS BIGINT) AS pf
+         |  FROM u$i u1 JOIN u$i u2 ON u1.w = u2.w AND u2.pos = u1.pos + 1
+         |  GROUP BY 1, 2 ORDER BY pf DESC, l, r LIMIT 1),
+         |c$i AS (
+         |  SELECT u1.w, u1.pos,
+         |    row_number() OVER (PARTITION BY u1.w ORDER BY u1.pos) AS rn
+         |  FROM u$i u1 JOIN u$i u2 ON u1.w = u2.w AND u2.pos = u1.pos + 1, b$i
+         |  WHERE u1.unit = b$i.l AND u2.unit = b$i.r),
+         |a$i AS (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos,
+         |      row_number() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS rk
+         |    FROM c$i) WHERE rk % 2 = 1),
+         |u${i + 1} AS MATERIALIZED (
+         |  SELECT u.w, u.f,
+         |    row_number() OVER (PARTITION BY u.w ORDER BY u.pos) - 1 AS pos,
+         |    CASE WHEN a1.pos IS NOT NULL
+         |         THEN (SELECT l FROM b$i) || (SELECT r FROM b$i)
+         |         ELSE u.unit END AS unit
+         |  FROM u$i u
+         |  LEFT JOIN a$i a1 ON u.w = a1.w AND u.pos = a1.pos
+         |  LEFT JOIN a$i a2 ON u.w = a2.w AND u.pos = a2.pos + 1
+         |  WHERE a2.pos IS NULL)""".stripMargin
+    }.mkString
+
   /** Explodes the `bands` list of `sk` into (vec_id, band, band_val) rows. */
   private def bandRowsSql(bands: Int): String =
     s"""SELECT vec_id, j AS band, bands[CAST(j + 1 AS INT)] AS band_val
@@ -340,6 +374,9 @@ object SparkEntry {
     // gauge of a fixed-size vocabulary
     "vocab_merge_pairs" -> VocabOps.mergePairsQuery,
     "vocab_coverage" -> VocabOps.coverageQuery,
+    // iterative BPE training: 8 learned merges over the top-200-word
+    // dictionary (corpus scanned once; rounds are dictionary-bounded)
+    "vocab_bpe_merges" -> VocabOps.bpeMergesQuery,
     // LM quality gate: per-language NLL band histogram under a smoothed
     // self-trained bigram model (the perplexity-cut shape)
     "txt_lm_nll" -> LmOps.nllBandsQuery,
@@ -744,6 +781,26 @@ object SparkEntry {
          |                 AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM tok LEFT JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // iterative BPE: the full 8-round training loop unrolled — per round
+    // the argmax pair is a scalar subquery, so the oracle re-learns the
+    // merges itself rather than trusting Spark's collected choices
+    "vocab_bpe_merges" ->
+      s"""WITH wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($TOKS) AS w FROM documents)
+         |  GROUP BY 1 ORDER BY f DESC, w LIMIT 200),
+         |up AS (SELECT w, f, unnest(range(0, length(w))) AS pos FROM wf),
+         |u0 AS MATERIALIZED (
+         |  SELECT w, f, pos, substring(w, CAST(pos AS INT) + 1, 1) AS unit
+         |  FROM up
+         |  UNION ALL SELECT w, f, length(w) AS pos, '</w>' FROM wf)
+         |${bpeRoundCtes(8)}
+         |SELECT * FROM (
+         |${(0 until 8).map(i =>
+             s"  SELECT ${i + 1} AS step, l AS left_unit, r AS right_unit, " +
+               s"l || r AS merged, pf AS pair_freq FROM b$i")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY step""".stripMargin,
     // bigram-LM NLL: the whole model (counts, contexts, vocab, add-0.5
     // smoothing, ln) re-derived relationally; self-scoring, so every
     // scored bigram hits the trained table (no backoff branch needed)

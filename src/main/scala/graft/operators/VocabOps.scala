@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -68,4 +69,114 @@ object VocabOps {
   def coverageQuery(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir), "text", "lang", 1000)
       .orderBy(col("lang"))
+
+  // --------------------------------------------------------------------
+  // Iterative BPE training (Sennrich et al. 2016): character-level merge
+  // learning over the WORD-FREQUENCY dictionary. The scale move: after one
+  // corpus scan for word counts, every training round runs over the
+  // vocabulary-bounded units frame — BPE training cost is independent of
+  // corpus size. Each round is (a) one freq-weighted adjacent-pair
+  // aggregate, (b) a 1-row argmax collect, (c) the leftmost-first
+  // non-overlapping merge stated relationally: runs of consecutive
+  // candidate starts (only possible when left = right) activate at odd
+  // in-run ranks, active starts rewrite, their right neighbors drop,
+  // positions renumber. All windows partition by word — no global sort.
+  // --------------------------------------------------------------------
+
+  /** Character units (plus the `</w>` end-of-word marker) of a (w, f)
+    * word-frequency frame: one row per (w, f, pos, unit).
+    */
+  def charUnits(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("f"),
+        posexplode(split(col("w"), "")).as(Seq("pos", "unit")))
+      .unionByName(words.select(col("w"), col("f"),
+        length(col("w")).cast("int").as("pos"), lit("</w>").as("unit")))
+
+  /** One merge round: the highest-frequency adjacent pair (ties → smaller
+    * left, then right unit) merges everywhere, leftmost-first
+    * non-overlapping. Returns the chosen (left, right, freq) and the
+    * rewritten units frame — or None when no adjacent pairs remain.
+    */
+  private def mergeRound(units: DataFrame): Option[((String, String, Long), DataFrame)] = {
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val withNext = units.withColumn("nxt", lead(col("unit"), 1).over(wWin))
+    val best = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("unit").as("l"), col("nxt").as("r"))
+      .agg(sum(col("f")).as("pf"))
+      .orderBy(col("pf").desc, col("l"), col("r"))
+      .limit(1).collect()
+    if (best.isEmpty) None
+    else {
+      val (l, r, pf) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      val active = withNext
+        .filter(col("unit") === l && col("nxt") === r)
+        .withColumn("grp", col("pos") - row_number().over(wWin))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(col("w"), col("grp"))
+            .orderBy(col("pos"))))
+        .filter(col("rk") % 2 === 1)
+        .select(col("w"), col("pos").as("mpos"))
+      val starts = active.select(col("w").as("sw"), col("mpos").as("spos"))
+      val consumed = active.select(col("w").as("cw"), col("mpos").as("cpos"))
+      val rebuilt = units
+        .join(starts,
+          col("w") === col("sw") && col("pos") === col("spos"), "left")
+        .join(consumed,
+          col("w") === col("cw") && col("pos") === col("cpos") + 1, "left")
+        .filter(col("cpos").isNull)
+        .select(col("w"), col("f"),
+          (row_number().over(wWin) - 1).as("pos"),
+          when(col("spos").isNotNull, lit(l + r))
+            .otherwise(col("unit")).as("unit"))
+      Some(((l, r, pf), rebuilt))
+    }
+  }
+
+  /** Train `k` BPE merges over a (w, f) word-frequency frame. Returns the
+    * ordered merge table (step, left_unit, right_unit, merged, pair_freq)
+    * — the artifact a tokenizer applies at encode time. Stops early when
+    * no adjacent pairs remain.
+    */
+  def bpeTrain(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
+    // localCheckpoint, not persist: each round's plan references the units
+    // frame four times (pair count, starts, consumed, rewrite), so an
+    // un-truncated lineage grows ~4^k and kills the ANALYZER long before
+    // execution — checkpointing keeps every round's plan round-sized. The
+    // frame itself is dictionary-bounded, so the materialization is tiny.
+    var units = charUnits(words).localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var continue = true
+    while (continue && step <= k) {
+      mergeRound(units) match {
+        case Some(((l, r, pf), next)) =>
+          merges += ((step, l, r, l + r, pf))
+          val prev = units
+          units = next.localCheckpoint(true)
+          prev.unpersist(false)
+          step += 1
+        case None => continue = false
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("step", "left_unit", "right_unit", "merged", "pair_freq")
+  }
+
+  /** Query: 8 BPE merges learned from the top-200-word dictionary of the
+    * documents corpus (corpus scanned once for counts; training rounds are
+    * dictionary-bounded). Deterministic: dictionary ties break
+    * lexicographically, merge ties by (freq desc, left, right).
+    */
+  def bpeMergesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(200)
+    bpeTrain(words, 8)
+  }
 }

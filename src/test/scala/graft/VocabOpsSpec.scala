@@ -35,6 +35,30 @@ class VocabOpsSpec extends SparkSuite {
     assert(cut === Map("g1" -> (3L, 0.25), "g2" -> (1L, 0.75)))
   }
 
+  test("bpeTrain learns the hand-worked merge sequence and stops when dry") {
+    // "abab"×2, "ab"×3: round 1 (a,b) pf 2·2+3 = 7 — the abab candidates
+    // at positions 0 and 2 do NOT overlap and both merge; round 2
+    // (ab,</w>) pf 5; round 3 (ab,ab</w>) pf 2; then no pairs remain
+    val words = Seq(("abab", 2L), ("ab", 3L)).toDF("w", "f")
+    val got = VocabOps.bpeTrain(words, 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1, "a", "b", "ab", 7L),
+      (2, "ab", "</w>", "ab</w>", 5L),
+      (3, "ab", "ab</w>", "abab</w>", 2L)))
+  }
+
+  test("bpeTrain: overlapping candidates merge leftmost-first; ties by unit") {
+    // "aaa": (a,a) candidates at 0 and 1 overlap — only position 0 merges.
+    // Round 2 is a pf tie between (aa,a) and (a,</w>); 'a' < 'aa' wins.
+    val words = Seq(("aaa", 1L)).toDF("w", "f")
+    val got = VocabOps.bpeTrain(words, 10)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("a", "a", 2L), ("a", "</w>", 1L), ("aa", "a</w>", 1L)))
+  }
+
   test("fixture queries: bounded output, rates in range, covered <= total") {
     val dir = SparkSpec.FixtureDir
     val pairs = VocabOps.mergePairsQuery(spark, dir).collect()

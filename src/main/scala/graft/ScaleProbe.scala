@@ -168,6 +168,10 @@ object ScaleProbe {
     time("vocab_coverage")(VocabOps.coverageQuery(spark, tmp).count())
     time("lm_nll")(LmOps.nllBandsQuery(spark, tmp).count())
     time("ivf_incremental")(IndexMaintOps.ivfIncrementalQuery(spark, tmp).count())
+    time("split_safe")(SamplingOps.leakageSafeSplitProfile(spark, tmp).count())
+    // BPE: wall time should track the ONE word-count scan, not the rounds —
+    // the dictionary (and so every training round) is corpus-size-invariant
+    time("bpe_train")(VocabOps.bpeMergesQuery(spark, tmp).count())
     // layout tier: the SAME unique-key equi-join over the replicated docs,
     // shuffled vs pre-bucketed — the measured evidence for LayoutOps'
     // zero-exchange claim. merge hints pin SMJ on both faces so the

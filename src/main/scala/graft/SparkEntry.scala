@@ -306,6 +306,35 @@ object SparkEntry {
          |  WHERE a2.pos IS NULL)""".stripMargin
     }.mkString
 
+  /** Unrolled BPE ENCODE rounds: apply the trained pair b_i to the v_i
+    * units chain (same leftmost-first activation, no frequencies).
+    * Mirrors VocabOps.applyMerge driven by the learned table.
+    */
+  private def bpeApplyCtes(rounds: Int): String =
+    (0 until rounds).map { i =>
+      s""",
+         |d$i AS (
+         |  SELECT v1.w, v1.pos,
+         |    row_number() OVER (PARTITION BY v1.w ORDER BY v1.pos) AS rn
+         |  FROM v$i v1 JOIN v$i v2 ON v1.w = v2.w AND v2.pos = v1.pos + 1, b$i
+         |  WHERE v1.unit = b$i.l AND v2.unit = b$i.r),
+         |e$i AS (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos,
+         |      row_number() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS rk
+         |    FROM d$i) WHERE rk % 2 = 1),
+         |v${i + 1} AS MATERIALIZED (
+         |  SELECT v.w,
+         |    row_number() OVER (PARTITION BY v.w ORDER BY v.pos) - 1 AS pos,
+         |    CASE WHEN e1.pos IS NOT NULL
+         |         THEN (SELECT l FROM b$i) || (SELECT r FROM b$i)
+         |         ELSE v.unit END AS unit
+         |  FROM v$i v
+         |  LEFT JOIN e$i e1 ON v.w = e1.w AND v.pos = e1.pos
+         |  LEFT JOIN e$i e2 ON v.w = e2.w AND v.pos = e2.pos + 1
+         |  WHERE e2.pos IS NULL)""".stripMargin
+    }.mkString
+
   /** Explodes the `bands` list of `sk` into (vec_id, band, band_val) rows. */
   private def bandRowsSql(bands: Int): String =
     s"""SELECT vec_id, j AS band, bands[CAST(j + 1 AS INT)] AS band_val
@@ -377,6 +406,9 @@ object SparkEntry {
     // iterative BPE training: 8 learned merges over the top-200-word
     // dictionary (corpus scanned once; rounds are dictionary-bounded)
     "vocab_bpe_merges" -> VocabOps.bpeMergesQuery,
+    // the trained tokenizer applied: encode every distinct word, report
+    // the per-lang subword budget
+    "vocab_bpe_encode" -> VocabOps.bpeEncodeQuery,
     // LM quality gate: per-language NLL band histogram under a smoothed
     // self-trained bigram model (the perplexity-cut shape)
     "txt_lm_nll" -> LmOps.nllBandsQuery,
@@ -801,6 +833,37 @@ object SparkEntry {
                s"l || r AS merged, pf AS pair_freq FROM b$i")
              .mkString("\n  UNION ALL\n")}
          |) ORDER BY step""".stripMargin,
+    // BPE encode: the training chain (u/b CTEs) re-learns the merge table,
+    // then the v-chain applies it to ALL distinct corpus words
+    "vocab_bpe_encode" ->
+      s"""WITH wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($TOKS) AS w FROM documents)
+         |  GROUP BY 1 ORDER BY f DESC, w LIMIT 200),
+         |up AS (SELECT w, f, unnest(range(0, length(w))) AS pos FROM wf),
+         |u0 AS MATERIALIZED (
+         |  SELECT w, f, pos, substring(w, CAST(pos AS INT) + 1, 1) AS unit
+         |  FROM up
+         |  UNION ALL SELECT w, f, length(w) AS pos, '</w>' FROM wf)
+         |${bpeRoundCtes(8)},
+         |lw AS (
+         |  SELECT lang, word AS w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |dw AS (SELECT DISTINCT w FROM lw),
+         |vp AS (SELECT w, unnest(range(0, length(w))) AS pos FROM dw),
+         |v0 AS MATERIALIZED (
+         |  SELECT w, pos, substring(w, CAST(pos AS INT) + 1, 1) AS unit
+         |  FROM vp
+         |  UNION ALL SELECT w, length(w) AS pos, '</w>' FROM dw)
+         |${bpeApplyCtes(8)},
+         |enc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_units
+         |        FROM v8 GROUP BY 1)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n * n_units) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(n * n_units) AS DOUBLE) / sum(n), 4)
+         |    AS subwords_per_token
+         |FROM lw JOIN enc USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
     // bigram-LM NLL: the whole model (counts, contexts, vocab, add-0.5
     // smoothing, ln) re-derived relationally; self-scoring, so every
     // scored bigram hits the trained table (no backoff branch needed)

@@ -93,15 +93,44 @@ object VocabOps {
       .unionByName(words.select(col("w"), col("f"),
         length(col("w")).cast("int").as("pos"), lit("</w>").as("unit")))
 
-  /** One merge round: the highest-frequency adjacent pair (ties → smaller
-    * left, then right unit) merges everywhere, leftmost-first
-    * non-overlapping. Returns the chosen (left, right, freq) and the
-    * rewritten units frame — or None when no adjacent pairs remain.
+  /** Apply ONE merge (l, r) to a units frame, leftmost-first
+    * non-overlapping: runs of consecutive candidate starts (only possible
+    * when l = r) activate at odd in-run ranks; active starts rewrite to
+    * the merged symbol, their right neighbors drop, positions renumber.
+    */
+  private def applyMerge(units: DataFrame, l: String, r: String): DataFrame = {
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val active = units.withColumn("nxt", lead(col("unit"), 1).over(wWin))
+      .filter(col("unit") === l && col("nxt") === r)
+      .withColumn("grp", col("pos") - row_number().over(wWin))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("w"), col("grp"))
+          .orderBy(col("pos"))))
+      .filter(col("rk") % 2 === 1)
+      .select(col("w"), col("pos").as("mpos"))
+    val starts = active.select(col("w").as("sw"), col("mpos").as("spos"))
+    val consumed = active.select(col("w").as("cw"), col("mpos").as("cpos"))
+    units
+      .join(starts,
+        col("w") === col("sw") && col("pos") === col("spos"), "left")
+      .join(consumed,
+        col("w") === col("cw") && col("pos") === col("cpos") + 1, "left")
+      .filter(col("cpos").isNull)
+      .select(col("w"), col("f"),
+        (row_number().over(wWin) - 1).as("pos"),
+        when(col("spos").isNotNull, lit(l + r))
+          .otherwise(col("unit")).as("unit"))
+  }
+
+  /** One training round: the highest-frequency adjacent pair (ties →
+    * smaller left, then right unit) merges everywhere. Returns the chosen
+    * (left, right, freq) and the rewritten units frame — or None when no
+    * adjacent pairs remain.
     */
   private def mergeRound(units: DataFrame): Option[((String, String, Long), DataFrame)] = {
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val withNext = units.withColumn("nxt", lead(col("unit"), 1).over(wWin))
-    val best = withNext.filter(col("nxt").isNotNull)
+    val best = units.withColumn("nxt", lead(col("unit"), 1).over(wWin))
+      .filter(col("nxt").isNotNull)
       .groupBy(col("unit").as("l"), col("nxt").as("r"))
       .agg(sum(col("f")).as("pf"))
       .orderBy(col("pf").desc, col("l"), col("r"))
@@ -110,28 +139,24 @@ object VocabOps {
     else {
       val (l, r, pf) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      val active = withNext
-        .filter(col("unit") === l && col("nxt") === r)
-        .withColumn("grp", col("pos") - row_number().over(wWin))
-        .withColumn("rk",
-          row_number().over(Window.partitionBy(col("w"), col("grp"))
-            .orderBy(col("pos"))))
-        .filter(col("rk") % 2 === 1)
-        .select(col("w"), col("pos").as("mpos"))
-      val starts = active.select(col("w").as("sw"), col("mpos").as("spos"))
-      val consumed = active.select(col("w").as("cw"), col("mpos").as("cpos"))
-      val rebuilt = units
-        .join(starts,
-          col("w") === col("sw") && col("pos") === col("spos"), "left")
-        .join(consumed,
-          col("w") === col("cw") && col("pos") === col("cpos") + 1, "left")
-        .filter(col("cpos").isNull)
-        .select(col("w"), col("f"),
-          (row_number().over(wWin) - 1).as("pos"),
-          when(col("spos").isNotNull, lit(l + r))
-            .otherwise(col("unit")).as("unit"))
-      Some(((l, r, pf), rebuilt))
+      Some(((l, r, pf), applyMerge(units, l, r)))
     }
+  }
+
+  /** Encode: apply a learned merge table (training order, one
+    * leftmost-first pass each) to the units of a (w, f) word frame and
+    * return the final (w, f, pos, unit) rows. Deterministic contract: the
+    * encode of the training dictionary is exactly the training loop's
+    * final units (spec-pinned).
+    */
+  def bpeEncode(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var units = charUnits(words).localCheckpoint(true)
+    merges.foreach { case (l, r) =>
+      val prev = units
+      units = applyMerge(units, l, r).localCheckpoint(true)
+      prev.unpersist(false)
+    }
+    units
   }
 
   /** Train `k` BPE merges over a (w, f) word-frequency frame. Returns the
@@ -178,5 +203,33 @@ object VocabOps {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(200)
     bpeTrain(words, 8)
+  }
+
+  /** Query: the learned tokenizer APPLIED — encode every distinct corpus
+    * word with the 8 trained merges (dictionary-bounded: the corpus is
+    * never re-walked, only its distinct words), then report the per-lang
+    * subword token budget: occurrences, subword count (incl. the `</w>`
+    * marker), and subwords per word occurrence.
+    */
+  def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dict = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(200)
+    val merges = bpeTrain(dict, 8).orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val langWords = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    val encoded = bpeEncode(
+      langWords.select(col("w")).distinct().withColumn("f", lit(1L)), merges)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+    langWords.join(encoded, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("n_units")).as("n_subwords"),
+        round(sum(col("n") * col("n_units")).cast("double") / sum(col("n")), 4)
+          .as("subwords_per_token"))
+      .orderBy(col("lang"))
   }
 }

@@ -59,6 +59,22 @@ class VocabOpsSpec extends SparkSuite {
       ("a", "a", 2L), ("a", "</w>", 1L), ("aa", "a</w>", 1L)))
   }
 
+  test("bpeEncode applies the table in order; dict encode = training units") {
+    val words = Seq(("abab", 2L), ("ab", 3L)).toDF("w", "f")
+    val merges = VocabOps.bpeTrain(words, 10)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // encode of the training dictionary reproduces the training loop's
+    // final units exactly
+    val enc = VocabOps.bpeEncode(words, merges)
+      .select("w", "pos", "unit").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(enc === Set(("abab", 0, "abab</w>"), ("ab", 0, "ab</w>")))
+    // a word the merges only partially cover: "ba" has no (a,b) adjacency
+    val other = VocabOps.bpeEncode(Seq(("ba", 1L)).toDF("w", "f"), merges)
+      .orderBy("pos").collect().map(_.getString(3))
+    assert(other.toSeq === Seq("b", "a", "</w>"))
+  }
+
   test("fixture queries: bounded output, rates in range, covered <= total") {
     val dir = SparkSpec.FixtureDir
     val pairs = VocabOps.mergePairsQuery(spark, dir).collect()

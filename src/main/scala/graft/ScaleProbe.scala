@@ -172,6 +172,7 @@ object ScaleProbe {
     // BPE: wall time should track the ONE word-count scan, not the rounds —
     // the dictionary (and so every training round) is corpus-size-invariant
     time("bpe_train")(VocabOps.bpeMergesQuery(spark, tmp).count())
+    time("bpe_encode")(VocabOps.bpeEncodeQuery(spark, tmp).count())
     // layout tier: the SAME unique-key equi-join over the replicated docs,
     // shuffled vs pre-bucketed — the measured evidence for LayoutOps'
     // zero-exchange claim. merge hints pin SMJ on both faces so the

@@ -364,6 +364,11 @@ object SparkEntry {
     "rel_range_join" -> RelationalOps.concurrentSessionActivity,
     "rel_string_funcs" -> RelationalOps.partTypeStats,
     "rel_hourly_counts" -> RelationalOps.hourlyEventCounts,
+    // ingest monitoring: trailing-window z-score per day (window over the
+    // day-sized aggregate, never the event rows)
+    "rel_daily_anomaly" -> RelationalOps.dailyAnomalies,
+    // weekly cohort retention: first-seen week × weeks-since, user-keyed
+    "rel_cohort_retention" -> RelationalOps.cohortRetention,
     // --- text suite (SURVEY.md §2.1–2.8 text path + LLM-pipeline text ops) ---
     "txt_word_topn" -> WordFreqOps.topWordsQuery,
     "txt_wordfreq_stats" -> WordFreqOps.wordFreqStats,
@@ -715,6 +720,41 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    // trailing-window z-score: frame ROWS -7..-1 (current day excluded),
+    // sample stddev on both engines, nulls propagate for warmup days
+    "rel_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |scored AS (
+        |  SELECT day, n,
+        |    round(avg(n) OVER w, 4) AS mu,
+        |    round(stddev_samp(CAST(n AS DOUBLE)) OVER w, 4) AS sd,
+        |    round(CASE WHEN stddev_samp(CAST(n AS DOUBLE)) OVER w > 0
+        |      THEN (n - avg(n) OVER w) / stddev_samp(CAST(n AS DOUBLE)) OVER w
+        |      END, 4) AS z
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n, mu, sd, z,
+        |  coalesce(abs(z) > 2.0, FALSE) AS is_anomaly
+        |FROM scored ORDER BY day""".stripMargin,
+    // cohort retention: both week columns truncate to ISO Monday starts,
+    // so the day gap is an exact multiple of 7
+    "rel_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, strftime(date_trunc('week', min(ts)), '%Y-%m-%d')
+        |    AS cohort_week
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d')
+        |    AS week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) / 7
+        |    AS INT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM activity JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the media stub codec is pure integer arithmetic over UTF-8 bytes, so
     // the frame profile mirrors exactly: hex-decode the blob to a byte list,
     // chunk to 256-byte frames, seed-7 base-31 rolling checksum per frame

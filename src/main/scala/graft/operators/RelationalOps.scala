@@ -356,6 +356,59 @@ object RelationalOps {
       datediff(max(col("day")), min(col("day"))).as("span_days"))
   }
 
+  /** Rolling z-score anomaly detection over daily event counts — the
+    * ingest-monitoring face: each day scored against the trailing 7-day
+    * window (excluding itself), |z| > 2 flagged. The global-order window
+    * runs over the DAY-sized aggregate (bounded by the time span), never
+    * the event rows — at 100 TB the frame is still just one row per day.
+    */
+  /** Score a (day: date, n: long) daily-count frame against its trailing
+    * 7-day window (current day excluded); |z| > 2 flagged, warmup days
+    * (and zero-variance windows) unflagged with null z.
+    */
+  def anomalyScore(daily: DataFrame): DataFrame = {
+    val trailing = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("mu", avg(col("n")).over(trailing))
+      .withColumn("sd", stddev_samp(col("n").cast("double")).over(trailing))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        round(col("mu"), 4).as("mu"),
+        round(col("sd"), 4).as("sd"),
+        round(when(col("sd") > 0, (col("n") - col("mu")) / col("sd")), 4)
+          .as("z"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > 2.0, lit(false)))
+      .orderBy(col("day"))
+  }
+
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame =
+    anomalyScore(Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Weekly cohort retention: users grouped by first-seen week, counted
+    * distinct per (cohort week, weeks-since-cohort). Two user-keyed
+    * aggregates and one user-keyed join — nothing larger than
+    * (user, week) rows ever shuffles.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val cohort = events.groupBy(col("user_id"))
+      .agg(date_format(date_trunc("week", min(col("ts"))), "yyyy-MM-dd")
+        .as("cohort_week"))
+    val activity = events
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(to_date(col("week")), to_date(col("cohort_week"))) / 7)
+          .cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(

@@ -443,6 +443,9 @@ object SparkEntry {
     "budget_select" -> SamplingOps.budgetProfile,
     "pack_sequences" -> PackingOps.packProfile,
     "pack_chunks" -> PackingOps.chunkProfile,
+    // per-doc sliding windows with overlap (RAG prep); the final window
+    // clamps to the doc end so every chunk is full-size
+    "pack_chunks_overlap" -> PackingOps.slidingChunkProfile,
     "train_assembly" -> AssemblyOps.trainAssembly,
     // --- dedup suite (SURVEY.md §2.3 + LLM-pipeline north star) ---
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
@@ -1621,6 +1624,28 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN strt < seq_id * 2048 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_continued
          |FROM x GROUP BY 1""".stripMargin,
+    // per-doc sliding windows: same integer ceil arithmetic, final window
+    // clamped to end at the doc's last token
+    "pack_chunks_overlap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $BPE_COUNT AS t FROM documents),
+         |d2 AS (
+         |  SELECT doc_id, lang, t,
+         |    CASE WHEN t <= 512 THEN 1
+         |         ELSE (t - 512 + 384 - 1) // 384 + 1 END AS k
+         |  FROM d WHERE t > 0),
+         |c AS (
+         |  SELECT doc_id, lang, t, k,
+         |    unnest(range(0, k)) AS chunk_idx
+         |  FROM d2),
+         |cc AS (SELECT *, least(t, 512) AS chunk_len FROM c)
+         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN chunk_idx = 0 THEN t ELSE 0 END) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(sum(chunk_len) AS BIGINT) AS n_emitted,
+         |  round(CAST(sum(chunk_len) AS DOUBLE)
+         |    / sum(CASE WHEN chunk_idx = 0 THEN t ELSE 0 END), 4) AS dup_factor
+         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full assembly pipeline: exact-fp keep-first dedup -> quality +
     // repetition gate -> 90/5/5 hash split -> per-split token accounting
     "train_assembly" ->

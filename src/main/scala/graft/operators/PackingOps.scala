@@ -80,6 +80,48 @@ object PackingOps {
         least(col("fin"), (col("seq_id") + 1) * budget)
           - greatest(col("start"), col("seq_id") * budget))
 
+  /** PER-DOC sliding-window chunking (RAG/eval prep, vs the cross-doc
+    * packing above): windows of `window` tokens at `stride` steps; the
+    * final window clamps to end exactly at the doc's last token, so every
+    * chunk is full-size (or the whole doc when shorter) and coverage is
+    * total with overlap ≥ window − stride. Pure per-row arithmetic + a
+    * bounded explode (≈ t/stride rows per doc) — no shuffle, no state; the
+    * plan is scan-shaped at any corpus size.
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, tokensExpr: Column,
+                    window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= window, "need 0 < stride <= window")
+    docs
+      .withColumn("t", tokensExpr)
+      .filter(col("t") > 0)
+      .withColumn("k", when(col("t") <= window, lit(1L))
+        .otherwise(expr(s"(t - $window + $stride - 1) div $stride") + 1L))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("k") - 1)))
+      .withColumn("start",
+        when(col("chunk_idx") === col("k") - 1,
+          greatest(col("t") - window, lit(0L)))
+          .otherwise(col("chunk_idx") * stride))
+      .withColumn("chunk_len", least(col("t"), lit(window.toLong)))
+  }
+
+  /** Query: 512-token windows at stride 384 (25% overlap) — per-lang doc,
+    * chunk, and token counts plus the emitted-token duplication factor the
+    * overlap costs.
+    */
+  def slidingChunkProfile(spark: SparkSession, dir: String): DataFrame =
+    slidingChunks(Tables.documents(spark, dir), "doc_id",
+      bpeishTokenCount(col("text")), window = 512, stride = 384)
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_idx") === 0, col("t")).otherwise(0L)).as("n_tokens"),
+        sum(col("chunk_len")).as("n_emitted"),
+        round(sum(col("chunk_len")).cast("double") /
+          sum(when(col("chunk_idx") === 0, col("t")).otherwise(0L)), 4)
+          .as("dup_factor"))
+      .orderBy(col("lang"))
+
   /** Query: token-exact chunk profile — every sequence carries exactly the
     * 2048 budget except the final one; `n_continued` counts docs continuing
     * across the left boundary.

@@ -88,6 +88,26 @@ class PackingOpsSpec extends SparkSuite {
     assert(chunks.agg(sum("tokens_in_seq")).as[Long].head() === 519L)
   }
 
+  test("slidingChunks: clamped final window, full coverage, short docs whole") {
+    val d = Seq((1L, 25L), (2L, 5L), (3L, 10L), (4L, 11L), (5L, 0L))
+      .toDF("doc_id", "t_in")
+    val got = PackingOps.slidingChunks(d, "doc_id", col("t_in"),
+      window = 10, stride = 6)
+      .select("doc_id", "chunk_idx", "start", "chunk_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // t=25: ceil((25-10)/6)+1 = 4 chunks at 0,6,12 and the clamp 15
+    assert(got(1L).map(c => (c._3, c._4)).toSet ===
+      Set((0L, 10L), (6L, 10L), (12L, 10L), (15L, 10L)))
+    // short doc: one whole-doc chunk; exact-fit doc: one full window
+    assert(got(2L).map(c => (c._3, c._4)).toSeq === Seq((0L, 5L)))
+    assert(got(3L).map(c => (c._3, c._4)).toSeq === Seq((0L, 10L)))
+    // t=11: two windows, the second starting at the clamp t-window = 1
+    assert(got(4L).map(c => (c._3, c._4)).toSet === Set((0L, 10L), (1L, 10L)))
+    // empty docs emit nothing
+    assert(!got.contains(5L))
+  }
+
   test("sequences partition the docs: every doc in exactly one sequence") {
     val profile = PackingOps.packSequences(docs, "doc_id", col("n_tokens"),
       budget = 256, rangeSize = 4)

@@ -417,6 +417,9 @@ object SparkEntry {
     // LM quality gate: per-language NLL band histogram under a smoothed
     // self-trained bigram model (the perplexity-cut shape)
     "txt_lm_nll" -> LmOps.nllBandsQuery,
+    // learned lang-ID: multinomial NB self-trained on (text, lang), the
+    // confusion matrix as the report
+    "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -907,6 +910,47 @@ object SparkEntry {
          |  round(CAST(sum(n * n_units) AS DOUBLE) / sum(n), 4)
          |    AS subwords_per_token
          |FROM lw JOIN enc USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // multinomial NB: priors, the complete word×class likelihood grid
+    // (unseen cells carry backoff mass), per-doc argmax on 6-dp-rounded
+    // log-posteriors (summation-order-insensitive on both engines)
+    "txt_nb_confusion" ->
+      s"""WITH pr AS (
+         |  SELECT lang AS clazz,
+         |    ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents))
+         |      AS lp
+         |  FROM documents GROUP BY 1),
+         |occ AS (SELECT lang AS clazz, unnest($TOKS) AS w FROM documents),
+         |counts AS (
+         |  SELECT w, clazz, CAST(count(*) AS BIGINT) AS c FROM occ
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT clazz, CAST(sum(c) AS BIGINT) AS tot FROM counts
+         |        GROUP BY 1),
+         |voc AS (SELECT DISTINCT w FROM counts),
+         |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+         |lik AS (
+         |  SELECT voc.w, t.clazz,
+         |    ln((coalesce(c.c, 0) + 0.5)
+         |       / (t.tot + 0.5 * (SELECT v FROM vs))) AS ll
+         |  FROM voc CROSS JOIN tot t
+         |  LEFT JOIN counts c ON c.w = voc.w AND c.clazz = t.clazz),
+         |inst AS (
+         |  SELECT doc_id, word AS w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT i.doc_id, l.clazz, sum(l.ll * i.n) AS wsum
+         |  FROM inst i JOIN lik l USING (w) GROUP BY 1, 2),
+         |sc2 AS (
+         |  SELECT doc_id, sc.clazz, round(wsum + pr.lp, 6) AS score
+         |  FROM sc JOIN pr ON pr.clazz = sc.clazz),
+         |best AS (
+         |  SELECT doc_id, clazz AS pred_lang FROM (
+         |    SELECT doc_id, clazz, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, clazz) AS rk
+         |    FROM sc2) WHERE rk = 1)
+         |SELECT d.lang, b.pred_lang, count(*) AS n_docs
+         |FROM best b JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // bigram-LM NLL: the whole model (counts, contexts, vocab, add-0.5
     // smoothing, ln) re-derived relationally; self-scoring, so every
     // scored bigram hits the trained table (no backoff branch needed)

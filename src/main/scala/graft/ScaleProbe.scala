@@ -173,6 +173,10 @@ object ScaleProbe {
     // the dictionary (and so every training round) is corpus-size-invariant
     time("bpe_train")(VocabOps.bpeMergesQuery(spark, tmp).count())
     time("bpe_encode")(VocabOps.bpeEncodeQuery(spark, tmp).count())
+    time("nb_confusion")(ClassifierOps.nbLangConfusion(spark, tmp).count())
+    time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
+    time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
+    time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())
     // layout tier: the SAME unique-key equi-join over the replicated docs,
     // shuffled vs pre-bucketed — the measured evidence for LayoutOps'
     // zero-exchange claim. merge hints pin SMJ on both faces so the

@@ -491,6 +491,8 @@ object SparkEntry {
     // the A→B delta re-assigned at the frozen coarse quantizer
     "sim_ivf_incremental" -> IndexMaintOps.ivfIncrementalQuery,
     "sim_recall" -> SimilarityOps.annRecall,
+    // contrastive-training negatives: nearest wrong-label vectors per query
+    "sim_hard_negatives" -> SimilarityOps.hardNegatives,
     "sim_ivf_recall" -> SimilarityOps.ivfRecall,
     "sim_ivfpq_ann" -> PqOps.ivfPqAnn,
     "sim_ivfpq_recall" -> PqOps.ivfPqRecall,
@@ -2827,6 +2829,31 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM s)
          |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+         |FROM r WHERE rk <= 3""".stripMargin,
+    // hard negatives: the sim_ivf_ann probe with same-label rows dropped
+    // before the exact re-rank
+    "sim_hard_negatives" ->
+      s"""WITH $UNIT_CTE,
+         |q AS (SELECT vec_id AS query_id, nv AS qv, label AS qlabel
+         |      FROM u WHERE vec_id < 50),
+         |pr AS (
+         |  SELECT query_id, qlabel, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qlabel, qv, list,
+         |          ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("ivf_centroids")} c)),
+         |s AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, cu.label AS neg_label,
+         |    ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("ivf_assign")} ix USING (list)
+         |  JOIN u cu ON cu.vec_id = ix.vec_id
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND cu.label <> qlabel),
+         |r AS (
+         |  SELECT query_id, vec_id, neg_label, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, neg_label,
+         |  round(cos, 4) AS cos
          |FROM r WHERE rk <= 3""".stripMargin,
     // incremental index maintenance: the A→B version diff re-derived (same
     // mod arithmetic, unit vectors bit-equal), kept postings read from the

@@ -309,6 +309,36 @@ object SimilarityOps {
       nProbe = IvfProbe)
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar vectors whose LABEL differs — near neighbors from the
+    * wrong class are exactly the negatives an embedding model learns most
+    * from (in-batch random negatives are too easy). Rides the IVF probe
+    * path unchanged: probe the nProbe nearest lists, drop same-label rows
+    * BEFORE the exact re-rank, top-k per query. Same scale story as
+    * `sim_ivf_ann` — the label filter only shrinks the re-rank set.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
+    val (indexed, cents) = ivfIndex(corpus, nLists = IvfLists)
+    graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
+    graft.Artifacts.save("ivf_centroids")(cents)
+    val queries = corpus.filter(col("vec_id") < 50)
+    val probed = probeAssignments(cents, queries, IvfProbe)
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probed
+      .join(indexed.select(col("vec_id"), col("nv"), col("label"),
+        col("list")), "list")
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos", dotK(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: candidates share ≥1 sketch band,
     * survivors keep exact cosine ≥ minCosine. The scale path for embedding
     * dedup (DedupOps.embeddingDupPairs is the quadratic verification

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.SimilarityOps
 
 /** ANN tiers vs the exact baseline: both approximate indexes must return
@@ -48,6 +50,36 @@ class SimilarityOpsSpec extends SparkSuite {
     val a = SimilarityOps.ivfAnn(spark, dir).collect().map(_.toSeq).toSeq
     val b = SimilarityOps.ivfAnn(spark, dir).collect().map(_.toSeq).toSeq
     assert(a == b)
+  }
+
+  test("hard negatives: wrong-label only, ranked, within the probed recall") {
+    val dir = SparkSpec.FixtureDir
+    val got = SimilarityOps.hardNegatives(spark, dir)
+    val labels = SimilarityOps.unitCorpus(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // every negative carries a label different from its query's
+    assert(rows.forall { case (q, _, v, nl) =>
+      labels(v) == nl && nl != labels(q) })
+    // ranks are 1..k dense per query
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq === (1 to g.length))
+    }
+    // the miner never surfaces a pair the exact wrong-label ranking would
+    // score higher than its own top hit (cosines are rounded identically)
+    val brute = SimilarityOps.bruteForceTopK(
+      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)),
+      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir))
+        .filter(col("vec_id") < 50), k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter { case (q, v, _) => labels(v) != labels(q) }
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._3).max }.toMap
+    val gotTop = got.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(gotTop.forall { case (q, c) => c <= brute(q) + 1e-9 })
   }
 
   test("hot-bucket cap bounds embed-LSH pair emission on 10k identical vectors") {

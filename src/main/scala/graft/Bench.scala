@@ -122,6 +122,7 @@ object Bench {
         System.err.println(s"[bench] could not write $selfFile: ${e.getMessage}")
       }
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
+    operators.VocabOps.clearBpeCache()
     spark.stop()
   }
 }

@@ -54,6 +54,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
+    operators.VocabOps.clearBpeCache()
     spark.stop()
   }
 }

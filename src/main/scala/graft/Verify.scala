@@ -55,6 +55,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
+    operators.DedupOps.clearLabelCache()
     spark.stop()
   }
 }

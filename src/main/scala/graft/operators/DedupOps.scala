@@ -625,10 +625,36 @@ object DedupOps {
     * and representative (min id), over the documents fixture.
     */
   def minhashClusterProfile(spark: SparkSession, dir: String): DataFrame =
-    minhashClusters(Tables.documents(spark, dir), "doc_id", "text")
+    minhashLabels(spark, dir)
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
       .filter(col("n_docs") > 1)
+
+  /** Cross-query registry of the fixture corpus' minhash cluster labels —
+    * three query faces (`dedup_minhash_clusters`, `dedup_keep_best`,
+    * `sample_split_safe`) consume the SAME deterministic label build, so
+    * it follows the fit-registry pattern (TopicModelOps): persisted
+    * (doc_id, label) rows keyed by dir, materialized eagerly so inner
+    * scoped frames can release, cleared at harness teardown. The frame is
+    * two fixed-width columns per doc — assignment-table-sized, the same
+    * class as the cached KMeans assignments.
+    */
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  def clearLabelCache(): Unit = {
+    labelCache.values.foreach(_.unpersist(false))
+    labelCache.clear()
+  }
+
+  private[operators] def minhashLabels(spark: SparkSession,
+                                       dir: String): DataFrame =
+    labelCache.getOrElseUpdate(dir, {
+      val labels = minhashClusters(Tables.documents(spark, dir),
+        "doc_id", "text").persist()
+      labels.count() // materialize before the building query's scope ends
+      labels
+    })
 
   /** Canonical-document selection: given cluster labels and a per-doc
     * score, pick the keeper of each cluster — the highest score, ties to
@@ -663,7 +689,7 @@ object DedupOps {
     */
   def keepBestProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val labels = minhashClusters(docs, "doc_id", "text")
+    val labels = minhashLabels(spark, dir)
     val scored = docs.select(col("doc_id"),
       TextAnalysisOps.qualityScoreCol(col("text")).as("q"))
     keepBest(labels, scored, "doc_id", "q")

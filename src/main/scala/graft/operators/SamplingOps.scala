@@ -259,7 +259,7 @@ object SamplingOps {
     */
   def leakageSafeSplitProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val labels = DedupOps.minhashClusters(docs, "doc_id", "text")
+    val labels = DedupOps.minhashLabels(spark, dir)
     val weights = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
     val naive = assignSplits(docs.select("doc_id"), "doc_id", weights)
       .withColumnRenamed("split", "naive_split")

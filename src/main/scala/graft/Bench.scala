@@ -124,6 +124,7 @@ object Bench {
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()
+    operators.ClassifierOps.clearNbCache()
     spark.stop()
   }
 }

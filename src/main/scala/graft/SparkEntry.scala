@@ -335,6 +335,46 @@ object SparkEntry {
          |  WHERE e2.pos IS NULL)""".stripMargin
     }.mkString
 
+  /** Shared NB CTE chain (through `best`: doc_id -> predicted class) —
+    * priors, the complete word x class likelihood grid, 6-dp-rounded
+    * argmax. Used by both txt_nb_confusion and txt_nb_metrics.
+    */
+  private lazy val NB_BEST_CTES: String =
+    s"""pr AS (
+       |  SELECT lang AS clazz,
+       |    ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents))
+       |      AS lp
+       |  FROM documents GROUP BY 1),
+       |occ AS (SELECT lang AS clazz, unnest($TOKS) AS w FROM documents),
+       |counts AS (
+       |  SELECT w, clazz, CAST(count(*) AS BIGINT) AS c FROM occ
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT clazz, CAST(sum(c) AS BIGINT) AS tot FROM counts
+       |        GROUP BY 1),
+       |voc AS (SELECT DISTINCT w FROM counts),
+       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+       |lik AS (
+       |  SELECT voc.w, t.clazz,
+       |    ln((coalesce(c.c, 0) + 0.5)
+       |       / (t.tot + 0.5 * (SELECT v FROM vs))) AS ll
+       |  FROM voc CROSS JOIN tot t
+       |  LEFT JOIN counts c ON c.w = voc.w AND c.clazz = t.clazz),
+       |inst AS (
+       |  SELECT doc_id, word AS w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT i.doc_id, l.clazz, sum(l.ll * i.n) AS wsum
+       |  FROM inst i JOIN lik l USING (w) GROUP BY 1, 2),
+       |sc2 AS (
+       |  SELECT doc_id, sc.clazz, round(wsum + pr.lp, 6) AS score
+       |  FROM sc JOIN pr ON pr.clazz = sc.clazz),
+       |best AS MATERIALIZED (
+       |  SELECT doc_id, clazz AS pred_lang FROM (
+       |    SELECT doc_id, clazz, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, clazz) AS rk
+       |    FROM sc2) WHERE rk = 1)""".stripMargin
+
   /** Explodes the `bands` list of `sk` into (vec_id, band, band_val) rows. */
   private def bandRowsSql(bands: Int): String =
     s"""SELECT vec_id, j AS band, bands[CAST(j + 1 AS INT)] AS band_val
@@ -420,6 +460,8 @@ object SparkEntry {
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
+    // per-class precision/recall/F1 from the same confusion fit
+    "txt_nb_metrics" -> ClassifierOps.nbLangMetrics,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -916,43 +958,42 @@ object SparkEntry {
     // (unseen cells carry backoff mass), per-doc argmax on 6-dp-rounded
     // log-posteriors (summation-order-insensitive on both engines)
     "txt_nb_confusion" ->
-      s"""WITH pr AS (
-         |  SELECT lang AS clazz,
-         |    ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents))
-         |      AS lp
-         |  FROM documents GROUP BY 1),
-         |occ AS (SELECT lang AS clazz, unnest($TOKS) AS w FROM documents),
-         |counts AS (
-         |  SELECT w, clazz, CAST(count(*) AS BIGINT) AS c FROM occ
-         |  GROUP BY 1, 2),
-         |tot AS (SELECT clazz, CAST(sum(c) AS BIGINT) AS tot FROM counts
-         |        GROUP BY 1),
-         |voc AS (SELECT DISTINCT w FROM counts),
-         |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
-         |lik AS (
-         |  SELECT voc.w, t.clazz,
-         |    ln((coalesce(c.c, 0) + 0.5)
-         |       / (t.tot + 0.5 * (SELECT v FROM vs))) AS ll
-         |  FROM voc CROSS JOIN tot t
-         |  LEFT JOIN counts c ON c.w = voc.w AND c.clazz = t.clazz),
-         |inst AS (
-         |  SELECT doc_id, word AS w, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
-         |  GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT i.doc_id, l.clazz, sum(l.ll * i.n) AS wsum
-         |  FROM inst i JOIN lik l USING (w) GROUP BY 1, 2),
-         |sc2 AS (
-         |  SELECT doc_id, sc.clazz, round(wsum + pr.lp, 6) AS score
-         |  FROM sc JOIN pr ON pr.clazz = sc.clazz),
-         |best AS (
-         |  SELECT doc_id, clazz AS pred_lang FROM (
-         |    SELECT doc_id, clazz, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, clazz) AS rk
-         |    FROM sc2) WHERE rk = 1)
+      s"""WITH $NB_BEST_CTES
          |SELECT d.lang, b.pred_lang, count(*) AS n_docs
          |FROM best b JOIN documents d USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-class metrics from the same confusion: F1 as one exact integer
+    // ratio 2tp/(2tp+fp+fn), null precision for never-predicted classes
+    "txt_nb_metrics" ->
+      s"""WITH $NB_BEST_CTES,
+         |conf AS (
+         |  SELECT d.lang, b.pred_lang, count(*) AS n
+         |  FROM best b JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |tpt AS (SELECT lang AS clazz, n AS tp FROM conf
+         |        WHERE lang = pred_lang),
+         |act AS (SELECT lang AS clazz, CAST(sum(n) AS BIGINT) AS n_actual
+         |        FROM conf GROUP BY 1),
+         |prd AS (SELECT pred_lang AS clazz,
+         |          CAST(sum(n) AS BIGINT) AS n_predicted
+         |        FROM conf GROUP BY 1)
+         |SELECT coalesce(a.clazz, p.clazz) AS lang,
+         |  coalesce(n_actual, 0) AS n_actual,
+         |  coalesce(n_predicted, 0) AS n_predicted,
+         |  coalesce(tp, 0) AS tp,
+         |  CASE WHEN coalesce(n_predicted, 0) > 0
+         |    THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_predicted, 4)
+         |    END AS "precision",
+         |  CASE WHEN coalesce(n_actual, 0) > 0
+         |    THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_actual, 4)
+         |    END AS recall,
+         |  CASE WHEN coalesce(n_predicted, 0) + coalesce(n_actual, 0) > 0
+         |    THEN round(2.0 * coalesce(tp, 0)
+         |      / (coalesce(n_predicted, 0) + coalesce(n_actual, 0)), 4)
+         |    END AS f1
+         |FROM act a
+         |FULL OUTER JOIN prd p ON a.clazz = p.clazz
+         |LEFT JOIN tpt t ON t.clazz = coalesce(a.clazz, p.clazz)
+         |ORDER BY 1""".stripMargin,
     // bigram-LM NLL: the whole model (counts, contexts, vocab, add-0.5
     // smoothing, ln) re-derived relationally; self-scoring, so every
     // scored bigram hits the trained table (no backoff branch needed)

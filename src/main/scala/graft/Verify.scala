@@ -56,6 +56,7 @@ object Verify {
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()
+    operators.ClassifierOps.clearNbCache()
     spark.stop()
   }
 }

@@ -79,13 +79,67 @@ object ClassifierOps {
     * board a learned router is judged on. Output bounded by |langs|².
     */
   def nbLangConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (prior, lik) = nbTrain(docs, "text", "lang")
-    nbClassify(prior, lik, docs, "text", "doc_id")
-      .withColumnRenamed("clazz", "pred_lang")
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .groupBy(col("lang"), col("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
+    import spark.implicits._
+    confusionRows(spark, dir).toSeq
+      .toDF("lang", "pred_lang", "n_docs")
       .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Dir-keyed cache of the confusion rows (driver-side, |langs|² tuples) —
+    * the train+classify pass is a deterministic fit shared by the
+    * confusion and metrics faces; cleared at harness teardown.
+    */
+  private val confCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String, Long)]]
+
+  def clearNbCache(): Unit = confCache.clear()
+
+  private def confusionRows(spark: SparkSession,
+                            dir: String): Seq[(String, String, Long)] =
+    confCache.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      val (prior, lik) = nbTrain(docs, "text", "lang")
+      nbClassify(prior, lik, docs, "text", "doc_id")
+        .withColumnRenamed("clazz", "pred_lang")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    })
+
+  /** Query: per-class precision / recall / F1 from the confusion matrix.
+    * F1 computed as 2·tp / (2·tp + fp + fn) — one exact integer ratio, so
+    * a single 4-dp round matches cross-engine. Classes never predicted
+    * report null precision (0/0), the standard convention.
+    */
+  def nbLangMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = confusionRows(spark, dir).toSeq
+      .toDF("lang", "pred_lang", "n")
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("clazz"), col("n").as("tp"))
+    val actual = conf.groupBy(col("lang").as("clazz"))
+      .agg(sum(col("n")).as("n_actual"))
+    val predicted = conf.groupBy(col("pred_lang").as("clazz"))
+      .agg(sum(col("n")).as("n_predicted"))
+    actual
+      .join(predicted, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz").as("lang"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_predicted") > 0,
+          round(col("tp").cast("double") / col("n_predicted"), 4)))
+      .withColumn("recall",
+        when(col("n_actual") > 0,
+          round(col("tp").cast("double") / col("n_actual"), 4)))
+      .withColumn("f1",
+        when(col("n_predicted") + col("n_actual") > 0,
+          round(lit(2.0) * col("tp") /
+            (col("n_predicted") + col("n_actual")), 4)))
+      .orderBy(col("lang"))
   }
 }

@@ -44,6 +44,32 @@ class ClassifierOpsSpec extends SparkSuite {
     assert(math.abs(unseen - math.log(0.5 / 7.0)) < 1e-12)
   }
 
+  test("metrics face is consistent with the confusion matrix") {
+    val dir = SparkSpec.FixtureDir
+    val conf = ClassifierOps.nbLangConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val met = ClassifierOps.nbLangMetrics(spark, dir).collect()
+    met.foreach { r =>
+      val (lang, nAct, nPred, tp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nAct === conf.filter(_._1 == lang).map(_._3).sum)
+      assert(nPred === conf.filter(_._2 == lang).map(_._3).sum)
+      assert(tp === conf.filter(c => c._1 == lang && c._2 == lang)
+        .map(_._3).sum)
+      assert(tp <= math.min(nAct, nPred))
+      // precision/recall/f1 match their integer-ratio definitions
+      if (nPred > 0)
+        assert(math.abs(r.getDouble(4) -
+          math.rint(1e4 * tp.toDouble / nPred) / 1e4) < 1e-12)
+      if (nAct > 0)
+        assert(math.abs(r.getDouble(5) -
+          math.rint(1e4 * tp.toDouble / nAct) / 1e4) < 1e-12)
+      if (nAct + nPred > 0)
+        assert(math.abs(r.getDouble(6) -
+          math.rint(1e4 * 2.0 * tp / (nAct + nPred)) / 1e4) < 1e-12)
+    }
+  }
+
   test("fixture confusion matrix: every doc classified exactly once") {
     val m = ClassifierOps.nbLangConfusion(spark, SparkSpec.FixtureDir)
     val total = m.agg(sum("n_docs")).collect()(0).getLong(0)

@@ -485,6 +485,8 @@ object SparkEntry {
     "decontam_13gram" -> CurationOps.decontamProfile,
     "txt_pii_scrub" -> CurationOps.piiScrubProfile,
     "mix_domains" -> SamplingOps.mixProfile,
+    // temperature mixing: target shares derived from corpus shares p^0.7
+    "mix_temperature" -> SamplingOps.temperatureRatesProfile,
     "budget_select" -> SamplingOps.budgetProfile,
     "pack_sequences" -> PackingOps.packProfile,
     "pack_chunks" -> PackingOps.chunkProfile,
@@ -1676,6 +1678,26 @@ object SparkEntry {
          |  coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
          |  coalesce(tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
          |FROM r LEFT JOIN k USING (lang) ORDER BY 1""".stripMargin,
+    // temperature mixing: q_i ∝ p_i^0.7, rate = (q/p)·min(p/q) — the
+    // most-up-weighted domain keeps everything, the rest downsample
+    "mix_temperature" ->
+      s"""WITH s AS (
+         |  SELECT lang, CAST(sum($BPE_COUNT) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |p AS (
+         |  SELECT lang, n_tokens,
+         |    n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s) AS p
+         |  FROM s),
+         |q AS (
+         |  SELECT lang, n_tokens, p, pow(p, 0.7) AS q_raw FROM p),
+         |qn AS (
+         |  SELECT lang, n_tokens, p,
+         |    q_raw / (SELECT sum(q_raw) FROM q) AS q
+         |  FROM q)
+         |SELECT lang, n_tokens, round(p, 4) AS share,
+         |  round(q, 4) AS target_share,
+         |  round(least(1.0, q / p * (SELECT min(p / q) FROM qn)), 4) AS rate
+         |FROM qn ORDER BY 1""".stripMargin,
     // the packing prefix sum collapses to one ordered window at oracle scale
     "pack_sequences" ->
       s"""WITH d AS (

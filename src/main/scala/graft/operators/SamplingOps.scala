@@ -133,6 +133,41 @@ object SamplingOps {
             .cast("long")))
   }
 
+  /** Temperature-based mixing rates (mT5/XLM-R α-sampling): instead of
+    * hand-written weights, the TARGET shares are derived from the corpus'
+    * own shares as q_i ∝ p_i^α — α < 1 flattens the distribution, up-
+    * weighting low-resource domains without inverting the ranking. The
+    * keep rate realizes q from p by downsampling only: rate_i =
+    * (q_i/p_i)·min_j(p_j/q_j), so the most-up-weighted domain keeps
+    * everything and the rest scale down proportionally.
+    *
+    * Scale shape: one supply aggregate → a |domains|-row frame; the
+    * windows below run over that bounded frame, never the corpus.
+    */
+  def temperatureRates(df: DataFrame, domainCol: String,
+                       tokensExpr: Column, alpha: Double): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(col(domainCol))
+      .agg(sum(tokensExpr).cast("long").as("n_tokens"))
+      .withColumn("p", col("n_tokens") / sum(col("n_tokens")).over(all))
+      .withColumn("q_raw", pow(col("p"), lit(alpha)))
+      .withColumn("q", col("q_raw") / sum(col("q_raw")).over(all))
+      .withColumn("rate",
+        least(lit(1.0), col("q") / col("p") * min(col("p") / col("q")).over(all)))
+      .select(col(domainCol), col("n_tokens"),
+        round(col("p"), 4).as("share"),
+        round(col("q"), 4).as("target_share"),
+        round(col("rate"), 4).as("rate"))
+  }
+
+  /** Query: α = 0.7 temperature rates over per-language BPE-ish token
+    * supply — the planning table a mixToTarget selection consumes.
+    */
+  def temperatureRatesProfile(spark: SparkSession, dir: String): DataFrame =
+    temperatureRates(Tables.documents(spark, dir), "lang",
+      TextAnalysisOps.bpeishTokenCount(col("text")), alpha = 0.7)
+      .orderBy(col("lang"))
+
   def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
                   tokensExpr: Column,
                   weights: Seq[(String, Double)]): DataFrame = {

@@ -190,6 +190,31 @@ class SamplingOpsSpec extends SparkSuite {
     assert(prof.map(_.getLong(3)).sum > 0)
   }
 
+  test("temperatureRates: alpha<1 up-weights the small domain to rate 1.0") {
+    val docs = Seq.fill(90)(("big", 10L)) ++ Seq.fill(10)(("small", 10L))
+    val df = docs.toDF("lang", "t")
+    val got = SamplingOps.temperatureRates(df, "lang", col("t"), 0.7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (pBig, qBig, rBig) = got("big")
+    val (pSmall, qSmall, rSmall) = got("small")
+    // exact hand math: p = .9/.1; q = p^.7 normalized
+    val (qb, qs) = (math.pow(0.9, 0.7), math.pow(0.1, 0.7))
+    assert(pBig === 0.9 && pSmall === 0.1)
+    assert(qBig === math.rint(1e4 * qb / (qb + qs)) / 1e4)
+    assert(qSmall === math.rint(1e4 * qs / (qb + qs)) / 1e4)
+    // flattening: the small domain keeps everything, the big downsamples
+    // to exactly realize q (p_i·rate_i renormalizes to q_i by construction)
+    assert(rSmall === 1.0 && rBig < 1.0)
+    assert(rBig === math.rint(1e4 * (qb / 0.9) * (0.1 / qs) *
+      (qb + qs) / (qb + qs)) / 1e4 ||
+      math.abs(rBig - (qb / qs) * (0.1 / 0.9)) < 1e-4)
+    // alpha = 1 is the identity: every rate 1.0
+    val id = SamplingOps.temperatureRates(df, "lang", col("t"), 1.0)
+      .collect().map(_.getDouble(4))
+    assert(id.forall(_ === 1.0))
+  }
+
   test("domains absent from the mix weights are dropped entirely") {
     val docs = ids.withColumn("n_tokens", lit(10L))
     val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",

@@ -188,6 +188,48 @@ object SparkEntry {
        |         THEN list_transform(v, x -> 0.0)
        |         ELSE list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) END AS nv
        |  FROM e)""".stripMargin
+  /** 256-bin 4-gram rolling-hash signature CTE chain (mirror of
+    * MediaOps.StubCodec.signature over the UTF-8 bytes of `textExpr`):
+    * float-width counts and division (REAL casts), double unit-normalize —
+    * yields `${p}u` with (doc_id, nv). Bin hash is the seed-7 base-31
+    * fold of each 4-byte window mod P, mod 256.
+    */
+  private def sigCtes(p: String, textExpr: String): String =
+    s"""${p}v AS (SELECT doc_id, hex(encode($textExpr)) AS hx FROM documents),
+       |${p}b AS (SELECT doc_id, length(hx)//2 AS nbytes,
+       |  list_transform(range(0, length(hx)//2), i ->
+       |    CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT),1))-1)*16
+       |      + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INT),1))-1) AS BIGINT)) AS bytes
+       |  FROM ${p}v),
+       |${p}g AS (SELECT doc_id, nbytes - 3 AS n4,
+       |  list_transform(range(0, nbytes - 3), i ->
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_slice(bytes, CAST(i+1 AS INT), CAST(i+4 AS INT))),
+       |      (a,x) -> (a*31+x) % $MOD) % ${graft.multimodal.MediaOps.SignatureDim}) AS binl
+       |  FROM ${p}b WHERE nbytes >= 4),
+       |${p}c AS (SELECT doc_id, n4, bin, count(*) AS cnt
+       |  FROM (SELECT doc_id, n4, unnest(binl) AS bin FROM ${p}g) GROUP BY 1,2,3),
+       |${p}m AS (SELECT doc_id,
+       |  map(list(bin ORDER BY bin),
+       |      list(CAST(CAST(cnt AS REAL)/CAST(n4 AS REAL) AS DOUBLE) ORDER BY bin)) AS mp
+       |  FROM ${p}c GROUP BY doc_id),
+       |${p}h AS (SELECT doc_id, list_transform(range(0, ${graft.multimodal.MediaOps.SignatureDim}), k ->
+       |    coalesce(map_extract(mp, k)[1], 0.0)) AS f FROM ${p}m),
+       |${p}u AS (SELECT doc_id,
+       |  CASE WHEN sqrt(${dotSql("f", "f")}) = 0.0 THEN list_transform(f, x -> 0.0)
+       |       ELSE list_transform(f, x -> x / sqrt(${dotSql("f", "f")})) END AS nv
+       |  FROM ${p}h)""".stripMargin
+
+  /** Mirror of HashKernels.planeProject: out[o] = nv · plane_{seed+o},
+    * 3-round LCG planes, d 1-based inside the fold.
+    */
+  private def projSql(nv: String, outDim: Int, inDim: Int, seed: Int): String =
+    s"""list_transform(range(0, $outDim), o ->
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, ${inDim + 1}), d ->
+       |    $nv[CAST(d AS INT)]
+       |      * (CAST((48271*((48271*((48271*(($seed + o)*131 + d) + 524287) % $MOD) + 524287) % $MOD) + 524287) % $MOD AS DOUBLE)
+       |         - 500000003.0))), (acc, x) -> acc + x))""".stripMargin
+
   /** Shared sliding-window coherence CTE chain (mirror of
     * TopicMetricsOps.windowPresence/pairProbabilities) for window size w:
     * yields tw / tot / pw / pij / pairs CTEs over the global top-10 words. */
@@ -580,6 +622,11 @@ object SparkEntry {
     // --- multimodal binary columns (stubbed codec, real plumbing) ---
     "media_features" -> graft.multimodal.MediaOps.mediaFeatureProfile,
     "media_frames" -> graft.multimodal.MediaOps.mediaFrameProfile,
+    // cross-modal tier: the codec's perceptual signatures fed through the
+    // embedding dedup machinery, and media↔text assembly/alignment faces
+    "media_dup_clusters" -> graft.multimodal.MediaOps.mediaDupClusters,
+    "media_text_align" -> graft.multimodal.MediaOps.mediaTextAlign,
+    "media_caption_gate" -> graft.multimodal.MediaOps.mediaCaptionGate,
     // --- streaming transform, batch-applied (SURVEY.md §2.10) ---
     "stream_hourly" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -861,6 +908,84 @@ object SparkEntry {
         |  count(*) AS n_assets, CAST(16 AS INT) AS feat_dim,
         |  round(avg(norm), 4) AS avg_norm
         |FROM norms GROUP BY 1""".stripMargin,
+    // media near-dup clusters: the 4-gram signature CTE (float-width
+    // mirror of StubCodec.signature) through the SAME band sketch, cosine
+    // verification, and propagation unroll as dedup_embed_clusters
+    "media_dup_clusters" ->
+      s"""WITH ${sigCtes("s", "text")},
+         |sk AS (SELECT doc_id AS vec_id, nv,
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, graft.multimodal.MediaOps.lastMediaBits)} AS bands FROM su),
+         |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM bb a JOIN bb b2
+         |    ON a.band = b2.band AND a.band_val = b2.band_val
+         |   AND a.vec_id < b2.vec_id),
+         |edges AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb2.nv")} AS cos
+         |    FROM cands
+         |    JOIN sk sa ON sa.vec_id = vec_a
+         |    JOIN sk sb2 ON sb2.vec_id = vec_b)
+         |  WHERE cos >= ${graft.multimodal.MediaOps.MediaDupCosine}),
+         |b AS MATERIALIZED (
+         |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
+         |  UNION ALL
+         |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
+         |${propagationCtes(DedupOps.ClusterRounds)}
+         |SELECT label AS cluster_rep, count(*) AS n_assets,
+         |  count(DISTINCT CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS n_kinds,
+         |  max(doc_id) AS max_asset_id
+         |FROM l${DedupOps.ClusterRounds}
+         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // media↔text alignment: stub cross-modal projection (plane LCG mirror)
+    // of the asset signature vs the document embedding, banded by decile
+    "media_text_align" ->
+      s"""WITH ${sigCtes("s", "text")},
+         |pj AS (SELECT doc_id,
+         |  ${projSql("nv", graft.multimodal.MediaOps.AlignDim,
+             graft.multimodal.MediaOps.SignatureDim,
+             graft.multimodal.MediaOps.AlignSeed)} AS pr FROM su),
+         |pu AS (SELECT doc_id,
+         |  CASE WHEN sqrt(${dotSql("pr", "pr")}) = 0.0
+         |       THEN list_transform(pr, x -> 0.0)
+         |       ELSE list_transform(pr, x -> x / sqrt(${dotSql("pr", "pr")})) END AS pv
+         |  FROM pj),
+         |$UNIT_CTE,
+         |al AS (
+         |  SELECT CASE CAST(pu.doc_id % 3 AS INT)
+         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    ${dotSql("pu.pv", "u.nv")} AS align
+         |  FROM pu JOIN u ON u.vec_id = pu.doc_id)
+         |SELECT kind, CAST(floor(align * 10) AS INT) AS align_band,
+         |  count(*) AS n_pairs, round(avg(align), 4) AS avg_align
+         |FROM al GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // caption-alignment gate: asset signature vs own caption signature and
+    // vs the doc_id-ordered shifted decoy; both sides the same sig CTE
+    "media_caption_gate" ->
+      s"""WITH ${sigCtes("a", "text")},
+         |${sigCtes("c", s"substring(text, 1, ${graft.multimodal.MediaOps.CaptionChars})")},
+         |ids AS (SELECT doc_id,
+         |  coalesce(lead(doc_id) OVER (ORDER BY doc_id),
+         |           (SELECT min(doc_id) FROM documents)) AS decoy_id
+         |  FROM documents),
+         |sc AS (
+         |  SELECT au.doc_id,
+         |    CASE CAST(au.doc_id % 3 AS INT)
+         |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    ${dotSql("au.nv", "co.nv")} AS cos_genuine,
+         |    ${dotSql("au.nv", "dx.nv")} AS cos_decoy
+         |  FROM au
+         |  JOIN cu co ON co.doc_id = au.doc_id
+         |  JOIN ids ON ids.doc_id = au.doc_id
+         |  JOIN cu dx ON dx.doc_id = ids.decoy_id)
+         |SELECT kind, count(*) AS n_pairs,
+         |  round(avg(cos_genuine), 4) AS avg_genuine,
+         |  round(avg(cos_decoy), 4) AS avg_decoy,
+         |  CAST(sum(CASE WHEN cos_genuine >= ${graft.multimodal.MediaOps.CaptionGate} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_genuine,
+         |  CAST(sum(CASE WHEN cos_decoy >= ${graft.multimodal.MediaOps.CaptionGate} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_decoy
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // snapshot diff: both synthetic versions re-derive in SQL (same mod
     // arithmetic, same seed-7 content fingerprint), full-outer join on id
     "snapshot_diff" ->

@@ -151,6 +151,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class PlaneProject(child: Expression, outDim: Int, seed: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(arr: Any): Any =
+      HashKernels.planeProject(arr.asInstanceOf[ArrayData], outDim, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.planeProject($c, $outDim, $seed)")
+    override protected def withNewChildInternal(newChild: Expression): PlaneProject =
+      copy(child = newChild)
+  }
+
   case class JaccardLong(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -202,6 +213,8 @@ object HashExpressions {
     GraftBridge.column(UnitVector(GraftBridge.expression(c)))
   def planeBands(c: Column, bands: Int, bits: Int): Column =
     GraftBridge.column(PlaneBands(GraftBridge.expression(c), bands, bits))
+  def planeProject(c: Column, outDim: Int, seed: Int): Column =
+    GraftBridge.column(PlaneProject(GraftBridge.expression(c), outDim, seed))
   def jaccardLongK(a: Column, b: Column): Column =
     GraftBridge.column(JaccardLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

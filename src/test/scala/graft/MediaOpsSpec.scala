@@ -56,4 +56,63 @@ class MediaOpsSpec extends SparkSuite {
     assert(prof.map(_.getLong(1)).sum == 500)
     assert(MediaOps.mediaFrameProfile(spark, SparkSpec.FixtureDir).count() > 0)
   }
+
+  test("stub codec: 4-gram signature is normalized, deterministic, and " +
+    "content-sensitive where the byte histogram is not") {
+    val codec = new StubCodec
+    val a = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val b = "the quick brown fox jumps over the lazy cat".getBytes("UTF-8")
+    val sa = codec.signature(a)
+    assert(sa.length == SignatureDim)
+    assert(math.abs(sa.map(_.toDouble).sum - 1.0) < 1e-5)
+    assert(sa.toSeq == codec.signature(a).toSeq)
+    // one changed word moves only its 4-gram windows
+    val sb = codec.signature(b)
+    assert(sa.toSeq != sb.toSeq)
+    assert(codec.signature(Array.emptyByteArray).forall(_ == 0f))
+    // shorter than one window: all zeros, not a crash
+    assert(codec.signature("abc".getBytes("UTF-8")).forall(_ == 0f))
+  }
+
+  test("signature corpus is partition-invariant and unit-normalized") {
+    val c1 = MediaOps.signatureCorpus(spark, SparkSpec.FixtureDir)
+    import graft.functions.HashExpressions.dotK
+    import org.apache.spark.sql.functions._
+    val norms = c1.select(dotK(col("nv"), col("nv")).as("n2")).collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val a = MediaOps.extractSignatures(assets.repartition(1)).collect()
+      .map(s => (s.asset_id, s.sv.toSeq)).sortBy(_._1).toSeq
+    val b = MediaOps.extractSignatures(assets.repartition(7)).collect()
+      .map(s => (s.asset_id, s.sv.toSeq)).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("media near-dup clusters: every cluster has >= 2 members and every " +
+    "member pair reachable through cos >= MediaDupCosine edges") {
+    val clusters = MediaOps.mediaDupClusters(spark, SparkSpec.FixtureDir).collect()
+    assert(clusters.nonEmpty)
+    assert(clusters.forall(_.getLong(1) >= 2))
+    // the representative is the cluster min, so rep < max member id
+    assert(clusters.forall(r => r.getLong(0) < r.getLong(3)))
+  }
+
+  test("media-text alignment covers every asset exactly once, banded") {
+    val bands = MediaOps.mediaTextAlign(spark, SparkSpec.FixtureDir).collect()
+    assert(bands.map(_.getLong(2)).sum == 500)
+    assert(bands.forall { r =>
+      val b = r.getInt(1); b >= -10 && b <= 10
+    })
+  }
+
+  test("caption gate separates genuine captions from shifted decoys") {
+    val gate = MediaOps.mediaCaptionGate(spark, SparkSpec.FixtureDir).collect()
+    val nPairs = gate.map(_.getLong(1)).sum
+    val keptGenuine = gate.map(_.getLong(4)).sum
+    val keptDecoy = gate.map(_.getLong(5)).sum
+    assert(nPairs == 500)
+    // the filter must actually separate: nearly all genuine pairs pass,
+    // nearly all decoys are dropped (fixture-measured: 499 vs 1)
+    assert(keptGenuine >= (nPairs * 0.98).toLong)
+    assert(keptDecoy <= (nPairs * 0.02).toLong)
+  }
 }

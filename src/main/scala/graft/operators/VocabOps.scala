@@ -163,8 +163,8 @@ object VocabOps {
     * driver-side loop; returns the ordered merge tuples. Stops early when
     * no adjacent pairs remain.
     */
-  private def bpeTrainSeq(words: DataFrame,
-                          k: Int): Seq[(Int, String, String, String, Long)] = {
+  private[graft] def bpeTrainSeq(words: DataFrame,
+                                 k: Int): Seq[(Int, String, String, String, Long)] = {
     // localCheckpoint, not persist: each round's plan references the units
     // frame four times (pair count, starts, consumed, rewrite), so an
     // un-truncated lineage grows ~4^k and kills the ANALYZER long before
@@ -190,15 +190,108 @@ object VocabOps {
     merges.toSeq
   }
 
+  /** Driver-local leftmost-first non-overlapping merge of ONE (l, r) pair —
+    * the per-word mirror of `applyMerge` (candidate runs are only possible
+    * when l = r; the greedy left-to-right scan activates exactly the odd
+    * in-run ranks, so the two are provably the same rewrite).
+    */
+  private[operators] def applyMergeLocal(units: Array[String], l: String,
+                                         r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < units.length) {
+      if (i < units.length - 1 && units(i) == l && units(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += units(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local BPE training over a collected (w, f) dictionary — the
+    * scale-correct trainer for REAL merge counts (SURVEY §7.4 risk 5:
+    * resist over-distributing K-bounded work). The dictionary is
+    * vocabulary-bounded by construction, so after the one distributed
+    * counting scan the merge loop is pure driver arithmetic: 32k merges
+    * are 32k HashMap passes over a bounded dictionary, not 64k scheduled
+    * Spark jobs of per-round latency. Semantics are spec-pinned equal to
+    * the relational `bpeTrainSeq` (same argmax order: pair_freq desc,
+    * left, right; same leftmost-first rewrite). Fixture-measured: k=1000
+    * over the top-200 dictionary trains in well under a second.
+    */
+  def bpeTrainLocal(words: Seq[(String, Long)],
+                    k: Int): Seq[(Int, String, String, String, Long)] = {
+    var dict = words.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty) :+ "</w>", f)
+    }.toArray
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var continue = true
+    while (continue && step <= k) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (us, f) =>
+        var i = 0
+        while (i < us.length - 1) {
+          val key = (us(i), us(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        // total order: freq desc, then (l, r) asc — hash-iteration-proof
+        val ((l, r), pf) = counts.minBy { case ((cl, cr), cf) =>
+          (-cf, cl, cr)
+        }
+        merges += ((step, l, r, l + r, pf))
+        dict = dict.map { case (us, f) => (applyMergeLocal(us, l, r), f) }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed encode against a broadcast merge table: each word's
+    * encode is the independent greedy merge chain, so the corpus side is
+    * embarrassingly parallel — ONE pass, zero joins, zero per-merge Spark
+    * jobs (the relational `bpeEncode` schedules one rewrite per merge and
+    * stays as the spec-pinned semantics twin). This is the deploy-shape
+    * tokenizer: merge table broadcast once, applied per row.
+    */
+  def bpeEncodeFast(words: DataFrame,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    words.select(col("w"), col("f")).as[(String, Long)]
+      .flatMap { case (w, f) =>
+        var units = w.split("").filter(_.nonEmpty) :+ "</w>"
+        bc.value.foreach { case (l, r) =>
+          // cheap containment pre-check keeps the pass k-bounded-but-lazy
+          if (units.contains(l)) units = applyMergeLocal(units, l, r)
+        }
+        units.iterator.zipWithIndex.map { case (u, pos) => (w, f, pos, u) }
+      }
+      .toDF("w", "f", "pos", "unit")
+  }
+
   /** Train `k` BPE merges over a (w, f) word-frequency frame. Returns the
     * ordered merge table (step, left_unit, right_unit, merged, pair_freq)
-    * — the artifact a tokenizer applies at encode time.
+    * — the artifact a tokenizer applies at encode time. The dictionary is
+    * collected (it is vocabulary-bounded — the caller's frame must be a
+    * dictionary, not a corpus) and trained driver-local; `bpeTrainSeq`
+    * remains the all-relational twin, spec-pinned equal.
     */
   def bpeTrain(words: DataFrame, k: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    bpeTrainSeq(words, k)
+    bpeTrainLocal(collectDict(words), k)
       .toDF("step", "left_unit", "right_unit", "merged", "pair_freq")
+  }
+
+  private def collectDict(words: DataFrame): Seq[(String, Long)] = {
+    import words.sparkSession.implicits._
+    words.select(col("w"), col("f")).as[(String, Long)].collect().toSeq
   }
 
   /** Cross-query cache of the trained merge table keyed by (dir, k) —
@@ -219,7 +312,8 @@ object VocabOps {
 
   private def trainedMerges(spark: SparkSession, dir: String,
                             k: Int): Seq[(Int, String, String, String, Long)] =
-    bpeCache.getOrElseUpdate(s"$dir|$k", bpeTrainSeq(topDict(spark, dir), k))
+    bpeCache.getOrElseUpdate(s"$dir|$k",
+      bpeTrainLocal(collectDict(topDict(spark, dir)), k))
 
   /** Query: 8 BPE merges learned from the top-200-word dictionary of the
     * documents corpus (corpus scanned once for counts; training rounds are
@@ -244,7 +338,7 @@ object VocabOps {
     val langWords = docs
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
-    val encoded = bpeEncode(
+    val encoded = bpeEncodeFast(
       langWords.select(col("w")).distinct().withColumn("f", lit(1L)), merges)
       .groupBy(col("w")).agg(count(lit(1)).as("n_units"))
     langWords.join(encoded, "w")

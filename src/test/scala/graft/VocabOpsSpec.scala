@@ -75,6 +75,50 @@ class VocabOpsSpec extends SparkSuite {
     assert(other.toSeq === Seq("b", "a", "</w>"))
   }
 
+  test("driver-local trainer == relational trainer on the fixture dictionary") {
+    // the hybrid trainer's contract: same merge table, any k — pinned at
+    // the query operating point (k=8, top-200 dictionary)
+    val dict = Tables.documents(spark, SparkSpec.FixtureDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(200)
+    val local = VocabOps.bpeTrainLocal(
+      dict.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 8)
+    val relational = VocabOps.bpeTrainSeq(dict, 8)
+    assert(local === relational)
+  }
+
+  test("bpeEncodeFast == relational bpeEncode under the trained table") {
+    val words = Seq(("abab", 2L), ("ab", 3L), ("ba", 1L), ("aaa", 4L))
+      .toDF("w", "f")
+    val merges = VocabOps.bpeTrain(words, 10)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "f", "pos", "unit").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+        .toSet
+    assert(rows(VocabOps.bpeEncodeFast(words, merges)) ===
+      rows(VocabOps.bpeEncode(words, merges)))
+  }
+
+  test("driver-local trainer reaches real merge counts in driver time") {
+    val dict = Tables.documents(spark, SparkSpec.FixtureDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(200)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val t0 = System.nanoTime()
+    val merges = VocabOps.bpeTrainLocal(dict, 1000)
+    val ms = (System.nanoTime() - t0) / 1e6
+    // dictionary-bounded: training stops when the units run dry, well
+    // before 1000 on a 200-word dictionary — and in driver time, not in
+    // 2000 scheduled Spark jobs (the relational trainer's asymptote)
+    assert(merges.nonEmpty && merges.size <= 1000)
+    assert(merges.map(_._1) === (1 to merges.size))
+    assert(ms < 30000.0, s"local BPE training took ${ms}ms")
+    info(f"k=1000 local training: ${merges.size} merges in $ms%.0f ms")
+  }
+
   test("fixture queries: bounded output, rates in range, covered <= total") {
     val dir = SparkSpec.FixtureDir
     val pairs = VocabOps.mergePairsQuery(spark, dir).collect()

@@ -576,6 +576,7 @@ object SparkEntry {
     // index refresh: stored postings carried for unchanged vectors, only
     // the A→B delta re-assigned at the frozen coarse quantizer
     "sim_ivf_incremental" -> IndexMaintOps.ivfIncrementalQuery,
+    "sim_ivf_drift" -> IndexMaintOps.ivfDriftQuery,
     "sim_recall" -> SimilarityOps.annRecall,
     // contrastive-training negatives: nearest wrong-label vectors per query
     "sim_hard_negatives" -> SimilarityOps.hardNegatives,
@@ -3082,6 +3083,66 @@ object SparkEntry {
          |    AS BIGINT) AS n_reassigned,
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // drift gauge: corpus B re-derived, brute ground truth, one probe
+    // chain per persisted world (frozen A-quantizer + maintained postings
+    // vs retrained-on-B), micro-avg recall as an exact integer ratio
+    "sim_ivf_drift" -> {
+      def tierSql(tier: String, centsRef: String, indexRef: String) =
+        s"""SELECT '$tier' AS tier,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  sum(n_hits) / sum(n_brute) AS avg_r,
+           |  min(n_hits / n_brute) AS min_r
+           |FROM (
+           |  SELECT br.query_id,
+           |    CAST(count(*) AS DOUBLE) AS n_brute,
+           |    CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE) AS n_hits
+           |  FROM br LEFT JOIN (
+           |    SELECT query_id, vec_id FROM (
+           |      SELECT query_id, ix.vec_id AS vec_id,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY ${dotSql("qv", "cu.nv")} DESC, ix.vec_id) AS rk
+           |      FROM (
+           |        SELECT query_id, qv, list FROM (
+           |          SELECT query_id, qv, list,
+           |            row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cdot DESC, list) AS prk
+           |          FROM (SELECT query_id, qv, c.list,
+           |                  ${dotSql("qv", "c.centroid")} AS cdot
+           |                FROM q, $centsRef c))
+           |        WHERE prk <= ${SimilarityOps.IvfProbe}) pr
+           |      JOIN $indexRef ix USING (list)
+           |      JOIN newv cu ON cu.vec_id = ix.vec_id
+           |      WHERE query_id <> ix.vec_id)
+           |    WHERE rk <= 10) an
+           |    ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH $UNIT_CTE,
+         |cutv AS (SELECT CAST(floor(max(vec_id) * 0.9) AS BIGINT) AS c FROM u),
+         |newv AS (SELECT vec_id, nv FROM u WHERE vec_id % 101 <> 0),
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM newv WHERE vec_id < 50),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotSql("q.qv", "c.nv")} DESC, c.vec_id) AS rk
+         |    FROM q JOIN newv c ON q.query_id <> c.vec_id)
+         |  WHERE rk <= 10),
+         |tiers AS (
+         |${tierSql("frozen", Artifacts.ref("ivf_drift_cents_frozen"),
+             Artifacts.ref("ivf_drift_index_frozen"))}
+         |UNION ALL
+         |${tierSql("retrained", Artifacts.ref("ivf_drift_cents_retrained"),
+             Artifacts.ref("ivf_drift_index_retrained"))})
+         |SELECT tier, n_queries,
+         |  round(avg_r, 4) AS avg_recall,
+         |  round(min_r, 4) AS min_recall,
+         |  round((SELECT avg_r FROM tiers WHERE tier = 'retrained') - avg_r, 4)
+         |    AS recall_drop,
+         |  CAST((SELECT avg_r FROM tiers WHERE tier = 'retrained') - avg_r
+         |    > ${IndexMaintOps.DriftRetrainThreshold} AS INT) AS retrain_due
+         |FROM tiers ORDER BY tier""".stripMargin
+    },
     // centroid-cosine example ranking over the fitted k=8 assignment
     "topic_examples_embed" ->
       s"""WITH $UNIT_CTE,

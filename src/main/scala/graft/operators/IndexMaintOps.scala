@@ -85,6 +85,71 @@ object IndexMaintOps {
     (old, neu)
   }
 
+  /** Recall drop (retrained − frozen micro-avg recall@10) above which the
+    * frozen coarse quantizer is declared drifted and a retrain is due.
+    * The gauge (`ivfDriftQuery`) is the measurement; this is the committed
+    * trigger a deployment acts on.
+    */
+  val DriftRetrainThreshold = 0.05
+
+  /** Query: the frozen-quantizer DRIFT GAUGE — the operational question
+    * incremental maintenance raises at 100 TB: after an A→B refresh at
+    * frozen A-centroids, how much recall does the maintained index give up
+    * vs an index retrained on B? Both worlds are built and persisted
+    * (frozen: A-quantizer + maintained postings; retrained: B-quantizer +
+    * fresh postings), both probed with the SAME query set against the SAME
+    * brute-force ground truth on corpus B. One row per tier:
+    * micro-avg recall@10 (an exact integer ratio — summation-order-proof),
+    * worst-query recall, the recall drop vs the retrained world, and the
+    * retrain verdict at `DriftRetrainThreshold`. Output is 2 rows at any
+    * corpus size; the expensive input (brute ground truth) is
+    * query-set-bounded, exactly like the existing recall gauges.
+    */
+  def ivfDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (old, neu) = versions(spark, dir)
+    val oldC = graft.Caching.track(old)
+    val neuC = graft.Caching.track(neu)
+    val (_, centsA) = SimilarityOps.ivfIndex(oldC, SimilarityOps.IvfLists)
+    val maintained = maintainIndex(assignLists(centsA, oldC), oldC, neuC,
+      centsA).select(col("vec_id"), col("list"))
+    val (indexedB, centsB) = SimilarityOps.ivfIndex(neuC, SimilarityOps.IvfLists)
+    graft.Artifacts.save("ivf_drift_cents_frozen")(centsA)
+    graft.Artifacts.save("ivf_drift_cents_retrained")(centsB)
+    graft.Artifacts.save("ivf_drift_index_frozen")(maintained)
+    graft.Artifacts.save("ivf_drift_index_retrained")(
+      indexedB.select(col("vec_id"), col("list")))
+    val queries = neuC.filter(col("vec_id") < 50)
+    val brute = SimilarityOps.bruteForceTopK(neuC, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    def tierRecall(index: DataFrame, cents: DataFrame, tier: String): DataFrame = {
+      val withNv = index.join(neuC.select(col("vec_id"), col("nv")), "vec_id")
+      val ann = SimilarityOps.ivfProbe(withNv, cents, queries, k = 10,
+          nProbe = SimilarityOps.IvfProbe)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      brute.join(ann, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_brute"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (sum(col("n_hits")) / sum(col("n_brute"))).as("avg_r"),
+          min(col("n_hits") / col("n_brute")).as("min_r"))
+        .select(lit(tier).as("tier"), col("n_queries"), col("avg_r"),
+          col("min_r"))
+    }
+    val frozen = tierRecall(maintained, centsA, "frozen")
+    val retrained = tierRecall(indexedB.select(col("vec_id"), col("list")),
+      centsB, "retrained")
+    frozen.unionByName(retrained)
+      .crossJoin(retrained.select(col("avg_r").as("ref_avg")))
+      .select(col("tier"), col("n_queries"),
+        round(col("avg_r"), 4).as("avg_recall"),
+        round(col("min_r"), 4).as("min_recall"),
+        round(col("ref_avg") - col("avg_r"), 4).as("recall_drop"),
+        (col("ref_avg") - col("avg_r") > DriftRetrainThreshold)
+          .cast("int").as("retrain_due"))
+      .orderBy(col("tier"))
+  }
+
   /** Query: maintain the stored version-A index (quantizer trained on A,
     * both persisted via the Artifacts seam and the index READ BACK so the
     * kept postings genuinely come from the stored table) across the A→B

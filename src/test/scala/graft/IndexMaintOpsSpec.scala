@@ -63,4 +63,27 @@ class IndexMaintOpsSpec extends SparkSuite {
       .filter(col("origin") === "reassigned").count()
     assert(reassigned === nChanged + nAdded)
   }
+
+  test("drift gauge: two tiers over one ground truth, verdict wired to the " +
+    "committed threshold") {
+    val rows = IndexMaintOps.ivfDriftQuery(spark, SparkSpec.FixtureDir)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("frozen", "retrained"))
+    val frozen = rows("frozen")
+    val retrained = rows("retrained")
+    // same query set against the same brute ground truth
+    assert(frozen.getLong(1) === retrained.getLong(1))
+    // the retrained world is the reference: its drop is exactly 0
+    assert(retrained.getDouble(4) === 0.0)
+    assert(retrained.getInt(5) === 0)
+    // the frozen tier's verdict must be its drop vs the threshold
+    assert((frozen.getInt(5) == 1) ===
+      (frozen.getDouble(4) > IndexMaintOps.DriftRetrainThreshold))
+    // recalls are valid ratios
+    Seq(frozen, retrained).foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) <= r.getDouble(2))
+    }
+  }
 }

@@ -96,7 +96,7 @@ object ClassifierOps {
 
   private def confusionRows(spark: SparkSession,
                             dir: String): Seq[(String, String, Long)] =
-    confCache.getOrElseUpdate(dir, {
+    confCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
       val docs = Tables.documents(spark, dir)
       val (prior, lik) = nbTrain(docs, "text", "lang")
       nbClassify(prior, lik, docs, "text", "doc_id")

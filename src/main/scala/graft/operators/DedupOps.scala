@@ -649,7 +649,7 @@ object DedupOps {
 
   private[operators] def minhashLabels(spark: SparkSession,
                                        dir: String): DataFrame =
-    labelCache.getOrElseUpdate(dir, {
+    labelCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
       val labels = minhashClusters(Tables.documents(spark, dir),
         "doc_id", "text").persist()
       labels.count() // materialize before the building query's scope ends

@@ -163,7 +163,7 @@ object PqOps {
   private def pqIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     val t @ (_, lists, cents, codebooks, codes, _) =
-      cached(s"pq:$dir") {
+      cached(s"pq:${graft.Fingerprint.dirKey(spark, dir)}") {
         val corpus = graft.Caching.track(
           SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
         val (indexed, cents0) =

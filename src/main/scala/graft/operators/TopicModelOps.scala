@@ -67,7 +67,7 @@ object TopicModelOps {
   /** Shared seeded LDA fit over the documents fixture. */
   private def fittedLda(spark: SparkSession, dir: String, k: Int,
                         maxIter: Int): (DataFrame, Array[String], org.apache.spark.ml.clustering.LDAModel) =
-    cached(s"lda:$dir:$k:$maxIter") {
+    cached(s"lda:${graft.Fingerprint.dirKey(spark, dir)}:$k:$maxIter") {
       val (vecs, vocab) = vectorize(Tables.documents(spark, dir), "text")
       vecs.persist()
       // alpha='auto' parity: setOptimizeDocConcentration learns the doc-topic
@@ -168,7 +168,7 @@ object TopicModelOps {
     */
   private def ldaInferred(spark: SparkSession, dir: String, k: Int,
                           maxIter: Int): DataFrame = {
-    val inferred = cached(s"ldaT:$dir:$k:$maxIter") {
+    val inferred = cached(s"ldaT:${graft.Fingerprint.dirKey(spark, dir)}:$k:$maxIter") {
       val (vecs, _, model) = fittedLda(spark, dir, k, maxIter)
       model.transform(vecs)
         .withColumn("dist", vector_to_array(col("topicDistribution")))
@@ -265,7 +265,7 @@ object TopicModelOps {
     */
   private[operators] def fittedNoisyClusters(spark: SparkSession, dir: String,
                                              k: Int): DataFrame = {
-    val noisy = cached(s"kmNoise:$dir:$k") {
+    val noisy = cached(s"kmNoise:${graft.Fingerprint.dirKey(spark, dir)}:$k") {
       clusterEmbeddingsWithNoise(Tables.embeddings(spark, dir), k,
         artifactName = Some("kmeans_pca_assign")).persist()
     }
@@ -297,7 +297,7 @@ object TopicModelOps {
     */
   private[operators] def fittedClusters(spark: SparkSession, dir: String,
                                         k: Int): DataFrame = {
-    val assigned = cached(s"km:$dir:$k") {
+    val assigned = cached(s"km:${graft.Fingerprint.dirKey(spark, dir)}:$k") {
       clusterEmbeddings(Tables.embeddings(spark, dir), k)
         .select("vec_id", "cluster", "label", "embedding").persist()
     }

@@ -89,16 +89,27 @@ object LmOps {
         .groupBy(idCol, "lang", "w1", "w2").agg(count(lit(1)).as("n")),
       idCol)
 
-  /** Score a pre-aggregated (idCol, lang, w1, w2, n) instance frame. */
+  /** Score a pre-aggregated (idCol, lang, w1, w2, n) instance frame.
+    * Documents in a language the model was never trained on are
+    * UNSCORABLE — there is no vocabulary size, so no smoothing denominator
+    * and no principled floor — and are DROPPED here (semi-join on the
+    * model's language set, a |langs|-row broadcast), never surfaced as
+    * null nll rows: a pipeline routes unknown-language docs through the
+    * language-ID gate, not the perplexity gate. Spec-pinned.
+    */
   def scoreInstances(model: BigramLm, inst: DataFrame,
                      idCol: String): DataFrame = {
-    val hit = inst.join(model.logp, Seq("lang", "w1", "w2"), "left")
+    // per-lang floor doubles as the model's language set for the
+    // unknown-lang guard
+    val floorLp = model.missLogp.groupBy("lang")
+      .agg(min(col("logp")).as("floor_lp"))
+    val known = inst.join(broadcast(floorLp.select("lang")),
+      Seq("lang"), "left_semi")
+    val hit = known.join(model.logp, Seq("lang", "w1", "w2"), "left")
     val seen = hit.filter(col("logp").isNotNull)
       .select(col(idCol), col("lang"), col("n"), col("logp"))
     // only genuinely-unseen bigrams reach the backoff join; unseen
     // CONTEXTS (no missLogp row either) take the per-lang floor
-    val floorLp = model.missLogp.groupBy("lang")
-      .agg(min(col("logp")).as("floor_lp"))
     val unseen = hit.filter(col("logp").isNull)
       .drop("logp")
       .join(model.missLogp, Seq("lang", "w1"), "left")
@@ -135,10 +146,61 @@ object LmOps {
     // subtrees identical, so the exchange materializes once (ReuseExchange)
     inst.join(model.logp, Seq("lang", "w1", "w2"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg((-sum(col("logp") * col("n")) / sum(col("n"))).as("nll"))
+      // 6-dp pre-round before the band floor and the avg — the same
+      // summation-order guard nbClassify uses: cross-engine float sums can
+      // disagree in the low bits, and an nll sitting exactly on an integer
+      // band boundary would otherwise flip
+      .agg(round(-sum(col("logp") * col("n")) / sum(col("n")), 6).as("nll"))
       .groupBy(col("lang"), floor(col("nll")).cast("int").as("nll_band"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("lang"), col("nll_band"))
+  }
+
+  /** Query: CROSS-corpus scoring — the gate's real deployment shape: train
+    * on the held-in split (doc_id % 5 ≠ 0), score the held-out split
+    * (doc_id % 5 = 0), so the backoff join (unseen bigram, seen context)
+    * and the per-lang floor (unseen context) both genuinely fire — the
+    * branches that are provably empty at self-scoring. Same banded output
+    * as `nllBandsQuery`, plus how many scored transitions were misses —
+    * the miss-rate a deployment watches to size its training corpus.
+    */
+  def crossNllBandsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = bigramModel(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "lang")
+    val inst = bigramInstances(docs.filter(col("doc_id") % 5 === 0),
+        "text", "lang", Seq("doc_id"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    // per-doc scoring with an explicit miss counter (the generic
+    // scoreInstances aggregates the same algebra without the counter)
+    val floorLp = model.missLogp.groupBy("lang")
+      .agg(min(col("logp")).as("floor_lp"))
+    // same unknown-lang drop as scoreInstances (empty on the fixture —
+    // every lang appears in both splits — but the contract is uniform)
+    val known = inst.join(broadcast(floorLp.select("lang")),
+      Seq("lang"), "left_semi")
+    val hit = known.join(model.logp, Seq("lang", "w1", "w2"), "left")
+    val seen = hit.filter(col("logp").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n"), col("logp"),
+        lit(0L).as("miss"))
+    val unseen = hit.filter(col("logp").isNull)
+      .drop("logp")
+      .join(model.missLogp, Seq("lang", "w1"), "left")
+      .join(broadcast(floorLp), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n"),
+        coalesce(col("logp"), col("floor_lp")).as("logp"),
+        col("n").as("miss"))
+    seen.unionByName(unseen)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(-sum(col("logp") * col("n")) / sum(col("n")), 6).as("nll"),
+        sum(col("miss")).as("n_miss"), sum(col("n")).as("n_trans"))
+      .groupBy(col("lang"), floor(col("nll")).cast("int").as("nll_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")), 4).as("avg_nll"),
+        sum(col("n_miss")).as("n_miss"),
+        sum(col("n_trans")).as("n_trans"))
       .orderBy(col("lang"), col("nll_band"))
   }
 }

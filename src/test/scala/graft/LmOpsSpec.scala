@@ -46,6 +46,27 @@ class LmOpsSpec extends SparkSuite {
     assert(math.abs(got(11L) - -math.log(0.5 / 3.0)) < 1e-12)
   }
 
+  test("docs in a language the model never saw are dropped, not null-scored") {
+    val probe = Seq(
+      (30L, "x", "aa bb"), // known lang — scored
+      (31L, "qq", "aa bb") // lang absent from the model — dropped
+    ).toDF("doc_id", "lang", "text")
+    val got = LmOps.scoreNll(model, probe, "text", "lang", "doc_id").collect()
+    assert(got.map(_.getLong(0)).toSet === Set(30L))
+    assert(got.forall(!_.isNullAt(2)))
+  }
+
+  test("cross-corpus scoring exercises the miss path and never emits nulls") {
+    val bands = LmOps.crossNllBandsQuery(spark, SparkSpec.FixtureDir).collect()
+    assert(bands.nonEmpty)
+    // held-out docs WILL contain unseen bigrams — the branch self-scoring
+    // can never reach must genuinely fire
+    assert(bands.map(_.getLong(4)).sum > 0)
+    assert(bands.forall { r =>
+      !r.isNullAt(3) && r.getLong(4) <= r.getLong(5) && r.getLong(2) > 0
+    })
+  }
+
   test("docs under two tokens are not scored; fixture bands are sane") {
     val probe = Seq((20L, "x", "aa"), (21L, "x", "")).toDF("doc_id", "lang", "text")
     assert(LmOps.scoreNll(model, probe, "text", "lang", "doc_id").count() === 0)

@@ -500,6 +500,7 @@ object SparkEntry {
     // self-trained bigram model (the perplexity-cut shape)
     "txt_lm_nll" -> LmOps.nllBandsQuery,
     "txt_lm_cross" -> LmOps.crossNllBandsQuery,
+    "stream_quality_gate" -> LmOps.qualityGateQuery,
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -1223,6 +1224,60 @@ object SparkEntry {
          |  CAST(sum(n_miss) AS BIGINT) AS n_miss,
          |  CAST(sum(n_trans) AS BIGINT) AS n_trans
          |FROM nll GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the ingest quality gate's batch face: same trained-on-80% model and
+    // backoff chain as txt_lm_cross, per-doc verdict at the committed
+    // NllGateMax, per-lang counts
+    "stream_quality_gate" ->
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+         |            WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+         |trt AS (SELECT doc_id, lang, $TOKS AS t FROM tr),
+         |tet AS (SELECT doc_id, lang, $TOKS AS t FROM te),
+         |trbg AS (
+         |  SELECT lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM trt WHERE len(t) >= 2)),
+         |tebg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM tet WHERE len(t) >= 2)),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM trbg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word FROM tr) GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |miss AS (
+         |  SELECT x.lang, x.w1, ln(0.5 / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM ctx x JOIN vocab v ON x.lang = v.lang),
+         |flr AS (SELECT lang, min(logp) AS floor_lp FROM miss GROUP BY 1),
+         |nll AS (
+         |  SELECT i.doc_id, i.lang,
+         |    round(-sum(coalesce(l.logp, m.logp, f.floor_lp))
+         |          / count(*), 6) AS nll
+         |  FROM tebg i
+         |  LEFT JOIN logp l
+         |    ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  LEFT JOIN miss m ON i.lang = m.lang AND i.w1 = m.w1
+         |  JOIN flr f ON i.lang = f.lang
+         |  GROUP BY 1, 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN nll <= ${LmOps.NllGateMax} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_passed,
+         |  round(avg(nll), 4) AS avg_nll
+         |FROM nll GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stream-stream attribution join stated declaratively: per-user
     // equi-join with the two-sided event-time bound; micros cross engines
     "rel_attribution" ->

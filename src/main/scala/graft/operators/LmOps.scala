@@ -157,6 +157,67 @@ object LmOps {
       .orderBy(col("lang"), col("nll_band"))
   }
 
+  /** NLL ceiling for the ingest quality gate (`qualityGateBatch` /
+    * StreamOps.qualityGateStream): chosen from the fixture's cross-corpus
+    * band profile (`txt_lm_cross`: held-out per-lang means sit at
+    * 3.40–3.54), so the gate genuinely separates rather than rubber-stamps.
+    */
+  val NllGateMax = 3.5
+
+  /** STATELESS per-occurrence scoring rows — the shared core of the batch
+    * and STREAMING quality-gate faces: one bigram-explode (no
+    * pre-aggregation, so a stream can run it), then a linear chain of
+    * stream-static joins against the three vocabulary-bounded model frames
+    * (logp hit → (lang, w1) backoff → per-lang floor, one coalesce). The
+    * model is exactly the broadcast side a stream wants; docs in unknown
+    * languages drop (same contract as scoreInstances); docs under two
+    * tokens never produce rows.
+    */
+  def scoredBigramRows(docs: DataFrame, model: BigramLm, textCol: String,
+                       langCol: String, keep: Seq[String]): DataFrame = {
+    val floorLp = model.missLogp.groupBy("lang")
+      .agg(min(col("logp")).as("floor_lp"))
+    bigramInstances(docs, textCol, langCol, keep)
+      .join(broadcast(floorLp.select("lang")), Seq("lang"), "left_semi")
+      .join(broadcast(model.logp), Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(model.missLogp.withColumnRenamed("logp", "miss_lp")),
+        Seq("lang", "w1"), "left")
+      .join(broadcast(floorLp), Seq("lang"), "left")
+      .withColumn("lp",
+        coalesce(col("logp"), col("miss_lp"), col("floor_lp")))
+      .select((keep.map(col) :+ col("lang") :+ col("lp")): _*)
+  }
+
+  /** Ingest quality gate, batch face: per-doc mean NLL under the model
+    * with the pass verdict at `maxNll` — (idCol, lang, nll, passed).
+    * Same 6-dp rounding guard as the band faces.
+    */
+  def qualityGateBatch(docs: DataFrame, model: BigramLm, textCol: String,
+                       langCol: String, idCol: String,
+                       maxNll: Double = NllGateMax): DataFrame =
+    scoredBigramRows(docs, model, textCol, langCol, Seq(idCol))
+      .groupBy(col(idCol), col("lang"))
+      .agg(round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
+      .withColumn("passed", (col("nll") <= maxNll).cast("int"))
+
+  /** Query: the quality gate over the held-out split (model trained on the
+    * held-in 80%, same derivation as `txt_lm_cross`) — per-lang ingest
+    * verdict counts. The batch face of StreamOps.qualityGateStream
+    * (spec-pinned parity); output bounded by |langs|.
+    */
+  def qualityGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = bigramModel(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "lang")
+    qualityGateBatch(docs.filter(col("doc_id") % 5 === 0), model,
+      "text", "lang", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("passed")).cast("long").as("n_passed"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("lang"))
+  }
+
   /** Query: CROSS-corpus scoring — the gate's real deployment shape: train
     * on the held-in split (doc_id % 5 ≠ 0), score the held-out split
     * (doc_id % 5 = 0), so the backoff join (unseen bigram, seen context)

@@ -210,6 +210,29 @@ object StreamOps {
     graft.operators.SketchOps.histogramSketch(
       docs.select(length(col(textCol)).as("len")), "len", width)
 
+  /** Perplexity gate at ingest, streaming face — the quality sibling of
+    * `dedupStream`: each arriving document's bigrams are scored through a
+    * stateless chain of stream-static joins against the persisted
+    * vocabulary-bounded bigram model (LmOps.scoredBigramRows — the model is
+    * exactly the broadcast side a stream wants), then ONE watermarked
+    * per-(window, doc) aggregation folds them into the doc's mean NLL and
+    * the gate keeps docs at nll ≤ maxNll. State is bounded by the
+    * watermark horizon (open windows only), never the corpus; emission is
+    * append-mode (a doc's verdict is final once its window closes).
+    * Batch parity with LmOps.qualityGateBatch is spec-pinned.
+    */
+  def qualityGateStream(docs: DataFrame, model: graft.operators.LmOps.BigramLm,
+                        textCol: String, langCol: String, idCol: String,
+                        tsCol: String, maxNll: Double = graft.operators.LmOps.NllGateMax,
+                        delay: String = "1 hour"): DataFrame =
+    graft.operators.LmOps
+      .scoredBigramRows(docs, model, textCol, langCol, Seq(idCol, tsCol))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"), col(idCol), col("lang"))
+      .agg(round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
+      .filter(col("nll") <= maxNll)
+      .select(col(idCol), col("lang"), col("nll"))
+
   /** Exploded (doc, band, band_hash) rows of `docs` that collide with the
     * stored index's band buckets — the shared core of the incremental-dedup
     * faces. The semi join is stream-static capable: the stream side only

@@ -53,6 +53,49 @@ class StreamOpsSpec extends SparkSuite {
     assert(rows === batch)
   }
 
+  test("LM quality gate in-stream: stream-static model joins, batch parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.LmOps
+    implicit val sqlCtx = spark.sqlContext
+    // model trained on fluent text; a garbled doc scores all-miss NLL
+    val train = Seq(
+      (1L, "x", "the cat sat on the mat and the cat slept"),
+      (2L, "x", "the dog sat on the rug and the dog slept")
+    ).toDF("doc_id", "lang", "text")
+    val model = LmOps.bigramModel(train, "text", "lang")
+    val fluent = "the cat sat on the rug"
+    val garble = "zz qq ww rr tt yy uu"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.qualityGateStream(
+        input.toDF().withColumn("lang", lit("x")),
+        model, "text", "lang", "doc_id", "ts", maxNll = 2.0)
+      .writeStream.format("memory").queryName("lm_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(10, ts(9, 0), fluent),
+        StreamDoc(11, ts(9, 5), garble),
+        StreamDoc(12, ts(9, 10), "single")) // < 2 tokens: never scored
+      q.processAllAvailable()
+      // advance the watermark past the 9:00 window so verdicts emit
+      input.addData(StreamDoc(99, ts(12, 0), fluent))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_gate_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(streamed.keySet === Set(10L))
+      // batch face: same model, same delta, same verdicts and nll values
+      val delta = Seq((10L, "x", fluent), (11L, "x", garble),
+        (12L, "x", "single")).toDF("doc_id", "lang", "text")
+      val batch = LmOps.qualityGateBatch(delta, model, "text", "lang",
+          "doc_id", maxNll = 2.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+      assert(batch.map(_._1).toSet === Set(10L, 11L)) // 12 unscorable
+      val passed = batch.filter(_._3 == 1)
+      assert(passed.map(_._1).toSeq === Seq(10L))
+      assert(passed.head._2 === streamed(10L))
+    } finally q.stop()
+  }
+
   test("PII scrub at ingest: the stateless redaction projection runs in-stream") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext

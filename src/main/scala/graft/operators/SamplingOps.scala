@@ -149,6 +149,11 @@ object SamplingOps {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     df.groupBy(col(domainCol))
       .agg(sum(tokensExpr).cast("long").as("n_tokens"))
+      // a domain with zero token supply has p = 0, so q/p (and the p/q
+      // inside the global min) would be null-on-divide and silently poison
+      // every domain's rate — a supply-less domain has nothing to sample,
+      // so it is excluded from the plan, not null-rated (spec-pinned)
+      .filter(col("n_tokens") > 0)
       .withColumn("p", col("n_tokens") / sum(col("n_tokens")).over(all))
       .withColumn("q_raw", pow(col("p"), lit(alpha)))
       .withColumn("q", col("q_raw") / sum(col("q_raw")).over(all))

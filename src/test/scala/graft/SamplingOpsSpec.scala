@@ -215,6 +215,18 @@ class SamplingOpsSpec extends SparkSuite {
     assert(id.forall(_ === 1.0))
   }
 
+  test("temperatureRates: a zero-supply domain is excluded, not null-rated") {
+    val df = (Seq.fill(9)(("big", 10L)) ++ Seq(("empty", 0L), ("small", 10L)))
+      .toDF("lang", "t")
+    val got = SamplingOps.temperatureRates(df, "lang", col("t"), 0.7)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // the supply-less domain is not in the plan, and nobody else's rate
+    // was poisoned by its p = 0 division
+    assert(got.keySet === Set("big", "small"))
+    assert(got.values.forall(r => r > 0.0 && r <= 1.0))
+    assert(got("small") === 1.0)
+  }
+
   test("domains absent from the mix weights are dropped entirely") {
     val docs = ids.withColumn("n_tokens", lit(10L))
     val kept = SamplingOps.mixToTarget(docs, "doc_id", "lang",

@@ -167,6 +167,30 @@ object ScaleProbe {
     time("vocab_merge_pairs")(VocabOps.mergePairsQuery(spark, tmp).count())
     time("vocab_coverage")(VocabOps.coverageQuery(spark, tmp).count())
     time("lm_nll")(LmOps.nllBandsQuery(spark, tmp).count())
+    // A/B: broadcast-hash vs sort-merge for the vocabulary-bounded model
+    // join — the r11 slope-3.3 row's n·log n term is the instance-frame
+    // sort the broadcast variant skips
+    time("lm_nll_bcast")(
+      LmOps.nllBandsQuery(spark, tmp, broadcastModel = true).count())
+    // r12 tier: cross-corpus scoring (backoff branches live), the ingest
+    // quality gate's batch face, the drift gauge's two probe worlds, and
+    // the cross-modal media faces (signature extraction is linear scan;
+    // clusters ride the embedding dedup machinery on 256-dim signatures)
+    time("lm_cross")(LmOps.crossNllBandsQuery(spark, tmp).count())
+    time("quality_gate")(LmOps.qualityGateQuery(spark, tmp).count())
+    time("ivf_drift")(IndexMaintOps.ivfDriftQuery(spark, tmp).count())
+    // pairs-vs-clusters split isolates edge generation + verification from
+    // the label propagation when the cluster slope needs diagnosing
+    time("media_dup_pairs")(
+      SimilarityOps.anchorCosinePairs(
+        graft.multimodal.MediaOps.signatureCorpus(spark, tmp),
+        graft.multimodal.MediaOps.MediaDupCosine).count())
+    time("media_dup_clusters")(
+      graft.multimodal.MediaOps.mediaDupClusters(spark, tmp).count())
+    time("media_text_align")(
+      graft.multimodal.MediaOps.mediaTextAlign(spark, tmp).count())
+    time("media_caption_gate")(
+      graft.multimodal.MediaOps.mediaCaptionGate(spark, tmp).count())
     time("ivf_incremental")(IndexMaintOps.ivfIncrementalQuery(spark, tmp).count())
     time("split_safe")(SamplingOps.leakageSafeSplitProfile(spark, tmp).count())
     // BPE: wall time should track the ONE word-count scan, not the rounds —

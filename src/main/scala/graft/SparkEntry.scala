@@ -188,11 +188,11 @@ object SparkEntry {
        |         THEN list_transform(v, x -> 0.0)
        |         ELSE list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) END AS nv
        |  FROM e)""".stripMargin
-  /** 256-bin 4-gram rolling-hash signature CTE chain (mirror of
+  /** 256-bin 8-byte-window rolling-hash signature CTE chain (mirror of
     * MediaOps.StubCodec.signature over the UTF-8 bytes of `textExpr`):
-    * float-width counts and division (REAL casts), double unit-normalize —
-    * yields `${p}u` with (doc_id, nv). Bin hash is the seed-7 base-31
-    * fold of each 4-byte window mod P, mod 256.
+    * float-width counts and division (REAL casts), double mean-center then
+    * unit-normalize — yields `${p}u` with (doc_id, nv). Bin hash is the
+    * seed-7 base-31 fold of each SignatureGram-byte window mod P, mod 256.
     */
   private def sigCtes(p: String, textExpr: String): String =
     s"""${p}v AS (SELECT doc_id, hex(encode($textExpr)) AS hx FROM documents),
@@ -201,12 +201,14 @@ object SparkEntry {
        |    CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT),1))-1)*16
        |      + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INT),1))-1) AS BIGINT)) AS bytes
        |  FROM ${p}v),
-       |${p}g AS (SELECT doc_id, nbytes - 3 AS n4,
-       |  list_transform(range(0, nbytes - 3), i ->
+       |${p}g AS (SELECT doc_id,
+       |  nbytes - ${graft.multimodal.MediaOps.SignatureGram - 1} AS n4,
+       |  list_transform(range(0, nbytes - ${graft.multimodal.MediaOps.SignatureGram - 1}), i ->
        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
-       |      list_slice(bytes, CAST(i+1 AS INT), CAST(i+4 AS INT))),
+       |      list_slice(bytes, CAST(i+1 AS INT),
+       |        CAST(i+${graft.multimodal.MediaOps.SignatureGram} AS INT))),
        |      (a,x) -> (a*31+x) % $MOD) % ${graft.multimodal.MediaOps.SignatureDim}) AS binl
-       |  FROM ${p}b WHERE nbytes >= 4),
+       |  FROM ${p}b WHERE nbytes >= ${graft.multimodal.MediaOps.SignatureGram}),
        |${p}c AS (SELECT doc_id, n4, bin, count(*) AS cnt
        |  FROM (SELECT doc_id, n4, unnest(binl) AS bin FROM ${p}g) GROUP BY 1,2,3),
        |${p}m AS (SELECT doc_id,
@@ -215,10 +217,15 @@ object SparkEntry {
        |  FROM ${p}c GROUP BY doc_id),
        |${p}h AS (SELECT doc_id, list_transform(range(0, ${graft.multimodal.MediaOps.SignatureDim}), k ->
        |    coalesce(map_extract(mp, k)[1], 0.0)) AS f FROM ${p}m),
+       |${p}z AS (SELECT doc_id,
+       |  list_transform(f, x -> x
+       |    - list_reduce(list_prepend(0.0, f), (a, x2) -> a + x2)
+       |      / ${graft.multimodal.MediaOps.SignatureDim}) AS f
+       |  FROM ${p}h),
        |${p}u AS (SELECT doc_id,
        |  CASE WHEN sqrt(${dotSql("f", "f")}) = 0.0 THEN list_transform(f, x -> 0.0)
        |       ELSE list_transform(f, x -> x / sqrt(${dotSql("f", "f")})) END AS nv
-       |  FROM ${p}h)""".stripMargin
+       |  FROM ${p}z)""".stripMargin
 
   /** Mirror of HashKernels.planeProject: out[o] = nv · plane_{seed+o},
     * 3-round LCG planes, d 1-based inside the fold.
@@ -919,11 +926,20 @@ object SparkEntry {
          |sk AS (SELECT doc_id AS vec_id, nv,
          |  ${bandsSql("nv", SimilarityOps.DedupBands, graft.multimodal.MediaOps.lastMediaBits)} AS bands FROM su),
          |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
+         |bc AS (SELECT band, band_val, count(*) AS m, min(vec_id) AS anchor
+         |       FROM bb GROUP BY 1, 2),
+         |bj AS (SELECT bb.vec_id, bb.band, bb.band_val, bc.m, bc.anchor
+         |       FROM bb JOIN bc USING (band, band_val)),
          |cands AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-         |  FROM bb a JOIN bb b2
-         |    ON a.band = b2.band AND a.band_val = b2.band_val
-         |   AND a.vec_id < b2.vec_id),
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |    FROM bj a JOIN bj b2
+         |      ON a.band = b2.band AND a.band_val = b2.band_val
+         |     AND a.vec_id < b2.vec_id
+         |    WHERE a.m <= ${SimilarityOps.AnchorCap}
+         |    UNION ALL
+         |    SELECT anchor AS vec_a, vec_id AS vec_b FROM bj
+         |    WHERE m > ${SimilarityOps.AnchorCap} AND vec_id <> anchor)),
          |edges AS (
          |  SELECT vec_a, vec_b FROM (
          |    SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb2.nv")} AS cos

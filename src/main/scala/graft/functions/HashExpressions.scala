@@ -151,6 +151,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class CenterVector(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(arr: Any): Any =
+      HashKernels.centerVector(arr.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.centerVector($c)")
+    override protected def withNewChildInternal(newChild: Expression): CenterVector =
+      copy(child = newChild)
+  }
+
   case class PlaneProject(child: Expression, outDim: Int, seed: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -215,6 +226,8 @@ object HashExpressions {
     GraftBridge.column(PlaneBands(GraftBridge.expression(c), bands, bits))
   def planeProject(c: Column, outDim: Int, seed: Int): Column =
     GraftBridge.column(PlaneProject(GraftBridge.expression(c), outDim, seed))
+  def centerVector(c: Column): Column =
+    GraftBridge.column(CenterVector(GraftBridge.expression(c)))
   def jaccardLongK(a: Column, b: Column): Column =
     GraftBridge.column(JaccardLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -25,15 +25,20 @@ object MediaOps {
   val FeatureDim = 16
 
   /** Dedup-grade signature: 256-bin histogram of seed-7 base-31 rolling
-    * hashes of every 4-byte window — the perceptual-fingerprint tier of
+    * hashes of every 8-byte window — the perceptual-fingerprint tier of
     * the codec (a real deployment puts pHash/chromaprint here). The
     * 16-bin byte histogram is deliberately NOT used for near-dup: measured
     * on the fixture, 88% of asset pairs sit at cos ≥ 0.99 in that space
-    * (text bytes concentrate in a few bins — a cone), while the 4-gram
-    * signature separates cleanly (28 pairs ≥ 0.9 against a 0.68 median).
+    * (text bytes concentrate in a few bins — a cone). Window length and
+    * centering are both measured choices: 4-byte windows leave a
+    * common-gram cone (median cross-doc cos 0.68) that floods the band
+    * buckets at scale (389 s at the 10× probe); 8-byte windows PLUS the
+    * per-row mean-centering in `signatureCorpus` move the cross-doc median
+    * to 0.11 with true near-dups intact at ≥ 0.9 — a clean desert between
+    * 0.38 (q99.9) and the duplicate mass.
     */
   val SignatureDim = 256
-  val SignatureGram = 4
+  val SignatureGram = 8
 
   /** Stub cross-modal encoder output dim = the embeddings-table dim, and
     * the plane-index offset that keeps its planes disjoint from every band
@@ -43,11 +48,12 @@ object MediaOps {
   val AlignSeed = 1000
 
   /** Caption face: caption = first 200 chars of the source document;
-    * gate keeps pairs at signature-cosine ≥ 0.8 (measured on the fixture:
-    * 499/500 genuine pairs pass, 1/500 shifted decoys do).
+    * gate keeps pairs at signature-cosine ≥ 0.5 (measured on the fixture
+    * under the centered 8-byte signature: genuine pairs span 0.575–1.0,
+    * shifted decoys top out at 0.351 — 500/500 kept vs 0/500).
     */
   val CaptionChars = 200
-  val CaptionGate = 0.8
+  val CaptionGate = 0.5
 
   /** Media near-dup operating point (exact signature cosine ≥ this after
     * LSH candidate generation).
@@ -207,12 +213,16 @@ object MediaOps {
     * (lshCosinePairs, label propagation, ANN) applies unchanged.
     */
   def signatureCorpus(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashExpressions.unitVector
+    import graft.functions.HashExpressions.{centerVector, unitVector}
     import graft.functions.VectorFunctions.asDouble
     import graft.operators.SimilarityOps
+    // center-then-normalize: count histograms live in the positive orthant
+    // where every cosine is ≥ 0 and hyperplane bands barely cut — centering
+    // spreads the corpus over the sphere (measured: cross-doc median cos
+    // 0.11 vs 0.68 uncentered at 4-grams; the 10× probe dropped 389 → ~8 s)
     val sigs = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
       .select(col("asset_id").as("vec_id"), col("kind").as("label"),
-        unitVector(asDouble(col("sv"))).as("nv"))
+        unitVector(centerVector(asDouble(col("sv")))).as("nv"))
     val bits = SimilarityOps.dedupBandBits(
       Tables.documents(spark, dir).count())
     lastMediaBits = bits
@@ -230,8 +240,13 @@ object MediaOps {
   def mediaDupClusters(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{DedupOps, SimilarityOps}
     val corpus = signatureCorpus(spark, dir)
-    val edges = SimilarityOps.lshCosinePairs(corpus, MediaDupCosine,
-        maxBucket = Int.MaxValue)
+    // anchor-hybrid edges, not lshCosinePairs: text-derived signatures give
+    // SKEWED sign-band buckets (sf0.1 max occupancy 332; the 30× replica
+    // probe hit 4 248), where all-pairs candidate emission is quadratic in
+    // the bucket — the anchor path keeps every bucket linear and the
+    // CORRECTNESS fixture stays entirely on the exact all-pairs side
+    // (sf0.01 max bucket 44 < AnchorCap)
+    val edges = SimilarityOps.anchorCosinePairs(corpus, MediaDupCosine)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
       .join(corpus.select(col("vec_id").as("doc_id"),
@@ -253,11 +268,12 @@ object MediaOps {
     * id-bucketed warehouse tables and this is a zero-exchange join.
     */
   def mediaTextAlign(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashExpressions.{dotK, planeProject, unitVector}
+    import graft.functions.HashExpressions.{centerVector, dotK, planeProject, unitVector}
     import graft.functions.VectorFunctions.asDouble
     val proj = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
       .select(col("asset_id").as("vec_id"), col("kind"),
-        unitVector(planeProject(unitVector(asDouble(col("sv"))),
+        unitVector(planeProject(
+          unitVector(centerVector(asDouble(col("sv")))),
           AlignDim, AlignSeed)).as("pv"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("ev"))
@@ -279,13 +295,13 @@ object MediaOps {
     * wraparound — the window moves only (doc_id, caption-signature) rows.
     */
   def mediaCaptionGate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashExpressions.{dotK, unitVector}
+    import graft.functions.HashExpressions.{centerVector, dotK, unitVector}
     import graft.functions.VectorFunctions.asDouble
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val aSig = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
       .select(col("asset_id").as("doc_id"), col("kind"),
-        unitVector(asDouble(col("sv"))).as("anv"))
+        unitVector(centerVector(asDouble(col("sv")))).as("anv"))
     val capSig = Tables.documents(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, CaptionChars).as("cap"))
       .as[(Long, String)]
@@ -296,7 +312,8 @@ object MediaOps {
         }
       }
       .toDF("doc_id", "csv")
-      .select(col("doc_id"), unitVector(asDouble(col("csv"))).as("cnv"))
+      .select(col("doc_id"),
+        unitVector(centerVector(asDouble(col("csv")))).as("cnv"))
     // decoy pairing: next doc_id, last wraps to first — a single-partition
     // window over (doc_id) only; the signatures join back by id
     val w = Window.orderBy(col("doc_id"))

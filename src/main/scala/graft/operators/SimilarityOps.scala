@@ -386,6 +386,61 @@ object SimilarityOps {
         (col("label_a") === col("label_b")).cast("int").as("same_label"))
   }
 
+  /** Bucket size above which `anchorCosinePairs` switches a (band, value)
+    * bucket from exact all-pairs edges to anchor edges. Sized so the
+    * CORRECTNESS fixture stays entirely on the exact path (sf0.01 max
+    * bucket: 44) while the skewed regimes go linear (sf0.1 max bucket 332;
+    * the 30× replica probe's 4 248-member buckets were emitting 408M
+    * all-pairs candidate rows — anchor edges cut that to ~16M).
+    */
+  val AnchorCap = 64
+
+  /** Near-dup EDGES for cluster faces over skew-prone sign-band sketches:
+    * buckets at or under `exactCap` emit exact all-pairs candidates
+    * (true single-linkage edges after cosine verification); larger
+    * buckets emit one edge per member to the bucket ANCHOR (its min
+    * vec_id) — linear in bucket size instead of quadratic, the canopy-
+    * style verification real dedup systems use in the viral-duplicate
+    * regime. Above the cap the linkage can under-merge a pair that fails
+    * against the anchor but passes pairwise; a viral group of
+    * near-identical copies always links (every copy verifies against the
+    * copy-anchor at cos ≈ 1). Unlike the minhash tier — whose band hash
+    * only collides on near-identical signatures — hyperplane sign bands
+    * collide at measurable rates for moderate-cosine pairs, so text-
+    * derived (cone-ish) vector corpora produce thousand-member buckets
+    * where the embedding fixture's isotropic vectors never do; this is
+    * the cluster-face sibling of the pair face's `capHotBuckets`, keeping
+    * every bucket's cost linear while truncating nothing silently (the
+    * anchor path is semantics, not truncation).
+    */
+  def anchorCosinePairs(corpus: DataFrame, minCosine: Double,
+                        exactCap: Int = AnchorCap): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("band_val"))
+    val buckets = corpus.select(col("vec_id"),
+        posexplode(col("bands")).as(Seq("band", "band_val")))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("anchor", min(col("vec_id")).over(w))
+    val small = buckets.filter(col("m") <= exactCap)
+      .select(col("vec_id"), col("band"), col("band_val"))
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val anchorPairs = buckets
+      .filter(col("m") > exactCap && col("vec_id") =!= col("anchor"))
+      .select(col("anchor").as("vec_a"), col("vec_id").as("vec_b"))
+    val cands = smallPairs.unionByName(anchorPairs).distinct()
+    cands
+      .join(corpus.select(col("vec_id").as("vec_a"), col("nv").as("nv_a")),
+        "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("nv").as("nv_b")),
+        "vec_b")
+      .filter(dotK(col("nv_a"), col("nv_b")) >= minCosine)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** Query: LSH-bucketed embedding near-dup pairs (threshold matches
     * dedup_embed_cosine so the two views are directly comparable; the LSH
     * view trades recall on sub-band-collision pairs for linear scaling).

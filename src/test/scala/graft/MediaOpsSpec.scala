@@ -57,7 +57,7 @@ class MediaOpsSpec extends SparkSuite {
     assert(MediaOps.mediaFrameProfile(spark, SparkSpec.FixtureDir).count() > 0)
   }
 
-  test("stub codec: 4-gram signature is normalized, deterministic, and " +
+  test("stub codec: gram-window signature is normalized, deterministic, and " +
     "content-sensitive where the byte histogram is not") {
     val codec = new StubCodec
     val a = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")

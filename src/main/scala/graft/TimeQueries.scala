@@ -33,10 +33,13 @@ object TimeQueries {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { q =>
-      run(q) // warmup
+      // the warmup pass IS the cold point for registry-backed queries
+      // (first call pays the deterministic fit; later calls hit the
+      // registry) — printed so cold-vs-warm is measurable per query
+      val cold = run(q)
       val ts = (1 to runs).map(_ => run(q)).sorted
       val med = ts(ts.size / 2)
-      println(f"[time] $q: median $med%.2f s (runs ${ts.map(t => f"$t%.2f").mkString(", ")})")
+      println(f"[time] $q: cold $cold%.2f s, median $med%.2f s (runs ${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }

@@ -55,7 +55,12 @@ object ClassifierOps {
   /** Classify: per-doc argmax of rounded log-posterior (ties → smaller
     * class). Words outside the training vocabulary are ignored (standard
     * multinomial NB practice — no class receives evidence from them).
-    * Returns (idCol, clazz = predicted, score).
+    * Documents with NO in-vocabulary tokens at all (including empty docs)
+    * still get a verdict: the argmax-PRIOR class with the rounded log-prior
+    * as the score — so the output partitions the input and downstream
+    * joins assuming total coverage never lose rows (cross-corpus use; on a
+    * self-trained corpus the branch is empty). Returns
+    * (idCol, clazz = predicted, score).
     */
   def nbClassify(logPrior: DataFrame, logLik: DataFrame, docs: DataFrame,
                  textCol: String, idCol: String): DataFrame = {
@@ -69,9 +74,21 @@ object ClassifierOps {
         round(col("wsum") + col("lp"), 6).as("score"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("clazz"))
-    scored.withColumn("rk", row_number().over(w))
+    val best = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col(idCol), col("clazz"), col("score"))
+    // prior-only fallback for unscorable docs: anti-join on the scored id
+    // set (re-planned from the same inst subtree, so ReuseExchange shares
+    // the tokenize pass), cross-joined with the 1-row argmax prior
+    val topPrior = logPrior
+      .orderBy(col("lp").desc, col("clazz"))
+      .limit(1)
+      .select(col("clazz"), round(col("lp"), 6).as("score"))
+    val unscorable = docs.select(col(idCol))
+      .join(inst.join(logLik.select("w"), "w").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .crossJoin(broadcast(topPrior))
+    best.unionByName(unscorable)
   }
 
   /** Query: self-train on the documents corpus with lang as the class and

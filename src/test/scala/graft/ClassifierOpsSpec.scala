@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.ClassifierOps
 
 /** Multinomial NB: separable classes classify correctly, evidence from
-  * shared words follows the heavier class, OOV-only docs are unscorable.
+  * shared words follows the heavier class, OOV-only docs fall back to the
+  * argmax-prior verdict so the output partitions the input.
   */
 class ClassifierOpsSpec extends SparkSuite {
   import spark.implicits._
@@ -23,13 +24,23 @@ class ClassifierOpsSpec extends SparkSuite {
     assert(got === Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
   }
 
-  test("mixed evidence follows the majority class; OOV-only docs drop") {
+  test("mixed evidence follows the majority class; OOV-only and empty " +
+      "docs get the prior-only fallback") {
     val (prior, lik) = model
-    val probe = Seq((10L, "xx xx zz"), (11L, "zz zz yy"), (12L, "qq rr"))
+    val probe = Seq((10L, "xx xx zz"), (11L, "zz zz yy"), (12L, "qq rr"),
+        (13L, ""))
       .toDF("doc_id", "text")
-    val got = ClassifierOps.nbClassify(prior, lik, probe, "text", "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got === Map(10L -> "a", 11L -> "b"))
+    val rows = ClassifierOps.nbClassify(prior, lik, probe, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val got = rows.map(r => r._1 -> r._2).toMap
+    // the output partitions the input: all four docs verdicted exactly once
+    assert(rows.map(_._1).sorted === Array(10L, 11L, 12L, 13L))
+    // tied priors (2 docs each) break to the smaller class; score is the
+    // rounded log-prior ln(1/2)
+    assert(got === Map(10L -> "a", 11L -> "b", 12L -> "a", 13L -> "a"))
+    rows.filter(r => r._1 >= 12L).foreach { r =>
+      assert(math.abs(r._3 - math.rint(1e6 * math.log(0.5)) / 1e6) < 1e-12)
+    }
   }
 
   test("likelihood grid is complete: every (word, class) cell has mass") {

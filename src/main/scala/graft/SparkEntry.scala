@@ -513,6 +513,14 @@ object SparkEntry {
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
     // per-class precision/recall/F1 from the same confusion fit
     "txt_nb_metrics" -> ClassifierOps.nbLangMetrics,
+    // sparse retrieval: BM25 top-5 over the distributed inverted index,
+    // first-8-docs query probes (find-more-like-this / decontam shape)
+    "search_bm25" -> RetrievalOps.bm25Query,
+    // hybrid retrieval: BM25 ∪ dense cosine fused by reciprocal-rank
+    // (k=60), depth 20 each, fused top-10 per probe
+    "search_hybrid_rrf" -> RetrievalOps.hybridRrfQuery,
+    // collocation mining: top-30 adjacent-pair PMI at min-count 5
+    "txt_collocations" -> RetrievalOps.collocationsQuery,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -549,6 +557,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOps.minhashDupPairs,
     "dedup_simhash" -> DedupOps.simhashDupPairs,
     "dedup_ngram_jaccard" -> DedupOps.ngramDupPairs,
+    // asymmetric containment: max directional n-gram overlap — finds the
+    // short-doc-subsumed-by-long-doc pairs symmetric Jaccard misses
+    "dedup_containment" -> RetrievalOps.containmentQuery,
     "dedup_embed_cosine" -> DedupOps.embeddingDups,
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
     "dedup_embed_clusters" -> ((s, d) => SimilarityOps.lshDupClusterProfile(s, d)),
@@ -1110,6 +1121,120 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-class metrics from the same confusion: F1 as one exact integer
     // ratio 2tp/(2tp+fp+fn), null precision for never-predicted classes
+    // BM25 over the tokenized corpus: postings/doc-length/df all derived
+    // from the same $TOKS term space; idf = ln(1+(N-df+.5)/(df+.5)),
+    // k1/b from RetrievalOps so Spark and oracle share one constant
+    "search_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT doc_id AS query_id, word FROM tf WHERE doc_id < 8),
+         |s AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * dl / avgdl))) AS score
+         |  FROM q JOIN tf USING (word)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN dfq USING (word), st
+         |  WHERE tf.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // hybrid RRF: the BM25 CTEs at depth 20 + the brute-cosine CTEs at
+    // depth 20, full-outer fused on (query_id, doc_id), 1/(60+rank) sums
+    "search_hybrid_rrf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT doc_id AS query_id, word FROM tf WHERE doc_id < 8),
+         |sbm AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * dl / avgdl))) AS score
+         |  FROM q JOIN tf USING (word)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN dfq USING (word), st
+         |  WHERE tf.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |lr AS (
+         |  SELECT query_id, doc_id,
+         |    1.0 / (${RetrievalOps.RrfK} + row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id)) AS lex_rrf
+         |  FROM sbm
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |      <= ${RetrievalOps.HybridDepth}),
+         |$UNIT_CTE,
+         |sd AS (
+         |  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${dotSql("qv.nv", "c.nv")} AS cos
+         |  FROM u qv JOIN u c ON qv.vec_id <> c.vec_id
+         |  WHERE qv.vec_id < 8),
+         |dr AS (
+         |  SELECT query_id, doc_id,
+         |    1.0 / (${RetrievalOps.RrfK} + row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, doc_id)) AS dense_rrf
+         |  FROM sd
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, doc_id)
+         |      <= ${RetrievalOps.HybridDepth}),
+         |f AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    CAST(l.doc_id IS NOT NULL AS INT)
+         |      + CAST(d.doc_id IS NOT NULL AS INT) AS n_sources,
+         |    coalesce(l.lex_rrf, 0.0) + coalesce(d.dense_rrf, 0.0) AS rrf
+         |  FROM lr l FULL OUTER JOIN dr d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, n_sources, rrf,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |  FROM f)
+         |SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf, n_sources
+         |FROM r WHERE rank <= ${RetrievalOps.HybridK}""".stripMargin,
+    // adjacent-pair PMI at min-count 5: same bigram construction as the
+    // ctfidf (1,2)-gram face; T/B totals from the staged token lists
+    "txt_collocations" ->
+      s"""WITH d AS (SELECT $TOKS AS toks FROM documents),
+         |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t_uni,
+         |               CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS t_bi
+         |        FROM d),
+         |uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(toks) AS word FROM d) GROUP BY 1),
+         |bi AS (
+         |  SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM (
+         |    SELECT unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+         |      ELSE [] END) AS bigram FROM d)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |s AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |             string_split(bigram, ' ')[2] AS w2, c12 FROM bi),
+         |p AS (
+         |  SELECT w1, w2, c12,
+         |    ln((c12 * 1.0 / t_bi)
+         |       / ((u1.c1 * 1.0 / t_uni) * (u2.c1 * 1.0 / t_uni))) AS pmi
+         |  FROM s JOIN uni u1 ON u1.word = w1 JOIN uni u2 ON u2.word = w2, tot)
+         |SELECT w1, w2, c12, round(pmi, 4) AS pmi
+         |FROM p ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
     "txt_nb_metrics" ->
       s"""WITH $NB_BEST_CTES,
          |conf AS (
@@ -2246,6 +2371,33 @@ object SparkEntry {
          |  JOIN grams gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
          |FROM scored WHERE jac >= 0.5""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, g AS grams FROM (
+         |    SELECT doc_id, ${windowHashSql(tokenHashes("toks"), 3)} AS g
+         |    FROM (SELECT doc_id, $TOKS AS toks FROM documents))
+         |  WHERE len(g) > 0),
+         |inverted AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+         |rare AS (SELECT gram FROM inverted GROUP BY 1
+         |         HAVING count(*) <= greatest(10, least(${DedupOps.MaxNgramDf},
+         |                  (SELECT count(*) FROM documents) // 500))
+         |            AND count(*) >= 2),
+         |postings AS (SELECT i.doc_id, i.gram FROM inverted i JOIN rare USING (gram)),
+         |cands AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM postings a JOIN postings b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    greatest(
+         |      len(list_intersect(ga.grams, gb.grams)) * 1.0 / len(ga.grams),
+         |      len(list_intersect(ga.grams, gb.grams)) * 1.0 / len(gb.grams)) AS cont
+         |  FROM cands
+         |  JOIN grams ga ON ga.doc_id = doc_a
+         |  JOIN grams gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(cont, 4) AS containment
+         |FROM scored WHERE cont >= 0.8""".stripMargin,
     // substring tier: positional gram inventory -> global occurrence count
     // -> join back -> per-doc interval union over the sorted start offsets
     // (covered = k + sum(min(gap, k)); a new span opens when a gap > k)

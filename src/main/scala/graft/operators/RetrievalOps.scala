@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.HashExpressions.{tokenHashesK, windowHashSet}
+import graft.functions.TextExpressions.tfMapK
+
+/** Lexical retrieval + collocation tier — the sparse half of a
+  * training-data pipeline's retrieval stack, complementing the dense ANN
+  * tier (SimilarityOps): BM25 over a distributed inverted index, PMI
+  * collocation mining, and asymmetric n-gram containment (the near-dup
+  * measure Jaccard misses when one document subsumes another).
+  *
+  * The reference has no retrieval surface; this generalizes its TF-IDF
+  * scoring (SURVEY.md §2.5 A9, /root/reference/LDA_Analysis.py's
+  * CountVectorizer+TfidfTransformer usage) to the query-time ranking a
+  * RAG / decontamination / hard-negative pipeline runs at scale.
+  *
+  * Scale shape (100 TB lens):
+  *   - BM25: the postings frame IS the inverted index — partitioned by
+  *     word, built in one scan (tfMap kernel: no token-level shuffle).
+  *     The query side is bounded (a query set, not the corpus), so it
+  *     broadcasts against the postings and the only full shuffle is the
+  *     per-(query, doc) score aggregation over MATCHED postings — cost
+  *     tracks hits, never |corpus| × |queries|.
+  *   - PMI: two aggregates over one tokenize scan; the scored join is
+  *     (min-count-filtered bigrams) × (vocabulary) — both model-bounded.
+  *   - Containment: same rare-gram posting join as ngramJaccardPairs
+  *     (df-capped, ≥2 shared grams), so candidate emission is bounded the
+  *     same way; only the final measure differs (directional overlap).
+  */
+object RetrievalOps {
+
+  /** BM25 free parameters — the Robertson/Spärck Jones defaults. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** (doc_id, word, tf) postings from one kernel pass — the inverted
+    * index as a frame. tf is exact (LongType from the tfMap kernel).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(tfMapK(tokens(col(textCol)))).as(Seq("word", "tf")))
+
+  /** BM25 top-k: score a bounded query set against the corpus over the
+    * inverted index. Each query is a document's DISTINCT term set (the
+    * find-more-like-this / decontamination-probe shape); self-matches are
+    * excluded. idf = ln(1 + (N − df + ½)/(df + ½)) — the non-negative
+    * variant. Doc lengths and avgdl come from the postings themselves
+    * (post-tokenization token counts), so empty docs are out of scope on
+    * both engines identically.
+    *
+    * All sums are over integer-valued doubles (tf, dl, df are exact
+    * longs) except the final per-(query, doc) score sum, whose term count
+    * is bounded by the query's distinct-term overlap — small enough that
+    * double summation is order-stable at the 4-dp rounding.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryPred: Column => Column, k: Int): DataFrame = {
+    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("bm25"))
+  }
+
+  /** Query: BM25 top-5 over the documents fixture for the first 8 docs as
+    * query probes.
+    */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      _ < 8, k = 5)
+
+  /** PMI collocations: pointwise mutual information of adjacent token
+    * pairs, pmi = ln((c₁₂/B) / ((c₁/T)·(c₂/T))) with a min-count floor so
+    * one-off pairings can't dominate (Church & Hanks 1990). T = total
+    * tokens, B = total adjacent positions (Σ max(len−1, 0)). Counts are
+    * exact longs; the pmi join runs over the min-count-filtered bigram
+    * table × the vocabulary — both bounded regardless of corpus size.
+    */
+  def collocationsTopK(docs: DataFrame, textCol: String,
+                       minCount: Int, k: Int): DataFrame = {
+    val staged = graft.Caching.track(
+      docs.select(tokens(col(textCol)).as("toks")))
+    val uni = graft.Caching.track(
+      staged.select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c1")))
+    val totals = staged.agg(
+      sum(size(col("toks"))).as("t_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("t_bi"))
+    val bi = staged
+      .select(explode(TextAnalysisOps.tokenBigrams(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    bi.join(uni.select(col("word").as("w1"), col("c1").as("c_w1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c1").as("c_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log((col("c12") / col("t_bi")) /
+          ((col("c_w1") / col("t_uni")) * (col("c_w2") / col("t_uni")))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("pmi"), 4).as("pmi"))
+  }
+
+  /** Query: top-30 PMI collocations over the documents fixture at a
+    * min-count of 5.
+    */
+  def collocationsQuery(spark: SparkSession, dir: String): DataFrame =
+    collocationsTopK(Tables.documents(spark, dir), "text",
+      minCount = 5, k = 30)
+
+  /** RRF rank constant (Cormack, Clarke & Buettcher 2009's k=60). */
+  val RrfK = 60
+  /** Per-retriever candidate depth and fused cut for the hybrid face. */
+  val HybridDepth = 20
+  val HybridK = 10
+
+  /** Reciprocal-rank fusion of two ranked lists: rrf = Σ 1/(RrfK + rank)
+    * over the retrievers that returned the doc. Rank-only fusion — no
+    * score calibration between BM25's unbounded scores and cosine's
+    * [−1, 1] — which is exactly why RRF is the standard hybrid combiner.
+    * Inputs carry (query_id, rank, doc_id); both are query-set-bounded
+    * (≤ |Q|·depth rows), so the full-outer fusion join is trivially small
+    * no matter the corpus size.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    def side(df: DataFrame, out: String) =
+      df.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (col("rank") + RrfK)).as(out))
+    val fused = side(lex, "lex_rrf")
+      .join(side(dense, "dense_rrf"), Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("n_sources",
+        col("lex_rrf").isNotNull.cast("int") +
+          col("dense_rrf").isNotNull.cast("int"))
+      .withColumn("rrf",
+        coalesce(col("lex_rrf"), lit(0.0)) +
+          coalesce(col("dense_rrf"), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("n_sources"))
+  }
+
+  /** Query: hybrid retrieval — BM25 over `documents` fused with exact
+    * cosine over the aligned `embeddings` (vec_id ≡ doc_id domain, the
+    * same alignment MediaOps.mediaTextAlign relies on), first-8-ids
+    * probes, depth 20 each, fused top-10. The dense side is the brute
+    * tier BY CHOICE of the bounded query set (|Q|·n exact scoring is the
+    * honest baseline; swap ivfTopK in when |Q| grows — same frame shape).
+    */
+  def hybridRrfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      _ < 8, k = HybridDepth)
+    val corpus = graft.Caching.track(
+      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
+    val dense = SimilarityOps.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") < 8), HybridDepth)
+      .withColumnRenamed("vec_id", "doc_id")
+    rrfFuse(lex, dense, HybridK)
+  }
+
+  /** Asymmetric containment pairs: directional n-gram overlap
+    * max(|A∩B|/|A|, |A∩B|/|B|) — catches a short document subsumed by a
+    * long one, where symmetric Jaccard stays under any useful threshold
+    * (|A∩B|/|A∪B| ≤ |A|/|B| for A ⊆ B). Candidate generation is the same
+    * df-capped rare-gram posting join as ngramJaccardPairs (see
+    * DedupOps.MaxNgramDf for the bound); the intersection is an exact
+    * integer over the distinct gram-hash sets.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDf: Int = 10,
+                       minContainment: Double = 0.8): DataFrame = {
+    val grams = graft.Caching.track(docs
+      .select(col(idCol).as("doc_id"),
+        windowHashSet(tokenHashesK(normalized(col(textCol))), n).as("grams"))
+      .filter(size(col("grams")) > 0))
+    val inverted = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = inverted.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val postings = inverted.join(rare, "gram")
+    val cands = postings.as("a")
+      .join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
+    cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("containment",
+        greatest(col("inter") / size(col("g_a")),
+          col("inter") / size(col("g_b"))))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Query: containment near-dup pairs over the documents fixture, df cap
+    * scaled like the Jaccard face (max(10, n/500) clamped to MaxNgramDf).
+    */
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxDf = math.max(10L,
+      math.min(DedupOps.MaxNgramDf.toLong, docs.count() / 500L)).toInt
+    containmentPairs(docs, "doc_id", "text", maxDf = maxDf)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RetrievalOps
+
+class RetrievalOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Int, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("bm25: shared rare term outranks shared common term; self excluded") {
+    // q0 shares "zebra" (rare) with d1 and "apple" (common) with d2/d3/d4.
+    val d = docs(
+      0 -> "zebra apple orange",
+      1 -> "zebra melon grape",
+      2 -> "apple melon grape",
+      3 -> "apple grape melon",
+      4 -> "apple banana cherry")
+    val out = RetrievalOps.bm25TopK(d, "doc_id", "text", _ === 0, k = 5)
+      .orderBy($"rank").collect()
+    assert(out.forall(_.getAs[Int]("query_id") == 0))
+    assert(!out.exists(_.getAs[Int]("doc_id") == 0), "self-match must be excluded")
+    assert(out.head.getAs[Int]("doc_id") == 1,
+      "the rare-term match must rank first (idf dominates)")
+    assert(out.forall(_.getAs[Double]("bm25") > 0.0))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val d = docs(
+      0 -> "needle needle",
+      1 -> "needle haystack haystack",
+      2 -> s"needle $filler")
+    val out = RetrievalOps.bm25TopK(d, "doc_id", "text", _ === 0, k = 5)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(out(1) > out(2),
+      "one needle in a short doc must beat one needle in a long doc")
+  }
+
+  test("pmi: an always-adjacent pair beats an independent pair; min-count floors") {
+    // "san francisco" always adjacent (6x); "the cat"/"the dog" mixed so
+    // "the X" pairs are weaker; a 1-off pair is floored out at minCount=2.
+    val repeated = Seq.fill(6)("san francisco").mkString(" the cat ", " the dog ", "")
+    val d = docs(0 -> repeated, 1 -> "rare pairing once")
+    val out = RetrievalOps.collocationsTopK(d, "text", minCount = 2, k = 10)
+      .collect()
+    val pairs = out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    assert(pairs.contains(("san", "francisco")))
+    assert(!pairs.contains(("rare", "pairing")), "below min-count must be floored")
+    val byPair = out.map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Double]("pmi")).toMap
+    assert(byPair(("san", "francisco")) > byPair.getOrElse(("the", "cat"), -1e9))
+  }
+
+  test("pmi: counts are exact and bigram totals use len-1 positions") {
+    val d = docs(0 -> "aa bb aa bb aa bb aa bb aa bb")
+    val out = RetrievalOps.collocationsTopK(d, "text", minCount = 2, k = 10)
+      .collect()
+    val ab = out.find(r => r.getAs[String]("w1") == "aa" && r.getAs[String]("w2") == "bb").get
+    assert(ab.getAs[Long]("c12") == 5L)
+  }
+
+  test("containment: a subsumed short doc is found where Jaccard would miss it") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val d = docs(0 -> long, 1 -> short, 2 -> other)
+    val pairs = RetrievalOps.containmentPairs(d, "doc_id", "text",
+      maxDf = 10, minContainment = 0.8).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Int]("doc_a") == 0 && r.getAs[Int]("doc_b") == 1
+        && r.getAs[Double]("containment") == 1.0),
+      "short ⊂ long must surface with containment 1.0")
+    // Jaccard of the same pair is |short grams| / |long grams| = 8/38 < 0.5:
+    // the symmetric face would never emit it at its 0.5 threshold.
+    assert(!pairs.exists(r => r.getAs[Int]("doc_b") == 2))
+  }
+
+  test("containment: fixture query runs and stays within [0.8, 1]") {
+    val out = RetrievalOps.containmentQuery(spark, SparkSpec.FixtureDir).collect()
+    assert(out.forall { r =>
+      val c = r.getAs[Double]("containment"); c >= 0.8 && c <= 1.0
+    })
+  }
+
+  test("rrf: doc on both lists beats either single-list doc at same ranks") {
+    val lex = Seq((0, 1, 10), (0, 2, 11), (0, 3, 12))
+      .toDF("query_id", "rank", "doc_id")
+    val dense = Seq((0, 1, 11), (0, 2, 20), (0, 3, 21))
+      .toDF("query_id", "rank", "doc_id")
+    val out = RetrievalOps.rrfFuse(lex, dense, k = 10)
+      .orderBy($"rank").collect()
+    // doc 11 (lex rank 2 + dense rank 1) must beat doc 10 (lex rank 1 only):
+    // 1/62 + 1/61 > 1/61.
+    assert(out.head.getAs[Int]("doc_id") == 11)
+    assert(out.head.getAs[Int]("n_sources") == 2)
+    assert(out.filter(_.getAs[Int]("n_sources") == 1)
+      .forall(r => Set(10, 12, 20, 21).contains(r.getAs[Int]("doc_id"))))
+    assert(math.abs(out.head.getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+  }
+
+  test("hybrid fixture query: top-10 per probe, n_sources in {1,2}") {
+    val out = RetrievalOps.hybridRrfQuery(spark, SparkSpec.FixtureDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    assert(out.forall(r => Set(1, 2).contains(r.getAs[Int]("n_sources"))))
+    byQ.values.foreach(rows => assert(rows.length <= RetrievalOps.HybridK))
+  }
+
+  test("bm25 fixture query: 8 probes, ranks are 1..5, scores descend per query") {
+    val out = RetrievalOps.bm25Query(spark, SparkSpec.FixtureDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val scores = sorted.map(_.getAs[Double]("bm25"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -198,6 +198,15 @@ object ScaleProbe {
     time("bpe_train")(VocabOps.bpeMergesQuery(spark, tmp).count())
     time("bpe_encode")(VocabOps.bpeEncodeQuery(spark, tmp).count())
     time("nb_confusion")(ClassifierOps.nbLangConfusion(spark, tmp).count())
+    // retrieval tier: BM25's postings/df/dl derivations are linear scans;
+    // the scoring join is bounded by |Q|·matched-postings, never |corpus|²;
+    // RRF fusion moves ≤ |Q|·depth rows per side. PMI is two aggregates
+    // plus a (filtered bigrams × vocab) join; containment rides the same
+    // df-capped posting join as ngram_jaccard
+    time("bm25")(RetrievalOps.bm25Query(spark, tmp).count())
+    time("hybrid_rrf")(RetrievalOps.hybridRrfQuery(spark, tmp).count())
+    time("collocations")(RetrievalOps.collocationsQuery(spark, tmp).count())
+    time("containment")(RetrievalOps.containmentQuery(spark, tmp).count())
     time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
     time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
     time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())

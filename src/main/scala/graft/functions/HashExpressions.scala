@@ -185,6 +185,18 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  case class ContainmentLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.containmentLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashKernels.containmentLong($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainmentLong =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -230,4 +242,6 @@ object HashExpressions {
     GraftBridge.column(CenterVector(GraftBridge.expression(c)))
   def jaccardLongK(a: Column, b: Column): Column =
     GraftBridge.column(JaccardLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def containmentLongK(a: Column, b: Column): Column =
+    GraftBridge.column(ContainmentLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

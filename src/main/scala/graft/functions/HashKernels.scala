@@ -227,6 +227,32 @@ object HashKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Max directional containment of two long-hash sets:
+    * |A∩B| / min(|A|, |B|) ≡ max(|A∩B|/|A|, |A∩B|/|B|) — the two forms are
+    * bit-identical because correctly-rounded IEEE division is monotonic in
+    * the divisor, so the DuckDB oracle's greatest(i/|A|, i/|B|) matches.
+    * One pass, no intersection array allocated (vs array_intersect +
+    * greatest, which built the intersection per pair).
+    */
+  def containmentLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    val setA = new java.util.HashSet[java.lang.Long](na * 2)
+    var i = 0
+    while (i < na) { setA.add(a.getLong(i)); i += 1 }
+    val seenB = new java.util.HashSet[java.lang.Long](nb * 2)
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (seenB.add(v) && setA.contains(v)) inter += 1
+      i += 1
+    }
+    val m = math.min(setA.size, seenB.size)
+    if (m == 0) 0.0 else inter.toDouble / m
+  }
+
   /** Left-to-right dot product of two double arrays (same fold order as
     * VectorFunctions.dot and the DuckDB oracle's list_reduce → bit-identical
     * doubles across engines).

@@ -218,10 +218,10 @@ object RetrievalOps {
     cands
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      // one-pass codegen kernel ≡ max(|A∩B|/|A|, |A∩B|/|B|) — see
+      // HashKernels.containmentLong for the bit-equality argument
       .withColumn("containment",
-        greatest(col("inter") / size(col("g_a")),
-          col("inter") / size(col("g_b"))))
+        graft.functions.HashExpressions.containmentLongK(col("g_a"), col("g_b")))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 4).as("containment"))

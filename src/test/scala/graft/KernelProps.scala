@@ -65,6 +65,21 @@ object KernelProps extends Properties("HashKernels") {
       j == jSym && j >= 0.0 && j <= 1.0 && self
     }
 
+  property("containmentLong equals set algebra max(i/|A|, i/|B|), symmetric, 1 on self") =
+    forAll(hashList, hashList) { (a, b) =>
+      val (aa, bb) = (longs(a), longs(b))
+      val c = HashKernels.containmentLong(aa, bb)
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expected =
+        if (sa.isEmpty || sb.isEmpty) 0.0
+        else {
+          val i = (sa intersect sb).size.toDouble
+          math.max(i / sa.size, i / sb.size)
+        }
+      c == expected && c == HashKernels.containmentLong(bb, aa) &&
+        (a.isEmpty || HashKernels.containmentLong(aa, aa) == 1.0)
+    }
+
   property("windowHashSet yields at most len-n+1 distinct grams; empty below n") =
     forAll(hashList, Gen.choose(1, 40)) { (hs, n) =>
       val grams = toSeq(HashKernels.windowHashSet(longs(hs), n))

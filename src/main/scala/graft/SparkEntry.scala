@@ -519,6 +519,12 @@ object SparkEntry {
     // hybrid retrieval: BM25 ∪ dense cosine fused by reciprocal-rank
     // (k=60), depth 20 each, fused top-10 per probe
     "search_hybrid_rrf" -> RetrievalOps.hybridRrfQuery,
+    // query-likelihood retrieval (Dirichlet μ=300), matched-terms-only
+    // decomposition — the second classic scoring model next to BM25
+    "search_ql" -> RetrievalOps.qlQuery,
+    // rank-quality gauge: hits@10 / MRR / binary nDCG@10 of the IVF tier
+    // vs brute truth (recall says found; this says found EARLY)
+    "sim_eval_rank" -> RetrievalOps.ivfRankEval,
     // collocation mining: top-30 adjacent-pair PMI at min-count 5
     "txt_collocations" -> RetrievalOps.collocationsQuery,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
@@ -1151,6 +1157,84 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
+    // Dirichlet QL in the matched-terms decomposition: per-pair sum of
+    // ln(1 + tf/(μ·cf/|C|)) + |q|·ln(μ/(dl+μ)) over matched postings only
+    "search_ql" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |coll AS (SELECT CAST(sum(tf) AS BIGINT) AS c_total FROM tf),
+         |cf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT doc_id AS query_id, word FROM tf WHERE doc_id < 8),
+         |ql AS (SELECT query_id, CAST(count(*) AS BIGINT) AS q_len FROM q GROUP BY 1),
+         |mp AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(ln(1.0 + tf / (${RetrievalOps.QlMu} * cf / c_total))) AS match_part
+         |  FROM q JOIN tf USING (word)
+         |  JOIN cf USING (word), coll
+         |  WHERE tf.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |s AS (
+         |  SELECT mp.query_id, mp.doc_id,
+         |    match_part + q_len * ln(${RetrievalOps.QlMu}
+         |      / (dl + ${RetrievalOps.QlMu})) AS score
+         |  FROM mp JOIN dl ON dl.doc_id = mp.doc_id
+         |  JOIN ql ON ql.query_id = mp.query_id),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, doc_id, round(score, 4) AS ql
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // IVF rank-quality: the recall face's brute/probe CTEs with ranks
+    // kept; DCG folds the literal discount table in rank order (the
+    // discounts are Scala-computed constants — no transcendental runs in
+    // SQL, so libm-vs-JVM ulp drift can't exist)
+    "sim_eval_rank" ->
+      s"""WITH $UNIT_CTE,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 10),
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 5),
+         |pr AS (
+         |  SELECT query_id, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("ivf_centroids")} c)),
+         |s2 AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("ivf_assign")} ix USING (list)
+         |  JOIN u cu ON cu.vec_id = ix.vec_id
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND query_id <> ix.vec_id),
+         |an AS (
+         |  SELECT query_id, vec_id, rk FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s2)
+         |  WHERE rk <= 10),
+         |g AS (
+         |  SELECT an.query_id, an.rk,
+         |    CASE WHEN br.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+         |    CASE WHEN br.vec_id IS NOT NULL THEN 1 ELSE 0 END
+         |      * (${RetrievalOps.NdcgDiscounts.mkString("[", ", ", "]")})[an.rk] AS gain
+         |  FROM an LEFT JOIN br
+         |    ON br.query_id = an.query_id AND br.vec_id = an.vec_id)
+         |SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_hits,
+         |  round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rk END), 0.0), 6) AS mrr,
+         |  round(list_reduce(list_prepend(0.0, list(gain ORDER BY rk)),
+         |    (acc, x) -> acc + x) / ${RetrievalOps.NdcgIdeal}, 6) AS ndcg
+         |FROM g GROUP BY 1""".stripMargin,
     // hybrid RRF: the BM25 CTEs at depth 20 + the brute-cosine CTEs at
     // depth 20, full-outer fused on (query_id, doc_id), 1/(60+rank) sums
     "search_hybrid_rrf" ->

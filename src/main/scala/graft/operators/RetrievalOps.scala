@@ -137,6 +137,96 @@ object RetrievalOps {
     collocationsTopK(Tables.documents(spark, dir), "text",
       minCount = 5, k = 30)
 
+  /** Dirichlet smoothing mass for query-likelihood scoring (short-doc μ). */
+  val QlMu = 300.0
+
+  /** Query-likelihood retrieval with Dirichlet smoothing, in the
+    * matched-terms-only decomposition that makes it inverted-index-shaped
+    * (Zhai & Lafferty 2004, eq. 4):
+    *   score(q,d) = Σ_{w ∈ q∩d} ln(1 + tf/(μ·p_c(w))) + |q|·ln(μ/(dl+μ))
+    * where p_c(w) = cf(w)/|C|. Only docs sharing ≥1 term are candidates
+    * (the absent-term mass is the per-doc length term, identical on both
+    * engines), so the scoring join is bounded by matched postings exactly
+    * like BM25 — the naive |q| terms × |corpus| form never materializes.
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          queryPred: Column => Column, k: Int): DataFrame = {
+    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val coll = tf.agg(sum(col("tf")).as("c_total"))
+    val cf = tf.groupBy("word").agg(sum(col("tf")).as("cf"))
+    val qterms = tf.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("q_len"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(cf, "word")
+      .crossJoin(broadcast(coll))
+      .withColumn("contrib",
+        log(lit(1.0) + col("tf") / (lit(QlMu) * col("cf") / col("c_total"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("match_part"))
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "query_id")
+      .withColumn("score",
+        col("match_part") + col("q_len") * log(lit(QlMu) / (col("dl") + QlMu)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("ql"))
+  }
+
+  /** Query: Dirichlet query-likelihood top-5, same probe set as BM25. */
+  def qlQuery(spark: SparkSession, dir: String): DataFrame =
+    queryLikelihoodTopK(Tables.documents(spark, dir), "doc_id", "text",
+      _ < 8, k = 5)
+
+  /** Natural-log DCG discounts for ranks 1..10, computed ONCE here and
+    * interpolated into the oracle SQL as literals (Double.toString
+    * round-trips exactly) — no transcendental is ever evaluated by both
+    * engines, so libm-vs-JVM last-ulp drift can't exist.
+    */
+  val NdcgDiscounts: Seq[Double] = (1 to 10).map(r => 1.0 / math.log(r + 1.0))
+  val NdcgIdeal: Double = NdcgDiscounts.foldLeft(0.0)(_ + _)
+
+  /** IR rank-quality gauge of the IVF tier against the brute ground truth:
+    * per-query hits@10, MRR (1/first-relevant-rank) and binary-gain
+    * nDCG@10. The recall gauges answer "how much of the truth set was
+    * found"; this answers "was it found EARLY" — the metric a reranker or
+    * hard-negative miner actually cares about. DCG folds gains in rank
+    * order on both engines (sorted-struct fold here, list(... ORDER BY)
+    * in the oracle), so the ≤10-term double sum is order-pinned.
+    */
+  def ivfRankEval(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(
+      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
+    val queries = corpus.filter(col("vec_id") < 5)
+    val brute = SimilarityOps.bruteForceTopK(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"), lit(1).as("rel"))
+    val (indexed, cents) = SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+    graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
+    graft.Artifacts.save("ivf_centroids")(cents)
+    val ann = SimilarityOps.ivfProbe(indexed, cents, queries,
+      k = 10, nProbe = SimilarityOps.IvfProbe)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val disc = array(NdcgDiscounts.map(lit): _*)
+    ann.join(brute, Seq("query_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .withColumn("gain", element_at(disc, col("rank")) * col("rel"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(col("rel")).as("n_hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        aggregate(
+          sort_array(collect_list(struct(col("rank").as("r"), col("gain").as("g")))),
+          lit(0.0), (acc, x) => acc + x.getField("g")).as("dcg"))
+      .select(col("query_id"), col("n_hits"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        round(col("dcg") / NdcgIdeal, 6).as("ndcg"))
+  }
+
   /** RRF rank constant (Cormack, Clarke & Buettcher 2009's k=60). */
   val RrfK = 60
   /** Per-retriever candidate depth and fused cut for the hybrid face. */

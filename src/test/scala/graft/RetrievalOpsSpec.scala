@@ -84,6 +84,42 @@ class RetrievalOpsSpec extends SparkSuite {
     })
   }
 
+  test("ql: rare shared term outranks common; longer doc penalized at same tf") {
+    val d = docs(
+      0 -> "zebra apple orange",
+      1 -> "zebra melon grape",
+      2 -> "apple melon grape",
+      3 -> "apple banana cherry kiwi lemon mango papaya peach plum fig date")
+    val out = RetrievalOps.queryLikelihoodTopK(d, "doc_id", "text", _ === 0, k = 5)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Double]("ql")).toMap
+    assert(!out.contains(0), "self excluded")
+    assert(out(1) > out(2), "rare zebra match must beat common apple match")
+    assert(out(2) > out(3), "same one-term match: the longer doc scores lower")
+  }
+
+  test("ndcg discounts: literal table matches 1/ln(r+1) and ideal is their sum") {
+    assert(RetrievalOps.NdcgDiscounts.length == 10)
+    assert(RetrievalOps.NdcgDiscounts.head == 1.0 / math.log(2.0))
+    assert(RetrievalOps.NdcgDiscounts.zip(RetrievalOps.NdcgDiscounts.tail)
+      .forall { case (a, b) => a > b })
+    assert(RetrievalOps.NdcgIdeal == RetrievalOps.NdcgDiscounts.foldLeft(0.0)(_ + _))
+  }
+
+  test("ivf rank eval fixture: metrics bounded, ndcg<=1, mrr in {0}∪[0.1,1]") {
+    val out = RetrievalOps.ivfRankEval(spark, SparkSpec.FixtureDir).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    out.foreach { r =>
+      val (h, mrr, ndcg) = (r.getAs[Long]("n_hits"),
+        r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+      assert(h >= 0 && h <= 10)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(mrr == 0.0 || (mrr >= 0.1 - 1e-9 && mrr <= 1.0))
+      if (h == 0) assert(mrr == 0.0 && ndcg == 0.0)
+      // a perfect prefix of hits implies ndcg not below hits/10 share
+      if (h == 10) assert(math.abs(ndcg - 1.0) < 1e-9)
+    }
+  }
+
   test("rrf: doc on both lists beats either single-list doc at same ranks") {
     val lex = Seq((0, 1, 10), (0, 2, 11), (0, 3, 12))
       .toDF("query_id", "rank", "doc_id")

@@ -207,6 +207,8 @@ object ScaleProbe {
     time("hybrid_rrf")(RetrievalOps.hybridRrfQuery(spark, tmp).count())
     time("collocations")(RetrievalOps.collocationsQuery(spark, tmp).count())
     time("containment")(RetrievalOps.containmentQuery(spark, tmp).count())
+    time("ql")(RetrievalOps.qlQuery(spark, tmp).count())
+    time("textrank")(TextRankOps.textRankQuery(spark, tmp).count())
     time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
     time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
     time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())

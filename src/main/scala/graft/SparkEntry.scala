@@ -527,6 +527,10 @@ object SparkEntry {
     "sim_eval_rank" -> RetrievalOps.ivfRankEval,
     // collocation mining: top-30 adjacent-pair PMI at min-count 5
     "txt_collocations" -> RetrievalOps.collocationsQuery,
+    // TextRank keywords: PageRank over the co-occurrence graph — the
+    // bigram count is distributed, the vocabulary-bounded power
+    // iteration is driver-local (the hybrid-BPE precedent)
+    "txt_textrank" -> TextRankOps.textRankQuery,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
@@ -1294,6 +1298,52 @@ object SparkEntry {
          |  FROM f)
          |SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf, n_sources
          |FROM r WHERE rank <= ${RetrievalOps.HybridK}""".stripMargin,
+    // TextRank: unrolled power iteration (one CTE per round); neighbor
+    // contributions fold in dst-ascending order via list(... ORDER BY) so
+    // the double math is bit-identical to the driver-local foldLeft; the
+    // damping constants are interpolated from TextRankOps (round-trip-
+    // exact literals — 1.0-0.85 is NOT the same double as 0.15)
+    "txt_textrank" -> {
+      val iterCtes = (1 to TextRankOps.TrIters).map { i =>
+        s"""p$i AS (
+           |  SELECT e.src AS word,
+           |    ${TextRankOps.TrBase} / n.n + ${TextRankOps.TrDamping}
+           |      * list_reduce(list_prepend(0.0,
+           |          list(p.rank / dg.deg ORDER BY e.dst)),
+           |        (acc, x) -> acc + x) AS rank
+           |  FROM ed e
+           |  JOIN p${i - 1} p ON p.word = e.dst
+           |  JOIN deg dg ON dg.src = e.dst, n
+           |  GROUP BY e.src, n.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT $TOKS AS toks FROM documents),
+         |bi AS (
+         |  SELECT string_split(bigram, ' ')[1] AS w1,
+         |         string_split(bigram, ' ')[2] AS w2
+         |  FROM (
+         |    SELECT bigram, count(*) AS c12 FROM (
+         |      SELECT unnest(CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |               i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+         |        ELSE [] END) AS bigram FROM d)
+         |    GROUP BY 1 HAVING count(*) >= ${TextRankOps.TrMinCount})
+         |  WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+         |ed AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT w1 AS src, w2 AS dst FROM bi
+         |    UNION ALL SELECT w2, w1 FROM bi)),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM ed),
+         |p0 AS (SELECT src AS word, 1.0 / n.n AS rank
+         |       FROM (SELECT DISTINCT src FROM ed), n),
+         |$iterCtes,
+         |r AS (
+         |  SELECT word, rank,
+         |    CAST(row_number() OVER (ORDER BY rank DESC, word) AS INT) AS pos
+         |  FROM p${TextRankOps.TrIters})
+         |SELECT pos, word, round(rank, 6) AS score
+         |FROM r WHERE pos <= ${TextRankOps.TrTopK}""".stripMargin
+    },
     // adjacent-pair PMI at min-count 5: same bigram construction as the
     // ctfidf (1,2)-gram face; T/B totals from the staged token lists
     "txt_collocations" ->

@@ -120,6 +120,23 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("textrank: hub word outranks leaves; ranks sum to ~1; fixture face is exact top-20") {
+    import graft.operators.TextRankOps
+    // star graph: hub adjacent to 4 distinct leaves, each pair repeated 5x
+    val star = (1 to 4).flatMap(i => Seq.fill(5)(s"hub leaf$i")).mkString(" . ")
+    val d = docs(0 -> star)
+    val edges = TextRankOps.cooccurrenceEdges(d, "text", minCount = 5)
+      .as[(String, String)].collect()
+    val r = TextRankOps.pageRank(edges, TextRankOps.TrIters)
+    assert(r("hub") > r("leaf1"), "the hub must outrank any leaf")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "PageRank mass is conserved")
+    val out = TextRankOps.textRankQuery(spark, SparkSpec.FixtureDir).collect()
+    assert(out.length == TextRankOps.TrTopK)
+    assert(out.map(_.getAs[Int]("pos")).toSeq == (1 to TextRankOps.TrTopK))
+    val scores = out.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("rrf: doc on both lists beats either single-list doc at same ranks") {
     val lex = Seq((0, 1, 10), (0, 2, 11), (0, 3, 12))
       .toDF("query_id", "rank", "doc_id")

@@ -522,6 +522,10 @@ object SparkEntry {
     // query-likelihood retrieval (Dirichlet μ=300), matched-terms-only
     // decomposition — the second classic scoring model next to BM25
     "search_ql" -> RetrievalOps.qlQuery,
+    // incremental postings maintenance: BM25 served FROM the maintained
+    // index after an A→B refresh (|delta| tokenization, kept postings
+    // carried from the parquet-stored A index) ≡ a from-scratch B index
+    "search_bm25_incremental" -> RetrievalOps.bm25IncrementalQuery,
     // rank-quality gauge: hits@10 / MRR / binary nDCG@10 of the IVF tier
     // vs brute truth (recall says found; this says found EARLY)
     "sim_eval_rank" -> RetrievalOps.ivfRankEval,
@@ -1192,6 +1196,36 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
          |  FROM s)
          |SELECT query_id, rank, doc_id, round(score, 4) AS ql
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // incremental BM25: maintained-index ≡ rebuild, so the oracle IS the
+    // from-scratch BM25 over corpus B (documents minus ids ≡ 0 mod 101)
+    "search_bm25_incremental" ->
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0),
+         |tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM b)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT doc_id AS query_id, word FROM tf WHERE doc_id < 8),
+         |s AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * dl / avgdl))) AS score
+         |  FROM q JOIN tf USING (word)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN dfq USING (word), st
+         |  WHERE tf.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
     // IVF rank-quality: the recall face's brute/probe CTEs with ranks
     // kept; DCG folds the literal discount table in rank order (the

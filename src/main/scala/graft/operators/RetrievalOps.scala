@@ -60,8 +60,17 @@ object RetrievalOps {
     * double summation is order-stable at the 4-dp rounding.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queryPred: Column => Column, k: Int): DataFrame = {
-    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+               queryPred: Column => Column, k: Int): DataFrame =
+    bm25FromPostings(graft.Caching.track(postings(docs, idCol, textCol)),
+      queryPred, k)
+
+  /** BM25 over an ALREADY-BUILT postings frame — the index-serving shape:
+    * df/dl/avgdl re-derive from the index itself (word- and doc-level
+    * aggregates over fixed-width rows), so a maintained index never needs
+    * the raw text rescanned to serve queries.
+    */
+  def bm25FromPostings(tf: DataFrame,
+                       queryPred: Column => Column, k: Int): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -94,6 +103,58 @@ object RetrievalOps {
   def bm25Query(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
       _ < 8, k = 5)
+
+  /** Maintain a stored postings index across a corpus refresh A→B:
+    * content-unchanged docs (rolling-hash fingerprint equality, the
+    * SnapshotOps reduction — no text through the diff join) carry their
+    * stored postings; added/changed docs tokenize from B only; removed
+    * docs drop. tf is a pure per-doc function of the text, so the result
+    * equals `postings(B)` exactly — pinned by spec. The lexical twin of
+    * IndexMaintOps.maintainIndex: refresh cost is |delta| tokenization +
+    * an id-keyed join, never a corpus rescan.
+    */
+  def maintainPostings(stored: DataFrame, oldDocs: DataFrame,
+                       newDocs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val fp = (d: DataFrame) => graft.streaming.StreamOps
+      .withFingerprint(d, textCol).select(col(idCol), col("fp"))
+    val diff = SnapshotOps.snapshotDiff(fp(oldDocs), fp(newDocs), idCol)
+    val kept = stored
+      .join(diff.filter(col("status") === "unchanged")
+        .select(col(idCol).as("doc_id")), "doc_id")
+      .withColumn("origin", lit("kept"))
+    val fresh = postings(
+      newDocs.join(diff.filter(col("status").isin("added", "changed"))
+        .select(col(idCol)), idCol),
+      idCol, textCol)
+      .withColumn("origin", lit("retokenized"))
+    kept.unionByName(fresh)
+  }
+
+  /** Query: BM25 served FROM the maintained index after the synthetic A→B
+    * refresh (same derivation family as `snapshot_diff`: A = first 90% of
+    * ids with ids ≡ 0 (mod 97) carrying stale text, B drops ids ≡ 0
+    * (mod 101)). The stored A-index round-trips through parquet
+    * (Artifacts), the refresh touches only the delta, and the served
+    * ranking is provably identical to a from-scratch B index — which is
+    * exactly what the oracle computes.
+    */
+  def bm25IncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(floor(max(col("doc_id")) * 0.9).cast("long"))
+      .collect()(0).getLong(0)
+    val old = docs.filter(col("doc_id") <= cut)
+      .withColumn("text", when(col("doc_id") % 97 === 0,
+        concat(col("text"), lit(" stale edition"))).otherwise(col("text")))
+    val neu = docs.filter(col("doc_id") % 101 =!= 0)
+    val built = postings(old, "doc_id", "text")
+    graft.Artifacts.save("bm25_postings")(built)
+    val stored = graft.Artifacts.path("bm25_postings")
+      .map(spark.read.parquet(_)).getOrElse(built)
+    val maintained = graft.Caching.track(
+      maintainPostings(stored, old, neu, "doc_id", "text").drop("origin"))
+    bm25FromPostings(maintained, _ < 8, k = 5)
+  }
 
   /** PMI collocations: pointwise mutual information of adjacent token
     * pairs, pmi = ln((c₁₂/B) / ((c₁/T)·(c₂/T))) with a min-count floor so

@@ -120,6 +120,37 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("maintainPostings equals a from-scratch build of the new corpus") {
+    val oldDocs = docs(
+      0 -> "alpha beta gamma", 1 -> "delta epsilon", 2 -> "zeta eta theta",
+      3 -> "iota kappa")
+    // 1 changed, 3 removed, 4 added, 0/2 unchanged
+    val newDocs = docs(
+      0 -> "alpha beta gamma", 1 -> "delta epsilon CHANGED",
+      2 -> "zeta eta theta", 4 -> "lambda mu nu")
+    val stored = RetrievalOps.postings(oldDocs, "doc_id", "text")
+    val maintained = RetrievalOps.maintainPostings(
+      stored, oldDocs, newDocs, "doc_id", "text")
+    val rebuilt = RetrievalOps.postings(newDocs, "doc_id", "text")
+    assert(maintained.drop("origin").except(rebuilt).isEmpty &&
+      rebuilt.except(maintained.drop("origin")).isEmpty,
+      "maintained index must equal the from-scratch build")
+    val byOrigin = maintained.groupBy("origin").count().collect()
+      .map(r => r.getAs[String]("origin") -> r.getAs[Long]("count")).toMap
+    // kept: docs 0 and 2 (3 + 3 postings); retokenized: docs 1 and 4
+    assert(byOrigin("kept") == 6L)
+    assert(byOrigin("retokenized") == 6L)
+  }
+
+  test("incremental bm25 fixture query serves the same ranking as a fresh B index") {
+    val dir = SparkSpec.FixtureDir
+    val incr = RetrievalOps.bm25IncrementalQuery(spark, dir)
+    val docsB = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % 101 =!= 0)
+    val fresh = RetrievalOps.bm25TopK(docsB, "doc_id", "text", _ < 8, k = 5)
+    assert(incr.except(fresh).isEmpty && fresh.except(incr).isEmpty)
+  }
+
   test("textrank: hub word outranks leaves; ranks sum to ~1; fixture face is exact top-20") {
     import graft.operators.TextRankOps
     // star graph: hub adjacent to 4 distinct leaves, each pair repeated 5x

@@ -209,6 +209,7 @@ object ScaleProbe {
     time("containment")(RetrievalOps.containmentQuery(spark, tmp).count())
     time("ql")(RetrievalOps.qlQuery(spark, tmp).count())
     time("textrank")(TextRankOps.textRankQuery(spark, tmp).count())
+    time("bm25_incremental")(RetrievalOps.bm25IncrementalQuery(spark, tmp).count())
     time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
     time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
     time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())

@@ -434,6 +434,11 @@ object SparkEntry {
     "rel_pricing_summary" -> RelationalOps.pricingSummary,
     "rel_region_rollup" -> RelationalOps.customerByRegion,
     "rel_revenue_segment" -> RelationalOps.revenueBySegment,
+    // classic join-heavy TPC-H shapes: Q3 (rank on ROUNDED revenue so the
+    // top-10 never depends on double-summation order) and Q5 (two fact
+    // shuffles, broadcast dims, local-supplier nationkey equality)
+    "rel_ship_priority" -> RelationalOps.shippingPriority,
+    "rel_supplier_volume" -> RelationalOps.localSupplierVolume,
     "rel_semi_join" -> RelationalOps.ordersWithDiscount,
     "rel_anti_join" -> RelationalOps.customersWithoutOrders,
     "rel_filter_pushdown" -> RelationalOps.selectiveScan,
@@ -702,6 +707,33 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1,2""".stripMargin,
+    "rel_ship_priority" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    round(sum(l_extendedprice*(1.0-l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+        |FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_supplier_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "rel_semi_join" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS sum_totalprice

@@ -69,6 +69,54 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): top-10 unshipped-order revenues
+    * for one market segment. Dates straddle so the lineitem/orders filters
+    * both prune before the join; the rank key is the ROUNDED revenue with
+    * an orderkey tie-break, so the top-10 selection never depends on
+    * double-summation order.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1997-06-15 00:00:00"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue where the customer
+    * and supplier share a nation, per nation of one region, one order
+    * year. Two fact-fact shuffles (orderkey, suppkey); every dimension is
+    * a broadcast; the local-supplier predicate is the c/s nationkey
+    * equality applied AFTER both fact joins.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Left-semi join (EXISTS): orders having a deep-discount line. */
   def ordersWithDiscount(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

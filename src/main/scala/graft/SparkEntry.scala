@@ -531,6 +531,10 @@ object SparkEntry {
     // index after an A→B refresh (|delta| tokenization, kept postings
     // carried from the parquet-stored A index) ≡ a from-scratch B index
     "search_bm25_incremental" -> RetrievalOps.bm25IncrementalQuery,
+    // pseudo-relevance feedback: top-3 feedback docs mine 5 expansion
+    // terms (integer fb-tf × idf selection), union, rescore — two passes
+    // over the same postings frame
+    "search_prf" -> RetrievalOps.prfQuery,
     // rank-quality gauge: hits@10 / MRR / binary nDCG@10 of the IVF tier
     // vs brute truth (recall says found; this says found EARLY)
     "sim_eval_rank" -> RetrievalOps.ivfRankEval,
@@ -1228,6 +1232,67 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
          |  FROM s)
          |SELECT query_id, rank, doc_id, round(score, 4) AS ql
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // PRF: the BM25 CTEs run twice — feedback pass at depth 3, expansion
+    // term mining (integer fb-tf × idf, word tie-break), union, rescore
+    "search_prf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT doc_id AS query_id, word FROM tf WHERE doc_id < 8),
+         |s1 AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * dl / avgdl))) AS score
+         |  FROM q JOIN tf USING (word)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN dfq USING (word), st
+         |  WHERE tf.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |fb AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |    FROM s1)
+         |  WHERE rk <= ${RetrievalOps.PrfFbDocs}),
+         |ft AS (
+         |  SELECT fb.query_id, tf.word, CAST(sum(tf.tf) AS BIGINT) AS fb_tf
+         |  FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+         |  GROUP BY 1, 2),
+         |exp AS (
+         |  SELECT query_id, word FROM (
+         |    SELECT ft.query_id, ft.word,
+         |      row_number() OVER (PARTITION BY ft.query_id
+         |        ORDER BY ft.fb_tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |          DESC, ft.word) AS erk
+         |    FROM ft JOIN dfq USING (word), st)
+         |  WHERE erk <= ${RetrievalOps.PrfFbTerms}),
+         |q2 AS (SELECT query_id, word FROM q
+         |       UNION SELECT query_id, word FROM exp),
+         |s2 AS (
+         |  SELECT q2.query_id, tf.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * dl / avgdl))) AS score
+         |  FROM q2 JOIN tf USING (word)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN dfq USING (word), st
+         |  WHERE tf.doc_id <> q2.query_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM s2)
+         |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
     // incremental BM25: maintained-index ≡ rebuild, so the oracle IS the
     // from-scratch BM25 over corpus B (documents minus ids ≡ 0 mod 101)

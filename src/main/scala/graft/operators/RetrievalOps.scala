@@ -198,6 +198,69 @@ object RetrievalOps {
     collocationsTopK(Tables.documents(spark, dir), "text",
       minCount = 5, k = 30)
 
+  /** PRF knobs: feedback depth, expansion terms per query. */
+  val PrfFbDocs = 3
+  val PrfFbTerms = 5
+
+  /** Pseudo-relevance feedback (RM3-lite): run BM25, take each query's
+    * top-`fbDocs` documents, mine their `fbTerms` strongest terms
+    * (feedback-tf × idf — the tf sum is an exact integer over ≤ fbDocs
+    * docs, so term SELECTION never rides a double summation), union them
+    * into the query, and rescore. Two passes over the same postings
+    * frame; the feedback join touches only fbDocs·|Q| doc ids.
+    */
+  def prfTopK(docs: DataFrame, idCol: String, textCol: String,
+              queryPred: Column => Column, k: Int,
+              fbDocs: Int = PrfFbDocs, fbTerms: Int = PrfFbTerms): DataFrame = {
+    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    def score(q: DataFrame, depth: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(q), "word")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .join(dfreq, "word")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= depth)
+    }
+    val fb = score(qterms, fbDocs).select(col("query_id"), col("doc_id"))
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("fb_score").desc, col("word"))
+    val expansion = tf.join(fb, "doc_id")
+      .groupBy(col("query_id"), col("word"))
+      .agg(sum(col("tf")).as("fb_tf"))
+      .join(dfreq, "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("fb_score",
+        col("fb_tf") *
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("erk", row_number().over(wExp))
+      .filter(col("erk") <= fbTerms)
+      .select(col("query_id"), col("word"))
+    val expanded = qterms.unionByName(expansion).distinct()
+    score(expanded, k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("bm25"))
+  }
+
+  /** Query: PRF-expanded BM25 top-5, same probe set as the plain face. */
+  def prfQuery(spark: SparkSession, dir: String): DataFrame =
+    prfTopK(Tables.documents(spark, dir), "doc_id", "text", _ < 8, k = 5)
+
   /** Dirichlet smoothing mass for query-likelihood scoring (short-doc μ). */
   val QlMu = 300.0
 

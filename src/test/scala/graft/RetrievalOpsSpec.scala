@@ -120,6 +120,24 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("prf: expansion pulls in a doc sharing no original query term") {
+    // q0 = {seed}; d1 bridges seed->bridge; d2 only has bridge terms, so
+    // plain BM25 can never return d2 for q0, but PRF's feedback on d1
+    // adds "bridge" and d2 becomes reachable.
+    val d = docs(
+      0 -> "seed alone",
+      1 -> "seed bridge bridge span",
+      2 -> "bridge span bridge span",
+      3 -> "unrelated words entirely here")
+    val plain = RetrievalOps.bm25TopK(d, "doc_id", "text", _ === 0, k = 5)
+      .collect().map(_.getAs[Int]("doc_id")).toSet
+    val prf = RetrievalOps.prfTopK(d, "doc_id", "text", _ === 0, k = 5,
+      fbDocs = 1, fbTerms = 2)
+      .collect().map(_.getAs[Int]("doc_id")).toSet
+    assert(!plain.contains(2), "plain BM25 cannot reach the bridged doc")
+    assert(prf.contains(2), "PRF expansion must reach the bridged doc")
+  }
+
   test("maintainPostings equals a from-scratch build of the new corpus") {
     val oldDocs = docs(
       0 -> "alpha beta gamma", 1 -> "delta epsilon", 2 -> "zeta eta theta",

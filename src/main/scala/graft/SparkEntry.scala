@@ -538,6 +538,9 @@ object SparkEntry {
     // rank-quality gauge: hits@10 / MRR / binary nDCG@10 of the IVF tier
     // vs brute truth (recall says found; this says found EARLY)
     "sim_eval_rank" -> RetrievalOps.ivfRankEval,
+    // MMR diversification of the dense top-20: bounded greedy runs
+    // driver-local (products + max only — bit-stable unrolled oracle)
+    "sim_mmr_diverse" -> RetrievalOps.mmrQuery,
     // collocation mining: top-30 adjacent-pair PMI at min-count 5
     "txt_collocations" -> RetrievalOps.collocationsQuery,
     // TextRank keywords: PageRank over the co-occurrence graph — the
@@ -1324,6 +1327,65 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
+    // MMR diversification: unrolled greedy (one scored/pick/sel CTE
+    // triple per step). Every step is products + max — no double sums —
+    // so ten steps are bit-stable by construction; λ and 1−λ are
+    // interpolated from RetrievalOps (1.0−0.7 is not the literal 0.3)
+    "sim_mmr_diverse" -> {
+      val L = RetrievalOps.MmrLambda
+      val C = RetrievalOps.MmrComp
+      val steps = (2 to RetrievalOps.MmrK).map { i =>
+        s"""scored$i AS MATERIALIZED (
+           |  SELECT c.query_id, c.vec_id,
+           |    $L * c.rel - $C * max(p.sim) AS mmr
+           |  FROM cand c
+           |  JOIN pw p ON p.query_id = c.query_id AND p.va = c.vec_id
+           |  JOIN sel${i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+           |  GROUP BY c.query_id, c.vec_id, c.rel),
+           |pick$i AS MATERIALIZED (
+           |  SELECT query_id, vec_id, mmr, $i AS pos FROM (
+           |    SELECT query_id, vec_id, mmr,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY mmr DESC, vec_id) AS rk
+           |    FROM scored$i) WHERE rk = 1),
+           |sel$i AS MATERIALIZED (SELECT query_id, vec_id FROM sel${i - 1}
+           |          UNION ALL SELECT query_id, vec_id FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to RetrievalOps.MmrK)
+        .map(i => s"SELECT query_id, pos, vec_id, mmr FROM pick$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $UNIT_CTE,
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cos AS rel FROM (
+         |    SELECT query_id, vec_id, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, vec_id) AS rk
+         |    FROM sc) WHERE rk <= ${RetrievalOps.MmrCandDepth}),
+         |pw AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         |    ${dotSql("ua.nv", "ub.nv")} AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN u ua ON ua.vec_id = a.vec_id
+         |  JOIN u ub ON ub.vec_id = b.vec_id),
+         |pick1 AS MATERIALIZED (
+         |  SELECT query_id, vec_id, $L * rel AS mmr, 1 AS pos FROM (
+         |    SELECT query_id, vec_id, rel,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $L * rel DESC, vec_id) AS rk
+         |    FROM cand) WHERE rk = 1),
+         |sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1),
+         |$steps
+         |SELECT query_id, pos, vec_id, round(mmr, 6) AS score
+         |FROM ($unionAll)""".stripMargin
+    },
     // IVF rank-quality: the recall face's brute/probe CTEs with ranks
     // kept; DCG folds the literal discount table in rank order (the
     // discounts are Scala-computed constants — no transcendental runs in

@@ -351,6 +351,80 @@ object RetrievalOps {
         round(col("dcg") / NdcgIdeal, 6).as("ndcg"))
   }
 
+  /** MMR trade-off λ (relevance weight); 1−λ is computed once here so the
+    * oracle interpolates the SAME double (1.0−0.7 ≠ the literal 0.3).
+    */
+  val MmrLambda = 0.7
+  val MmrComp: Double = 1.0 - MmrLambda
+  val MmrCandDepth = 20
+  val MmrK = 10
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * 1998) of a dense candidate list: greedily pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s), ties to the
+    * smallest vec_id. The candidate set is query-bounded (|Q|·depth rows
+    * plus depth² pairwise sims per query), so the greedy loop runs
+    * driver-local — the TextRank/BPE precedent for K-bounded work. Every
+    * step is products + a max (NO double summation anywhere), so the
+    * unrolled-CTE oracle is bit-stable by construction.
+    */
+  private[graft] def mmrSelect(
+      cands: Seq[(Long, Long, Double)],          // (query, vec, rel)
+      sims: Map[(Long, Long, Long), Double],     // (query, a, b) -> sim
+      k: Int): Seq[(Long, Int, Long, Double)] = {
+    cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var remaining = cs.map(_._2).sorted
+      var selected = Vector.empty[Long]
+      val out = Seq.newBuilder[(Long, Int, Long, Double)]
+      var pos = 1
+      while (pos <= k && remaining.nonEmpty) {
+        val scored = remaining.map { c =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => sims.getOrElse((q, c, s), 0.0)).max
+          c -> (MmrLambda * rel(c) - MmrComp * maxSim)
+        }
+        val (pick, score) = scored.minBy { case (c, s) => (-s, c) }
+        out += ((q, pos, pick, score))
+        selected :+= pick
+        remaining = remaining.filterNot(_ == pick)
+        pos += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Query: MMR top-10 over the brute top-20 dense candidates for the
+    * first-5-vector probes. Candidate relevances and the depth² pairwise
+    * sims are computed IN Spark (dotK — bit-identical to the oracle's
+    * dotSql fold); only the bounded greedy runs on the driver.
+    */
+  def mmrQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = graft.Caching.track(
+      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
+    val queries = corpus.filter(col("vec_id") < 5)
+    val cand = SimilarityOps.bruteForceTopKUnrounded(
+      corpus, queries, MmrCandDepth)
+    val cv = cand.join(corpus.select(col("vec_id"), col("nv")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cos"), col("nv"))
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        graft.functions.HashExpressions.dotK(col("a.nv"), col("b.nv")).as("sim"))
+    val cands = cand.select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val sims = pairs.as[(Long, Long, Long, Double)].collect()
+      .map { case (q, a, b, s) => (q, a, b) -> s }.toMap
+    mmrSelect(cands, sims, MmrK)
+      .toDF("query_id", "pos", "vec_id", "score_raw")
+      .select(col("query_id"), col("pos"), col("vec_id"),
+        round(col("score_raw"), 6).as("score"))
+  }
+
   /** RRF rank constant (Cormack, Clarke & Buettcher 2009's k=60). */
   val RrfK = 60
   /** Per-retriever candidate depth and fused cut for the hybrid face. */

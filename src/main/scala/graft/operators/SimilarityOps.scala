@@ -108,8 +108,11 @@ object SimilarityOps {
     embs.select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("nv"),
       col("label"))
 
-  /** Exact cosine top-k for each query vector. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Exact cosine top-k with the UNROUNDED cosine kept — for consumers
+    * whose downstream math needs the bit-exact value (e.g. MMR).
+    */
+  def bruteForceTopKUnrounded(corpus: DataFrame, queries: DataFrame,
+                              k: Int): DataFrame = {
     val scored = queries.select(col("vec_id").as("query_id"), col("nv").as("qv"))
       .join(corpus.select(col("vec_id"), col("nv")),
         col("query_id") =!= col("vec_id"))
@@ -119,9 +122,14 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Exact cosine top-k for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopKUnrounded(corpus, queries, k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("cos"), 4).as("cos"))
-  }
 
   /** Query: exact top-10 neighbors for the first 5 vectors. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {

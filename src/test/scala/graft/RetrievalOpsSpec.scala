@@ -120,6 +120,36 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("mmr: a redundant twin of the top pick is deferred below a diverse candidate") {
+    // rel: a=0.95, a2=0.94 (near-clone of a, sim 0.99), b=0.80 (diverse).
+    // Plain ranking: a, a2, b. MMR(λ=0.7): a first; then
+    // a2 = .7*.94-.3*.99 < b = .7*.80-.3*.10 → b second.
+    val q = 100L
+    val cands = Seq((q, 1L, 0.95), (q, 2L, 0.94), (q, 3L, 0.80))
+    val sims = Map(
+      (q, 2L, 1L) -> 0.99, (q, 1L, 2L) -> 0.99,
+      (q, 3L, 1L) -> 0.10, (q, 1L, 3L) -> 0.10,
+      (q, 2L, 3L) -> 0.12, (q, 3L, 2L) -> 0.12)
+    val out = RetrievalOps.mmrSelect(cands, sims, k = 3)
+    assert(out.map(_._3) == Seq(1L, 3L, 2L),
+      "MMR must defer the redundant near-clone below the diverse candidate")
+    assert(out.map(_._2) == Seq(1, 2, 3))
+  }
+
+  test("mmr fixture query: 5 probes x 10 picks, pick 1 is the brute top-1") {
+    val out = RetrievalOps.mmrQuery(spark, SparkSpec.FixtureDir).collect()
+    assert(out.length == 50)
+    val corpus = graft.operators.SimilarityOps.unitCorpus(
+      graft.Tables.embeddings(spark, SparkSpec.FixtureDir))
+    val top1 = graft.operators.SimilarityOps
+      .bruteForceTopK(corpus, corpus.filter($"vec_id" < 5), 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    out.filter(_.getAs[Int]("pos") == 1).foreach { r =>
+      assert(top1(r.getAs[Long]("query_id")) == r.getAs[Long]("vec_id"),
+        "MMR's first pick must be the plain top-1 (no diversity penalty yet)")
+    }
+  }
+
   test("prf: expansion pulls in a doc sharing no original query term") {
     // q0 = {seed}; d1 bridges seed->bridge; d2 only has bridge terms, so
     // plain BM25 can never return d2 for q0, but PRF's feedback on d1

@@ -535,6 +535,11 @@ object SparkEntry {
     // terms (integer fb-tf × idf selection), union, rescore — two passes
     // over the same postings frame
     "search_prf" -> RetrievalOps.prfQuery,
+    // percolation (standing queries at ingest): a deterministic ingest
+    // sample scored statelessly against frozen standing terms/stats;
+    // per-query match count + strongest doc. Streaming twin:
+    // StreamOps.percolateStream (spec-pinned parity)
+    "search_percolate" -> RetrievalOps.percolateQuery,
     // rank-quality gauge: hits@10 / MRR / binary nDCG@10 of the IVF tier
     // vs brute truth (recall says found; this says found EARLY)
     "sim_eval_rank" -> RetrievalOps.ivfRankEval,
@@ -1297,6 +1302,55 @@ object SparkEntry {
          |  FROM s2)
          |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
+    // percolation: frozen standing terms (idf at build time) score a
+    // stateless ingest sample; best query per doc, gate at PercolateMin,
+    // per-query report
+    "search_percolate" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM tf WHERE doc_id < 8),
+         |terms AS (
+         |  SELECT query_id, qt.word,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM qt JOIN dfq USING (word), st),
+         |inc AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, $TOKS AS toks FROM documents
+         |    WHERE doc_id % 7 = 3 AND doc_id >= 8)),
+         |itf AS (
+         |  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM inc)
+         |  GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT t.query_id, i.doc_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      t.idf * (i.tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (i.tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * i.dl / avgdl))
+         |      ORDER BY word)), (acc, x) -> acc + x) AS score
+         |  FROM itf i JOIN terms t USING (word), st
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, query_id) AS rk
+         |    FROM sc)
+         |  WHERE rk = 1 AND score >= ${RetrievalOps.PercolateMin}),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS qrk
+         |  FROM best)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |  max(CASE WHEN qrk = 1 THEN doc_id END) AS top_doc,
+         |  max(CASE WHEN qrk = 1 THEN round(score, 4) END) AS top_score
+         |FROM ranked GROUP BY 1""".stripMargin,
     // incremental BM25: maintained-index ≡ rebuild, so the oracle IS the
     // from-scratch BM25 over corpus B (documents minus ids ≡ 0 mod 101)
     "search_bm25_incremental" ->

@@ -351,6 +351,111 @@ object RetrievalOps {
         round(col("dcg") / NdcgIdeal, 6).as("ndcg"))
   }
 
+  /** Percolation gate: minimum best-query BM25 score for a doc to match. */
+  val PercolateMin = 1.0
+
+  /** Frozen standing-query index for percolation: per-(query, word) idf
+    * baked at build time plus the scalar collection stats. The stream
+    * side never touches the corpus again — everything a doc needs to be
+    * scored is this (broadcastable, |standing terms| rows) plus the doc's
+    * own tokens.
+    */
+  case class StandingQueries(terms: DataFrame, avgdl: Double, nDocs: Long)
+
+  /** Build standing queries from the corpus: each probe doc's distinct
+    * terms with idf and the frozen dl stats, derived from one postings
+    * build — the same quantities the plain BM25 face computes per run,
+    * frozen here the way a deployed percolator freezes its index stats.
+    */
+  def buildStanding(docs: DataFrame, idCol: String, textCol: String,
+                    queryPred: Column => Column): StandingQueries = {
+    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val Array(nDocs, avgdl) = dl.agg(count(lit(1)).cast("double"),
+      avg(col("dl"))).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val terms = tf.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+      .join(dfreq, "word")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("query_id"), col("word"), col("idf"))
+    StandingQueries(terms, avgdl, nDocs.toLong)
+  }
+
+  /** Stateless per-term percolation rows: tokenize the incoming doc,
+    * broadcast-join its terms to the standing table, per-term BM25
+    * contribution with the doc's own tf/dl against the FROZEN idf/avgdl.
+    * No corpus access and no aggregation — both the batch face and the
+    * streaming face group these rows their own way.
+    */
+  def percolateTermRows(docs: DataFrame, idCol: String, textCol: String,
+                        standing: StandingQueries,
+                        keep: Seq[String] = Nil): DataFrame = {
+    val staged = docs.select(
+      (Seq(col(idCol).as("doc_id")) ++ keep.map(col) :+
+        tokens(col(textCol)).as("toks")): _*)
+    staged
+      .withColumn("dl", size(col("toks")))
+      .select((Seq(col("doc_id"), col("dl")) ++ keep.map(col) :+
+        explode(graft.functions.TextExpressions.tfMapK(col("toks")))
+          .as(Seq("word", "tf"))): _*)
+      .join(broadcast(standing.terms), "word")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / standing.avgdl)))
+  }
+
+  /** Order-pinned per-(query, doc) score fold over percolateTermRows —
+    * see the spec note in `percolateScores` for why this is a sorted
+    * fold, not a plain sum.
+    */
+  def percolateScoreAgg: Column =
+    aggregate(
+      sort_array(collect_list(struct(col("word"), col("contrib")))),
+      lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score")
+
+  /** Batch (query, doc) percolation scores. */
+  def percolateScores(docs: DataFrame, idCol: String, textCol: String,
+                      standing: StandingQueries,
+                      keep: Seq[String] = Nil): DataFrame = {
+    percolateTermRows(docs, idCol, textCol, standing, keep)
+      .groupBy((Seq(col("query_id"), col("doc_id")) ++ keep.map(col)): _*)
+      // ORDER-PINNED sum (word-ascending struct fold, the PQ-ADC
+      // precedent): the percolate sample scores near-duplicate docs
+      // against near-duplicate standing queries, so best-query argmaxes
+      // are systematically near-tied — a plain sum() flips picks with
+      // the engine's partial-aggregation order (measured: DuckDB varies
+      // run-to-run on this face; the plain retrieval faces' rank
+      // boundaries are far from ties and stay stable)
+      .agg(percolateScoreAgg)
+  }
+
+  /** Query: batch percolation report — a deterministic ingest sample
+    * (doc_id ≡ 3 mod 7, probes excluded) scored against the first-8-docs
+    * standing queries; per doc the best query wins (ties to the smallest
+    * query_id), docs under the gate drop, and the report is per standing
+    * query: match count + its strongest doc.
+    */
+  def percolateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = buildStanding(docs, "doc_id", "text", _ < 8)
+    val incoming = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") >= 8)
+    val scores = percolateScores(incoming, "doc_id", "text", standing)
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("query_id"))
+    val best = scores.withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") === 1 && col("score") >= PercolateMin)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    best.withColumn("qrk", row_number().over(wQ))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        max(when(col("qrk") === 1, col("doc_id"))).as("top_doc"),
+        max(when(col("qrk") === 1, round(col("score"), 4))).as("top_score"))
+  }
+
   /** MMR trade-off λ (relevance weight); 1−λ is computed once here so the
     * oracle interpolates the SAME double (1.0−0.7 ≠ the literal 0.3).
     */

@@ -233,6 +233,32 @@ object StreamOps {
       .filter(col("nll") <= maxNll)
       .select(col(idCol), col("lang"), col("nll"))
 
+  /** Percolation at ingest (standing queries / alerting): each incoming
+    * doc is tokenized statelessly and its terms broadcast-joined to the
+    * FROZEN standing-query table (RetrievalOps.buildStanding — idf and
+    * avgdl baked at index-build time, the corpus is never touched again);
+    * ONE watermarked per-(window, query, doc) aggregation folds the term
+    * contributions (order-pinned, same fold as the batch face) and every
+    * (query, doc) pair at score ≥ minScore emits an alert. State is
+    * bounded by open windows × matched pairs; emission is append-mode.
+    * Batch parity with RetrievalOps.percolateScores is spec-pinned.
+    */
+  def percolateStream(docs: DataFrame,
+                      standing: graft.operators.RetrievalOps.StandingQueries,
+                      textCol: String, idCol: String, tsCol: String,
+                      minScore: Double = graft.operators.RetrievalOps.PercolateMin,
+                      delay: String = "1 hour"): DataFrame =
+    graft.operators.RetrievalOps
+      // watermark attaches to the SOURCE, before the standing join: a doc
+      // with no matching term still advances event time (its rows die in
+      // the inner join, which would otherwise starve the watermark)
+      .percolateTermRows(docs.withWatermark(tsCol, delay), idCol, textCol,
+        standing, Seq(tsCol))
+      .groupBy(window(col(tsCol), "1 hour"), col("query_id"), col("doc_id"))
+      .agg(graft.operators.RetrievalOps.percolateScoreAgg)
+      .filter(col("score") >= minScore)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+
   /** Exploded (doc, band, band_hash) rows of `docs` that collide with the
     * stored index's band buckets — the shared core of the incremental-dedup
     * faces. The semi join is stream-static capable: the stream side only

@@ -96,6 +96,44 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("percolation in-stream: frozen standing queries alert, batch parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RetrievalOps
+    implicit val sqlCtx = spark.sqlContext
+    // standing queries built from a tiny corpus: probe doc 0 = {zebra...}
+    val corpus = Seq(
+      (0L, "zebra quagga okapi"),
+      (1L, "common words here"),
+      (2L, "more common words around here"),
+      (3L, "zebra appears once more")
+    ).toDF("doc_id", "text")
+    val standing = RetrievalOps.buildStanding(corpus, "doc_id", "text", _ < 1)
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.percolateStream(
+        input.toDF(), standing, "text", "doc_id", "ts", minScore = 1.0)
+      .writeStream.format("memory").queryName("percolate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(10, ts(9, 0), "a zebra and an okapi walked far"),
+        StreamDoc(11, ts(9, 5), "nothing relevant at all"))
+      q.processAllAvailable()
+      input.addData(StreamDoc(99, ts(12, 0), "watermark push"))
+      q.processAllAvailable()
+      val streamed = spark.table("percolate_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(streamed.keySet === Set((0L, 10L)), "only the zebra doc alerts")
+      // batch face: same standing index, same delta, same score
+      val delta = Seq((10L, "a zebra and an okapi walked far"),
+        (11L, "nothing relevant at all")).toDF("doc_id", "text")
+      val batch = RetrievalOps.percolateScores(delta, "doc_id", "text", standing)
+        .filter(col("score") >= 1.0)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("PII scrub at ingest: the stateless redaction projection runs in-stream") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext

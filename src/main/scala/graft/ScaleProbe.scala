@@ -211,6 +211,8 @@ object ScaleProbe {
     time("textrank")(TextRankOps.textRankQuery(spark, tmp).count())
     time("bm25_incremental")(RetrievalOps.bm25IncrementalQuery(spark, tmp).count())
     time("prf")(RetrievalOps.prfQuery(spark, tmp).count())
+    time("percolate")(RetrievalOps.percolateQuery(spark, tmp).count())
+    time("mmr")(RetrievalOps.mmrQuery(spark, tmp).count())
     time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
     time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
     time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())

@@ -125,6 +125,7 @@ object Bench {
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()
     operators.ClassifierOps.clearNbCache()
+    operators.RetrievalOps.clearPostingsCache()
     spark.stop()
   }
 }

@@ -57,6 +57,7 @@ object Verify {
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()
     operators.ClassifierOps.clearNbCache()
+    operators.RetrievalOps.clearPostingsCache()
     spark.stop()
   }
 }

@@ -46,6 +46,29 @@ object RetrievalOps {
     docs.select(col(idCol).as("doc_id"),
       explode(tfMapK(tokens(col(textCol)))).as(Seq("word", "tf")))
 
+  /** Cross-query registry of the corpus postings frame, content-keyed
+    * like every other deterministic-fit registry (Fingerprint.dirKey):
+    * five retrieval faces (bm25 / ql / prf / hybrid's lexical side /
+    * percolate's standing build) share ONE tokenize scan per corpus
+    * version instead of five. Same lifetime contract as DedupOps'
+    * labelCache — Bench/Verify clear at teardown.
+    */
+  private val postingsCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  def clearPostingsCache(): Unit = {
+    postingsCache.values.foreach(_.unpersist(false))
+    postingsCache.clear()
+  }
+
+  private def corpusPostings(spark: SparkSession, dir: String): DataFrame =
+    postingsCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+      val tf = postings(Tables.documents(spark, dir), "doc_id", "text")
+        .persist()
+      tf.count() // materialize before the building query's scope ends
+      tf
+    })
+
   /** BM25 top-k: score a bounded query set against the corpus over the
     * inverted index. Each query is a document's DISTINCT term set (the
     * find-more-like-this / decontamination-probe shape); self-matches are
@@ -98,11 +121,10 @@ object RetrievalOps {
   }
 
   /** Query: BM25 top-5 over the documents fixture for the first 8 docs as
-    * query probes.
+    * query probes (postings from the shared registry).
     */
   def bm25Query(spark: SparkSession, dir: String): DataFrame =
-    bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
-      _ < 8, k = 5)
+    bm25FromPostings(corpusPostings(spark, dir), _ < 8, k = 5)
 
   /** Maintain a stored postings index across a corpus refresh A→B:
     * content-unchanged docs (rolling-hash fingerprint equality, the
@@ -211,8 +233,14 @@ object RetrievalOps {
     */
   def prfTopK(docs: DataFrame, idCol: String, textCol: String,
               queryPred: Column => Column, k: Int,
-              fbDocs: Int = PrfFbDocs, fbTerms: Int = PrfFbTerms): DataFrame = {
-    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+              fbDocs: Int = PrfFbDocs, fbTerms: Int = PrfFbTerms): DataFrame =
+    prfFromPostings(graft.Caching.track(postings(docs, idCol, textCol)),
+      queryPred, k, fbDocs, fbTerms)
+
+  /** PRF over an already-built postings frame (registry-shared). */
+  def prfFromPostings(tf: DataFrame, queryPred: Column => Column, k: Int,
+                      fbDocs: Int = PrfFbDocs,
+                      fbTerms: Int = PrfFbTerms): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -259,7 +287,7 @@ object RetrievalOps {
 
   /** Query: PRF-expanded BM25 top-5, same probe set as the plain face. */
   def prfQuery(spark: SparkSession, dir: String): DataFrame =
-    prfTopK(Tables.documents(spark, dir), "doc_id", "text", _ < 8, k = 5)
+    prfFromPostings(corpusPostings(spark, dir), _ < 8, k = 5)
 
   /** Dirichlet smoothing mass for query-likelihood scoring (short-doc μ). */
   val QlMu = 300.0
@@ -274,8 +302,13 @@ object RetrievalOps {
     * like BM25 — the naive |q| terms × |corpus| form never materializes.
     */
   def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
-                          queryPred: Column => Column, k: Int): DataFrame = {
-    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+                          queryPred: Column => Column, k: Int): DataFrame =
+    qlFromPostings(graft.Caching.track(postings(docs, idCol, textCol)),
+      queryPred, k)
+
+  /** QL over an already-built postings frame (registry-shared). */
+  def qlFromPostings(tf: DataFrame,
+                     queryPred: Column => Column, k: Int): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val coll = tf.agg(sum(col("tf")).as("c_total"))
     val cf = tf.groupBy("word").agg(sum(col("tf")).as("cf"))
@@ -304,8 +337,7 @@ object RetrievalOps {
 
   /** Query: Dirichlet query-likelihood top-5, same probe set as BM25. */
   def qlQuery(spark: SparkSession, dir: String): DataFrame =
-    queryLikelihoodTopK(Tables.documents(spark, dir), "doc_id", "text",
-      _ < 8, k = 5)
+    qlFromPostings(corpusPostings(spark, dir), _ < 8, k = 5)
 
   /** Natural-log DCG discounts for ranks 1..10, computed ONCE here and
     * interpolated into the oracle SQL as literals (Double.toString
@@ -368,8 +400,13 @@ object RetrievalOps {
     * frozen here the way a deployed percolator freezes its index stats.
     */
   def buildStanding(docs: DataFrame, idCol: String, textCol: String,
-                    queryPred: Column => Column): StandingQueries = {
-    val tf = graft.Caching.track(postings(docs, idCol, textCol))
+                    queryPred: Column => Column): StandingQueries =
+    buildStandingFromPostings(
+      graft.Caching.track(postings(docs, idCol, textCol)), queryPred)
+
+  /** Standing-query build over an already-built postings frame. */
+  def buildStandingFromPostings(tf: DataFrame,
+                                queryPred: Column => Column): StandingQueries = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val Array(nDocs, avgdl) = dl.agg(count(lit(1)).cast("double"),
       avg(col("dl"))).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
@@ -440,7 +477,7 @@ object RetrievalOps {
     */
   def percolateQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val standing = buildStanding(docs, "doc_id", "text", _ < 8)
+    val standing = buildStandingFromPostings(corpusPostings(spark, dir), _ < 8)
     val incoming = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") >= 8)
     val scores = percolateScores(incoming, "doc_id", "text", standing)
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -572,8 +609,8 @@ object RetrievalOps {
     * honest baseline; swap ivfTopK in when |Q| grows — same frame shape).
     */
   def hybridRrfQuery(spark: SparkSession, dir: String): DataFrame = {
-    val lex = bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
-      _ < 8, k = HybridDepth)
+    val lex = bm25FromPostings(corpusPostings(spark, dir), _ < 8,
+      k = HybridDepth)
     val corpus = graft.Caching.track(
       SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
     val dense = SimilarityOps.bruteForceTopK(

@@ -150,6 +150,26 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("bm25 plan shape: query terms broadcast; no cartesian anywhere") {
+    val plan = RetrievalOps.bm25Query(spark, SparkSpec.FixtureDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the bounded query-term side must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "nothing in the scoring chain may go cartesian")
+  }
+
+  test("percolate plan shape: standing terms broadcast into the ingest scan") {
+    val docs = graft.Tables.documents(spark, SparkSpec.FixtureDir)
+    val standing = RetrievalOps.buildStanding(docs, "doc_id", "text", _ < 8)
+    val plan = RetrievalOps.percolateScores(
+        docs.filter($"doc_id" % 7 === 3 && $"doc_id" >= 8), "doc_id", "text",
+        standing)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("prf: expansion pulls in a doc sharing no original query term") {
     // q0 = {seed}; d1 bridges seed->bridge; d2 only has bridge terms, so
     // plain BM25 can never return d2 for q0, but PRF's feedback on d1

@@ -540,6 +540,10 @@ object SparkEntry {
     // per-query match count + strongest doc. Streaming twin:
     // StreamOps.percolateStream (spec-pinned parity)
     "search_percolate" -> RetrievalOps.percolateQuery,
+    // frozen-stats drift gauge: best-query flip rate of frozen-A vs
+    // fresh-B standing stats on the same ingest sample, rebuild verdict
+    // at the committed threshold — the lexical twin of sim_ivf_drift
+    "search_stats_drift" -> RetrievalOps.statsDriftQuery,
     // rank-quality gauge: hits@10 / MRR / binary nDCG@10 of the IVF tier
     // vs brute truth (recall says found; this says found EARLY)
     "sim_eval_rank" -> RetrievalOps.ivfRankEval,
@@ -1302,6 +1306,92 @@ object SparkEntry {
          |  FROM s2)
          |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
+    // frozen-stats drift: the percolate chain twice (A-frozen terms vs
+    // B-fresh terms), order-pinned folds, per-doc argmax flip count
+    "search_stats_drift" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS c FROM documents),
+         |olddocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 0 THEN text || ' stale edition'
+         |         ELSE text END AS text
+         |  FROM documents, cut WHERE doc_id <= c),
+         |newdocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0),
+         |tfa AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM olddocs)
+         |  GROUP BY 1, 2),
+         |dla AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfa GROUP BY 1),
+         |sta AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dla),
+         |dfa AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tfa GROUP BY 1),
+         |terma AS (
+         |  SELECT query_id, q.word,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+         |    avgdl
+         |  FROM (SELECT DISTINCT doc_id AS query_id, word FROM tfa
+         |        WHERE doc_id < 8) q
+         |  JOIN dfa USING (word), sta),
+         |tfb AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM newdocs)
+         |  GROUP BY 1, 2),
+         |dlb AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfb GROUP BY 1),
+         |stb AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dlb),
+         |dfb AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY 1),
+         |termb AS (
+         |  SELECT query_id, q.word,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+         |    avgdl
+         |  FROM (SELECT DISTINCT doc_id AS query_id, word FROM tfb
+         |        WHERE doc_id < 8) q
+         |  JOIN dfb USING (word), stb),
+         |itf AS (
+         |  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM (
+         |      SELECT doc_id, $TOKS AS toks FROM newdocs
+         |      WHERE doc_id % 7 = 3 AND doc_id >= 8))
+         |  GROUP BY 1, 2, 3),
+         |sca AS (
+         |  SELECT t.query_id, i.doc_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      t.idf * (i.tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (i.tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * i.dl / t.avgdl))
+         |      ORDER BY word)), (acc, x) -> acc + x) AS score
+         |  FROM itf i JOIN terma t USING (word)
+         |  GROUP BY 1, 2),
+         |scb AS (
+         |  SELECT t.query_id, i.doc_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      t.idf * (i.tf * ${RetrievalOps.Bm25K1 + 1.0})
+         |        / (i.tf + ${RetrievalOps.Bm25K1} * (1.0 - ${RetrievalOps.Bm25B}
+         |             + ${RetrievalOps.Bm25B} * i.dl / t.avgdl))
+         |      ORDER BY word)), (acc, x) -> acc + x) AS score
+         |  FROM itf i JOIN termb t USING (word)
+         |  GROUP BY 1, 2),
+         |ba AS (
+         |  SELECT doc_id, query_id AS q_frozen FROM (
+         |    SELECT doc_id, query_id,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, query_id) AS rk FROM sca)
+         |  WHERE rk = 1),
+         |bb AS (
+         |  SELECT doc_id, query_id AS q_fresh FROM (
+         |    SELECT doc_id, query_id,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, query_id) AS rk FROM scb)
+         |  WHERE rk = 1),
+         |j AS (SELECT ba.doc_id, q_frozen, q_fresh
+         |      FROM ba JOIN bb ON ba.doc_id = bb.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN q_frozen <> q_fresh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flips,
+         |  round(sum(CASE WHEN q_frozen <> q_fresh THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 4) AS flip_rate,
+         |  sum(CASE WHEN q_frozen <> q_fresh THEN 1 ELSE 0 END) * 1.0
+         |    / count(*) > ${RetrievalOps.StatsDriftThreshold} AS rebuild_due
+         |FROM j""".stripMargin,
     // percolation: frozen standing terms (idf at build time) score a
     // stateless ingest sample; best query per doc, gate at PercolateMin,
     // per-query report

@@ -493,6 +493,58 @@ object RetrievalOps {
         max(when(col("qrk") === 1, round(col("score"), 4))).as("top_score"))
   }
 
+  /** Best-query flip rate above which frozen standing-query stats are
+    * declared drifted and a stats rebuild is due — the lexical twin of
+    * IndexMaintOps.DriftRetrainThreshold.
+    */
+  val StatsDriftThreshold = 0.05
+
+  /** Per-doc best standing query under a given stats world. */
+  private def bestQueryPerDoc(scores: DataFrame, out: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("query_id"))
+    scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("query_id").as(out))
+  }
+
+  /** Query: the frozen-stats DRIFT GAUGE for the lexical tier — the
+    * operational question percolation's frozen idf/avgdl raise at 100 TB:
+    * after the corpus moves A→B, how often does the FROZEN standing index
+    * pick a different best query for an incoming doc than FRESH B-stats
+    * would? Same A/B derivation as `snapshot_diff`; the report is one
+    * row — docs gauged, best-query flips, the exact-ratio flip rate, and
+    * the rebuild verdict at `StatsDriftThreshold`. Both worlds score the
+    * same bounded ingest sample; only per-doc argmaxes (order-pinned
+    * folds) and integer counts cross the report, so the gauge is
+    * summation-order-proof end to end.
+    */
+  def statsDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(floor(max(col("doc_id")) * 0.9).cast("long"))
+      .collect()(0).getLong(0)
+    val old = docs.filter(col("doc_id") <= cut)
+      .withColumn("text", when(col("doc_id") % 97 === 0,
+        concat(col("text"), lit(" stale edition"))).otherwise(col("text")))
+    val neu = docs.filter(col("doc_id") % 101 =!= 0)
+    val frozen = buildStanding(old, "doc_id", "text", _ < 8)
+    val fresh = buildStandingFromPostings(
+      graft.Caching.track(postings(neu, "doc_id", "text")), _ < 8)
+    val incoming = neu.filter(col("doc_id") % 7 === 3 && col("doc_id") >= 8)
+    val a = bestQueryPerDoc(
+      percolateScores(incoming, "doc_id", "text", frozen), "q_frozen")
+    val b = bestQueryPerDoc(
+      percolateScores(incoming, "doc_id", "text", fresh), "q_fresh")
+    a.join(b, Seq("doc_id"), "inner")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q_frozen") =!= col("q_fresh"), 1L).otherwise(0L))
+          .as("n_flips"))
+      .select(col("n_docs"), col("n_flips"),
+        round(col("n_flips") / col("n_docs"), 4).as("flip_rate"),
+        (col("n_flips") / col("n_docs") > StatsDriftThreshold)
+          .as("rebuild_due"))
+  }
+
   /** MMR trade-off λ (relevance weight); 1−λ is computed once here so the
     * oracle interpolates the SAME double (1.0−0.7 ≠ the literal 0.3).
     */

@@ -120,6 +120,18 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("stats drift gauge: one row, exact ratio, verdict consistent with threshold") {
+    val out = RetrievalOps.statsDriftQuery(spark, SparkSpec.FixtureDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (n, f) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_flips"))
+    assert(n > 0 && f >= 0 && f <= n)
+    val rate = r.getAs[Double]("flip_rate")
+    assert(math.abs(rate - math.rint(f.toDouble / n * 1e4) / 1e4) < 1e-9)
+    assert(r.getAs[Boolean]("rebuild_due") ==
+      (f.toDouble / n > RetrievalOps.StatsDriftThreshold))
+  }
+
   test("mmr: a redundant twin of the top pick is deferred below a diverse candidate") {
     // rel: a=0.95, a2=0.94 (near-clone of a, sim 0.99), b=0.80 (diverse).
     // Plain ranking: a, a2, b. MMR(λ=0.7): a first; then

@@ -213,6 +213,8 @@ object ScaleProbe {
     time("prf")(RetrievalOps.prfQuery(spark, tmp).count())
     time("percolate")(RetrievalOps.percolateQuery(spark, tmp).count())
     time("mmr")(RetrievalOps.mmrQuery(spark, tmp).count())
+    time("stats_drift")(RetrievalOps.statsDriftQuery(spark, tmp).count())
+    time("eval_rank")(RetrievalOps.ivfRankEval(spark, tmp).count())
     time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
     time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
     time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())

@@ -557,6 +557,9 @@ object SparkEntry {
     // iteration is driver-local (the hybrid-BPE precedent)
     "txt_textrank" -> TextRankOps.textRankQuery,
     "src_jsonl_roundtrip" -> graft.pipeline.JsonlIO.roundtripQuery,
+    // ORC interchange: documents -> ORC -> back (explicit schema), totals
+    // pinned against the parquet truth
+    "src_orc_roundtrip" -> graft.pipeline.OrcIO.roundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
     "data_quality_by_source" -> CheckOps.documentChecksBySource,
@@ -682,6 +685,9 @@ object SparkEntry {
     // embedding dedup machinery, and media↔text assembly/alignment faces
     "media_dup_clusters" -> graft.multimodal.MediaOps.mediaDupClusters,
     "media_text_align" -> graft.multimodal.MediaOps.mediaTextAlign,
+    // cross-modal retrieval: projected asset signatures search the text
+    // embedding corpus, exact cosine top-5 per asset probe
+    "media_text_search" -> graft.multimodal.MediaOps.mediaTextSearch,
     "media_caption_gate" -> graft.multimodal.MediaOps.mediaCaptionGate,
     // --- streaming transform, batch-applied (SURVEY.md §2.10) ---
     "stream_hourly" -> ((s, d) => {
@@ -1053,6 +1059,32 @@ object SparkEntry {
          |SELECT kind, CAST(floor(align * 10) AS INT) AS align_band,
          |  count(*) AS n_pairs, round(avg(align), 4) AS avg_align
          |FROM al GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // cross-modal retrieval: align's projection CTEs, probe assets < 5,
+    // exact cosine top-5 docs per asset
+    "media_text_search" ->
+      s"""WITH ${sigCtes("s", "text")},
+         |pj AS (SELECT doc_id,
+         |  ${projSql("nv", graft.multimodal.MediaOps.AlignDim,
+             graft.multimodal.MediaOps.SignatureDim,
+             graft.multimodal.MediaOps.AlignSeed)} AS pr
+         |  FROM su WHERE doc_id < 5),
+         |pu AS (SELECT doc_id,
+         |  CASE WHEN sqrt(${dotSql("pr", "pr")}) = 0.0
+         |       THEN list_transform(pr, x -> 0.0)
+         |       ELSE list_transform(pr, x -> x / sqrt(${dotSql("pr", "pr")})) END AS pv
+         |  FROM pj),
+         |$UNIT_CTE,
+         |mts AS (
+         |  SELECT pu.doc_id AS asset_id, u.vec_id,
+         |    ${dotSql("pu.pv", "u.nv")} AS cos
+         |  FROM pu, u),
+         |r AS (
+         |  SELECT asset_id, vec_id, cos,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY asset_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM mts)
+         |SELECT asset_id, rank, vec_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5""".stripMargin,
     // caption-alignment gate: asset signature vs own caption signature and
     // vs the doc_id-ordered shifted decoy; both sides the same sig CTE
     "media_caption_gate" ->
@@ -2349,6 +2381,11 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(0 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact grouped quantiles: both engines implement ANSI percentile_cont
     // (type-7) — DuckDB's quantile_cont is the reference implementation

@@ -286,6 +286,39 @@ object MediaOps {
       .orderBy(col("kind"), col("align_band"))
   }
 
+  /** Query: CROSS-MODAL RETRIEVAL — a bounded probe set of assets
+    * (asset_id < 5) searches the TEXT embedding corpus: the asset
+    * signature is projected into the embedding space (the same
+    * deterministic cross-modal head as `mediaTextAlign` — swap for a
+    * learned one, nothing else changes) and exact cosine top-5 documents
+    * come back per asset. The probe side is bounded and broadcasts; the
+    * corpus side is one scan — the dense-retrieval shape with a media
+    * query. Own-document hits are legitimate (and a built-in sanity
+    * check: the projection aligning with its own doc's embedding is what
+    * `media_text_align` gauges).
+    */
+  def mediaTextSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.{centerVector, dotK, planeProject, unitVector}
+    import graft.functions.VectorFunctions.asDouble
+    import org.apache.spark.sql.expressions.Window
+    val proj = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
+      .filter(col("asset_id") < 5)
+      .select(col("asset_id"),
+        unitVector(planeProject(
+          unitVector(centerVector(asDouble(col("sv")))),
+          AlignDim, AlignSeed)).as("pv"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), unitVector(asDouble(col("embedding"))).as("ev"))
+    val w = Window.partitionBy(col("asset_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(proj))
+      .withColumn("cos", dotK(col("pv"), col("ev")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("asset_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Query: the caption-alignment filter — each asset scored against its
     * own document's caption (first CaptionChars chars, encoded with the
     * same stub codec: one shared encoder, two modalities) AND against a

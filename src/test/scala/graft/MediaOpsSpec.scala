@@ -12,6 +12,30 @@ class MediaOpsSpec extends SparkSuite {
 
   private lazy val assets = MediaOps.assetsFromDocuments(spark, SparkSpec.FixtureDir)
 
+  test("cross-modal search: 5 probes x top-5 docs, descending cosine, rank exact") {
+    val out = MediaOps.mediaTextSearch(spark, SparkSpec.FixtureDir).collect()
+    val byA = out.groupBy(_.getAs[Long]("asset_id"))
+    assert(byA.keySet == (0L until 5L).toSet)
+    byA.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("orc roundtrip: the sink/source pair loses and corrupts nothing") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SparkSpec.FixtureDir)
+    val out = s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_orc_spec"
+    graft.pipeline.OrcIO.writeOrc(docs, out)
+    val back = graft.pipeline.OrcIO.readOrc(spark, out, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty,
+      "ORC roundtrip must be row-exact")
+  }
+
   test("stub codec: histogram features are normalized and fixed-dim") {
     val f = new StubCodec().features("hello world".getBytes("UTF-8"))
     assert(f.length == FeatureDim)

@@ -215,6 +215,9 @@ object ScaleProbe {
     time("mmr")(RetrievalOps.mmrQuery(spark, tmp).count())
     time("stats_drift")(RetrievalOps.statsDriftQuery(spark, tmp).count())
     time("eval_rank")(RetrievalOps.ivfRankEval(spark, tmp).count())
+    time("orc_roundtrip")(graft.pipeline.OrcIO.roundtripQuery(spark, tmp).count())
+    time("media_text_search")(
+      graft.multimodal.MediaOps.mediaTextSearch(spark, tmp).count())
     time("chunks_overlap")(PackingOps.slidingChunkProfile(spark, tmp).count())
     time("daily_anomaly")(RelationalOps.dailyAnomalies(spark, tmp).count())
     time("cohort_retention")(RelationalOps.cohortRetention(spark, tmp).count())

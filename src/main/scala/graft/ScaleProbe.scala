@@ -245,6 +245,28 @@ object ScaleProbe {
       spark.table("probe_bkt_a").hint("merge")
         .join(spark.table("probe_bkt_b"), "event_id")
         .agg(sum(col("value") + col("user_id"))).count())
+    // retrieval-layout A/B: the postings frame's word-keyed aggregation
+    // (df) is the one exchange bm25FromPostings pays per serve when the
+    // index is an unbucketed table; a word-bucketed warehouse layout
+    // makes it exchange-free (the doc-keyed dl aggregate then pays the
+    // one remaining shuffle). Same LayoutOps evidence class as the
+    // event join above, on the index frame retrieval actually serves from.
+    val postingsT = RetrievalOps.postings(
+      Tables.documents(spark, tmp), "doc_id", "text")
+    time("postings_df_unbucketed") {
+      postingsT.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df"))).count()
+    }
+    time("postings_bucket_write") {
+      operators.LayoutOps.writeBucketed(postingsT, "probe_bkt_postings",
+        "word", 32, sortCols = Seq("word"))
+      1L
+    }
+    time("postings_df_bucketed") {
+      spark.table("probe_bkt_postings")
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df"))).count()
+    }
     spark.stop()
   }
 }

@@ -439,6 +439,9 @@ object SparkEntry {
     // shuffles, broadcast dims, local-supplier nationkey equality)
     "rel_ship_priority" -> RelationalOps.shippingPriority,
     "rel_supplier_volume" -> RelationalOps.localSupplierVolume,
+    // Q18: semi-join-by-aggregate (HAVING subquery) feeding a 3-way join;
+    // ordering rides the raw o_totalprice, never an aggregated double
+    "rel_large_volume" -> RelationalOps.largeVolumeCustomers,
     "rel_semi_join" -> RelationalOps.ordersWithDiscount,
     "rel_anti_join" -> RelationalOps.customersWithoutOrders,
     "rel_filter_pushdown" -> RelationalOps.selectiveScan,
@@ -560,6 +563,9 @@ object SparkEntry {
     // ORC interchange: documents -> ORC -> back (explicit schema), totals
     // pinned against the parquet truth
     "src_orc_roundtrip" -> graft.pipeline.OrcIO.roundtripQuery,
+    // CSV interchange (S2/S4 surface): quote/newline-safe text roundtrip,
+    // cast-back totals pinned against the parquet truth
+    "src_csv_roundtrip" -> graft.pipeline.OrcIO.csvRoundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
     "data_quality_by_source" -> CheckOps.documentChecksBySource,
@@ -2387,6 +2393,20 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_csv_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180.0)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     // exact grouped quantiles: both engines implement ANSI percentile_cont
     // (type-7) — DuckDB's quantile_cont is the reference implementation
     "txt_len_quantiles_exact" ->

@@ -117,6 +117,30 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity clears a threshold, with customer detail — a
+    * semi-join-by-aggregate (the HAVING subquery) feeding a three-way
+    * join. The qualifying-order set is the aggregate's output, so the
+    * fact table is scanned twice but shuffled on the same orderkey both
+    * times (one partitioning reused); ordering rides the RAW
+    * o_totalprice column, never an aggregated double. Quantities are
+    * integer-valued doubles, so total_qty is exact on both engines.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 180.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Left-semi join (EXISTS): orders having a deep-discount line. */
   def ordersWithDiscount(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -36,6 +36,19 @@ class MediaOpsSpec extends SparkSuite {
       "ORC roundtrip must be row-exact")
   }
 
+  test("csv roundtrip: quote/newline text survives and the cast-back is row-exact") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SparkSpec.FixtureDir)
+    val out = s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_csv_spec"
+    graft.pipeline.PreprocessPipeline.writeCsv(docs, out)
+    val back = graft.pipeline.PreprocessPipeline.readCsv(spark, out)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("long"))
+    assert(back.count() == docs.count())
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty,
+      "CSV roundtrip must be row-exact incl. the text column")
+  }
+
   test("stub codec: histogram features are normalized and fixed-dim") {
     val f = new StubCodec().features("hello world".getBytes("UTF-8"))
     assert(f.length == FeatureDim)

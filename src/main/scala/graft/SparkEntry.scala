@@ -565,7 +565,7 @@ object SparkEntry {
     "src_orc_roundtrip" -> graft.pipeline.OrcIO.roundtripQuery,
     // CSV interchange (S2/S4 surface): quote/newline-safe text roundtrip,
     // cast-back totals pinned against the parquet truth
-    "src_csv_roundtrip" -> graft.pipeline.OrcIO.csvRoundtripQuery,
+    "src_csv_roundtrip" -> graft.pipeline.PreprocessPipeline.csvRoundtripQuery,
     "data_quality" -> CheckOps.documentChecks,
     "embedding_quality" -> CheckOps.embeddingChecks,
     "data_quality_by_source" -> CheckOps.documentChecksBySource,
@@ -1679,8 +1679,12 @@ object SparkEntry {
     // damping constants are interpolated from TextRankOps (round-trip-
     // exact literals — 1.0-0.85 is NOT the same double as 0.15)
     "txt_textrank" -> {
+      // AS MATERIALIZED on every iteration CTE (and on ed/deg below): the
+      // documented DuckDB trap — chained non-materialized CTEs re-inline
+      // their upstream subtrees, so p10 would otherwise carry ~10 copies
+      // of the ed/deg/n bigram scan (the MMR oracle's convention)
       val iterCtes = (1 to TextRankOps.TrIters).map { i =>
-        s"""p$i AS (
+        s"""p$i AS MATERIALIZED (
            |  SELECT e.src AS word,
            |    ${TextRankOps.TrBase} / n.n + ${TextRankOps.TrDamping}
            |      * list_reduce(list_prepend(0.0,
@@ -1703,11 +1707,12 @@ object SparkEntry {
          |        ELSE [] END) AS bigram FROM d)
          |    GROUP BY 1 HAVING count(*) >= ${TextRankOps.TrMinCount})
          |  WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
-         |ed AS (
+         |ed AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT w1 AS src, w2 AS dst FROM bi
          |    UNION ALL SELECT w2, w1 FROM bi)),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
          |n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM ed),
          |p0 AS (SELECT src AS word, 1.0 / n.n AS rank
          |       FROM (SELECT DISTINCT src FROM ed), n),

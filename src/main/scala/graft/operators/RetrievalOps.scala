@@ -81,6 +81,14 @@ object RetrievalOps {
     * longs) except the final per-(query, doc) score sum, whose term count
     * is bounded by the query's distinct-term overlap — small enough that
     * double summation is order-stable at the 4-dp rounding.
+    *
+    * STABILITY RECORD (r13, re-run this if the fixture changes): the four
+    * ranked faces whose top-k selection rides this unpinned sum
+    * (search_bm25 / search_ql / search_prf / search_hybrid_rrf's lexical
+    * side) each produced ONE distinct canonical hash across 8 repeated
+    * DuckDB runs at sf0.01 — rank boundaries sit far from double-sum
+    * ties on this fixture, unlike the near-dup-scoring percolate and
+    * stats_drift faces, which ARE order-pinned (percolateScoreAgg).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryPred: Column => Column, k: Int): DataFrame =
@@ -410,6 +418,10 @@ object RetrievalOps {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val Array(nDocs, avgdl) = dl.agg(count(lit(1)).cast("double"),
       avg(col("dl"))).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    // fail fast on an empty corpus: avg(dl) is null there and the silent
+    // 0.0 cast would divide into the BM25 length norm (dl/0.0 → Infinity)
+    require(nDocs > 0,
+      "buildStandingFromPostings: empty postings frame — no docs to freeze stats from")
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val terms = tf.filter(queryPred(col("doc_id")))
       .select(col("doc_id").as("query_id"), col("word")).distinct()

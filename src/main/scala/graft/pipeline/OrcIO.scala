@@ -22,26 +22,6 @@ object OrcIO {
               schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
-  /** Query: documents → CSV → back (header + UTF-8 + multiLine + quote
-    * escaping — the PreprocessPipeline S2/S4 surface) → per-lang totals,
-    * the text-format sibling of the ORC face: CSV reads land as strings,
-    * so the face also pins that the cast-back loses nothing.
-    */
-  def csvRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir)
-    val out = s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_csv_roundtrip"
-    PreprocessPipeline.writeCsv(docs, out)
-    PreprocessPipeline.readCsv(spark, out)
-      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-        col("n_chars").cast("long").as("n_chars"))
-      .groupBy(col("lang")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("sum_chars"),
-        min(col("doc_id")).as("min_doc_id"),
-        max(col("doc_id")).as("max_doc_id"))
-      .orderBy(col("lang"))
-  }
-
   /** Query: documents → ORC → back under the explicit schema → per-lang
     * totals with id-span pins. One warehouse-relative path, overwritten
     * per run (the JsonlIO rationale: the warehouse is the only

@@ -108,4 +108,25 @@ object PreprocessPipeline {
       .option("header", "true").option("encoding", "UTF-8")
       .option("escape", "\"")
       .csv(path)
+
+  /** Query: documents → CSV → back (header + UTF-8 + multiLine + quote
+    * escaping — the S2/S4 surface above) → per-lang totals, the
+    * text-format sibling of the ORC face: CSV reads land as strings,
+    * so the face also pins that the cast-back loses nothing.
+    */
+  def csvRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val out = s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_csv_roundtrip"
+    writeCsv(docs, out)
+    readCsv(spark, out)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("lang"))
+  }
 }

@@ -330,7 +330,6 @@ object MediaOps {
   def mediaCaptionGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashExpressions.{centerVector, dotK, unitVector}
     import graft.functions.VectorFunctions.asDouble
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val aSig = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
       .select(col("asset_id").as("doc_id"), col("kind"),
@@ -347,14 +346,18 @@ object MediaOps {
       .toDF("doc_id", "csv")
       .select(col("doc_id"),
         unitVector(centerVector(asDouble(col("csv")))).as("cnv"))
-    // decoy pairing: next doc_id, last wraps to first — a single-partition
-    // window over (doc_id) only; the signatures join back by id
-    val w = Window.orderBy(col("doc_id"))
-    val ids = capSig.select(col("doc_id"))
-    val minId = ids.agg(min(col("doc_id"))).collect()(0).getLong(0)
-    val decoyOf = ids
-      .select(col("doc_id"),
-        coalesce(lead(col("doc_id"), 1).over(w), lit(minId)).as("decoy_id"))
+    // decoy pairing: next doc_id ascending, last wraps to first — the
+    // PackingOps two-level range shape instead of a global-sort window
+    // (an unpartitioned lead() funnels every id through ONE partition; at
+    // 100 TB that's billions of rows in a single task). Level 1 computes
+    // per-range minima — corpus/RangeSize rows, the deliberately bounded
+    // frame the RankOps contract sanctions for unpartitioned windows —
+    // and each range's successor-range min; level 2 takes the successor
+    // WITHIN each bounded range partition and falls back across range
+    // boundaries (gap-robust: only non-empty ranges exist as level-1
+    // rows) and to the global min at the very end. Semantics identical
+    // to the global lead-with-wraparound, so the oracle is unchanged.
+    val decoyOf = nextIdWithWrap(capSig.select(col("doc_id")))
     val scored = aSig
       .join(capSig, "doc_id")
       .join(decoyOf, "doc_id")
@@ -371,6 +374,47 @@ object MediaOps {
         sum(when(col("cos_decoy") >= CaptionGate, 1).otherwise(0))
           .cast("long").as("n_kept_decoy"))
       .orderBy(col("kind"))
+  }
+
+  /** Id width of one successor-computation range: ranges must be small
+    * enough that one range's ids fit a window partition and numerous
+    * enough that the level-1 range frame stays tiny (PackingOps'
+    * rangeSize rationale verbatim).
+    */
+  val SuccessorRangeSize = 4096L
+
+  /** Distributed successor-with-wraparound over an id frame: for every
+    * id, the smallest STRICTLY GREATER id in the frame (the global max
+    * wraps to the global min). Equal to
+    * `coalesce(lead(id) over (order by id), min(id))` without the
+    * single-partition global-sort window — the two-level PackingOps
+    * shape: per-range minima prefix-chain on a corpus/RangeSize-row
+    * frame; the full id frame only ever crosses a window PARTITIONED by
+    * its range. Gap-robust: only non-empty ranges surface at level 1.
+    */
+  private[graft] def nextIdWithWrap(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = ids.select(col("doc_id"),
+      expr(s"doc_id div $SuccessorRangeSize").as("rng"))
+    // level 1: per-range minima + each range's successor-range min — a
+    // deliberately bounded frame (corpus/RangeSize rows), so the
+    // unpartitioned window here is the sanctioned RankOps exception
+    val rngMins = ranged.groupBy(col("rng"))
+      .agg(min(col("doc_id")).as("rng_min"))
+      .withColumn("next_rng_min",
+        lead(col("rng_min"), 1).over(Window.orderBy(col("rng"))))
+    val globalMin = rngMins.agg(min(col("rng_min")).as("g_min"))
+    // level 2: successor within each bounded range partition; range-last
+    // rows fall through to the next non-empty range's min, the global
+    // last to the global min (wraparound)
+    val wLocal = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+    ranged
+      .withColumn("next_local", lead(col("doc_id"), 1).over(wLocal))
+      .join(broadcast(rngMins), "rng")
+      .crossJoin(broadcast(globalMin))
+      .select(col("doc_id"),
+        coalesce(col("next_local"), col("next_rng_min"), col("g_min"))
+          .as("decoy_id"))
   }
 
   /** Query: frame-sampling profile over the video assets. */

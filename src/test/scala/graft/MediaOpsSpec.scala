@@ -141,6 +141,30 @@ class MediaOpsSpec extends SparkSuite {
     })
   }
 
+  test("decoy successor: two-level shape equals the global lead-with-wrap " +
+    "and never windows the id frame unpartitioned") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // gappy, range-boundary-crossing ids: multiples of 7 plus a sparse
+    // tail two ranges away — exercises within-range, cross-range, and
+    // wraparound successors
+    val ids = spark.range(0, 6000, 7).select(col("id").as("doc_id"))
+      .union(spark.range(9000, 9003).select(col("id").as("doc_id")))
+    val got = MediaOps.nextIdWithWrap(ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = ids
+      .select(col("doc_id"),
+        coalesce(lead(col("doc_id"), 1).over(Window.orderBy(col("doc_id"))),
+          min(col("doc_id")).over()).as("decoy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want)
+    // plan shape: the id-frame window must be hash-partitioned by rng —
+    // the only unpartitioned window is over the tiny per-range frame
+    val plan = MediaOps.nextIdWithWrap(ids).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(rng"),
+      "full id frame must cross a rng-partitioned window, not a global sort")
+  }
+
   test("caption gate separates genuine captions from shifted decoys") {
     val gate = MediaOps.mediaCaptionGate(spark, SparkSpec.FixtureDir).collect()
     val nPairs = gate.map(_.getLong(1)).sum

@@ -538,6 +538,13 @@ object SparkEntry {
     // terms (integer fb-tf × idf selection), union, rescore — two passes
     // over the same postings frame
     "search_prf" -> RetrievalOps.prfQuery,
+    // exact-phrase retrieval over the POSITIONAL postings: probe-doc
+    // 3-token prefixes as phrases, one positional join, count==len match
+    // (the decontamination / RAG-grounding workhorse; integer-only)
+    "search_phrase" -> RetrievalOps.phraseQuery,
+    // windowed proximity over the same positional index: (first, last)
+    // token pairs within 8 positions, min distance + close-pair count
+    "search_proximity" -> RetrievalOps.proximityQuery,
     // percolation (standing queries at ingest): a deterministic ingest
     // sample scored statelessly against frozen standing terms/stats;
     // per-query match count + strongest doc. Streaming twin:
@@ -1251,6 +1258,52 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, rank, doc_id, round(score, 4) AS bm25
          |FROM r WHERE rank <= 5""".stripMargin,
+    // exact phrase via the positional index: zipped unnests give
+    // (doc, pos, word); a (query, doc, start) group matching count ==
+    // PhraseLen means every offset hit — integer-only end to end
+    "search_phrase" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |ppos AS (
+         |  SELECT doc_id, unnest(toks) AS word,
+         |    CAST(unnest(range(len(toks))) AS INT) AS pos
+         |  FROM dt),
+         |ph AS (
+         |  SELECT doc_id AS query_id,
+         |    unnest(toks[1:${RetrievalOps.PhraseLen}]) AS word,
+         |    CAST(unnest(range(${RetrievalOps.PhraseLen})) AS INT) AS off
+         |  FROM dt
+         |  WHERE doc_id < 8 AND len(toks) >= ${RetrievalOps.PhraseLen}),
+         |m AS (
+         |  SELECT query_id, doc_id, pos - off AS st
+         |  FROM ph JOIN ppos USING (word)
+         |  GROUP BY 1, 2, 3
+         |  HAVING count(*) = ${RetrievalOps.PhraseLen})
+         |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(min(st) AS BIGINT) AS first_start
+         |FROM m GROUP BY 1, 2""".stripMargin,
+    // windowed proximity: (first, last) probe tokens, position-pair join
+    // per (query, doc), min distance gate at ProxWindow — integer-only
+    "search_proximity" ->
+      s"""WITH dt AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |ppos AS (
+         |  SELECT doc_id, unnest(toks) AS word,
+         |    CAST(unnest(range(len(toks))) AS INT) AS pos
+         |  FROM dt),
+         |pt AS (
+         |  SELECT doc_id AS query_id, toks[1] AS w1, toks[-1] AS w2
+         |  FROM dt
+         |  WHERE doc_id < 8 AND len(toks) >= 2 AND toks[1] <> toks[-1]),
+         |a AS (SELECT query_id, p.doc_id, pos AS p1
+         |      FROM pt JOIN ppos p ON p.word = pt.w1),
+         |b AS (SELECT query_id, p.doc_id, pos AS p2
+         |      FROM pt JOIN ppos p ON p.word = pt.w2),
+         |d AS (SELECT query_id, a.doc_id, abs(p1 - p2) AS dist
+         |      FROM a JOIN b USING (query_id, doc_id))
+         |SELECT query_id, doc_id, CAST(min(dist) AS BIGINT) AS min_dist,
+         |  CAST(sum(CASE WHEN dist <= ${RetrievalOps.ProxWindow}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_close_pairs
+         |FROM d GROUP BY 1, 2
+         |HAVING min(dist) <= ${RetrievalOps.ProxWindow}""".stripMargin,
     // Dirichlet QL in the matched-terms decomposition: per-pair sum of
     // ln(1 + tf/(μ·cf/|C|)) + |q|·ln(μ/(dl+μ)) over matched postings only
     "search_ql" ->

@@ -55,10 +55,14 @@ object RetrievalOps {
     */
   private val postingsCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  private val posPostingsCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
 
   def clearPostingsCache(): Unit = {
     postingsCache.values.foreach(_.unpersist(false))
     postingsCache.clear()
+    posPostingsCache.values.foreach(_.unpersist(false))
+    posPostingsCache.clear()
   }
 
   private def corpusPostings(spark: SparkSession, dir: String): DataFrame =
@@ -68,6 +72,115 @@ object RetrievalOps {
       tf.count() // materialize before the building query's scope ends
       tf
     })
+
+  /** POSITIONAL postings (doc_id, pos, word) from the same one kernel
+    * scan — the index variant phrase and proximity retrieval need. The
+    * frequency index (`postings`) aggregates this away; keeping positions
+    * costs one row per token instead of one per (doc, word), which is the
+    * standard positional-index overhead (~avg tf ≈ 1.1 on this fixture's
+    * term space). Registry-shared like `corpusPostings`.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+
+  private def corpusPositional(spark: SparkSession, dir: String): DataFrame =
+    posPostingsCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+      val pp = positionalPostings(Tables.documents(spark, dir), "doc_id", "text")
+        .persist()
+      pp.count()
+      pp
+    })
+
+  /** Phrase length of the probe phrases and the unordered proximity
+    * window (in token positions over the shared term space).
+    */
+  val PhraseLen = 3
+  val ProxWindow = 8
+
+  /** Exact-phrase matches over a positional postings frame — the
+    * decontamination / RAG-grounding workhorse the frequency index can't
+    * serve. `phrases` carries (query_id, off, word) with off ∈ [0, len);
+    * a doc matches at start s iff every phrase term sits at position
+    * s + off. The classic positional-join plan: phrase terms broadcast
+    * (query-set-bounded), ONE join against the positional postings, and
+    * the per-(query, doc, start) count equals the phrase length exactly
+    * when all offsets matched — phrase length is a constant in the plan,
+    * never a join depth, so a 12-token phrase costs the same single join
+    * as a 3-token one. Cost tracks matched postings of the phrase terms,
+    * exactly like BM25 tracks hits. Everything is integer arithmetic —
+    * no double anywhere, so the face is summation-order-proof.
+    */
+  def phraseMatches(pp: DataFrame, phrases: DataFrame, len: Int): DataFrame =
+    pp.join(broadcast(phrases), "word")
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === len)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).cast("long").as("first_start"))
+
+  /** Query: exact-phrase lookup — each probe doc's first `PhraseLen`
+    * tokens as the phrase (the self-match at start 0 is the built-in
+    * sanity anchor; additional matches are the near-dup docs sharing the
+    * prefix — the decontamination signal). Output: every (query, doc)
+    * with ≥ 1 exact occurrence, its occurrence count and first start.
+    */
+  def phraseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = Tables.documents(spark, dir).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= PhraseLen)
+      .select(col("query_id"),
+        posexplode(slice(col("toks"), 1, PhraseLen)).as(Seq("off", "word")))
+    phraseMatches(corpusPositional(spark, dir), phrases, PhraseLen)
+  }
+
+  /** Unordered two-term proximity over a positional postings frame:
+    * docs where both terms occur within `window` positions, with the
+    * minimum pair distance and the close-pair count. `terms` carries
+    * (query_id, word, role ∈ {1, 2}), broadcast; the position-pair
+    * product per (query, doc) is bounded by tf(a)·tf(b) under the
+    * fixture's doc-length band — a serving engine merges the two sorted
+    * position lists instead, but the JOIN shape (postings ⋈ bounded
+    * query side, grouped per doc) is identical. Integer-only.
+    */
+  def proximityMatches(pp: DataFrame, terms: DataFrame,
+                       window: Int): DataFrame = {
+    val hits = pp.join(broadcast(terms), "word")
+      .select(col("query_id"), col("doc_id"), col("role"), col("pos"))
+    val a = hits.filter(col("role") === 1)
+      .select(col("query_id"), col("doc_id"), col("pos").as("p1"))
+    val b = hits.filter(col("role") === 2)
+      .select(col("query_id"), col("doc_id"), col("pos").as("p2"))
+    a.join(b, Seq("query_id", "doc_id"))
+      .withColumn("dist", abs(col("p1") - col("p2")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("dist")).cast("long").as("min_dist"),
+        sum(when(col("dist") <= window, 1L).otherwise(0L)).as("n_close_pairs"))
+      .filter(col("min_dist") <= window)
+  }
+
+  /** Query: windowed proximity — each probe doc's (first, last) token
+    * pair (distinct by construction filter), matched within
+    * `ProxWindow` positions across the corpus. The self-doc is NOT
+    * guaranteed to match (its first and last tokens are a doc-length
+    * apart unless the words repeat) — matches are genuine co-occurrence.
+    */
+  def proximityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.documents(spark, dir).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("query_id"), element_at(col("toks"), 1).as("w1"),
+        element_at(col("toks"), -1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val terms = pt.select(col("query_id"), col("w1").as("word"),
+        lit(1).as("role"))
+      .unionByName(pt.select(col("query_id"), col("w2").as("word"),
+        lit(2).as("role")))
+    proximityMatches(corpusPositional(spark, dir), terms, ProxWindow)
+  }
 
   /** BM25 top-k: score a bounded query set against the corpus over the
     * inverted index. Each query is a document's DISTINCT term set (the

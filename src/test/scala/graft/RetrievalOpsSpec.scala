@@ -272,6 +272,55 @@ class RetrievalOpsSpec extends SparkSuite {
     byQ.values.foreach(rows => assert(rows.length <= RetrievalOps.HybridK))
   }
 
+  test("phrase: adjacency required, repeats counted, gaps and reorders rejected") {
+    val d = docs(
+      0 -> "alpha beta gamma tail words here",
+      1 -> "prefix alpha beta gamma suffix alpha beta gamma",
+      2 -> "alpha beta delta gamma",      // gap: no match
+      3 -> "gamma beta alpha",            // reorder: no match
+      4 -> "alpha beta")                  // too short to contain the phrase
+    val pp = RetrievalOps.positionalPostings(d, "doc_id", "text")
+    val phrases = Seq((0, 0, "alpha"), (0, 1, "beta"), (0, 2, "gamma"))
+      .toDF("query_id", "off", "word")
+    val out = RetrievalOps.phraseMatches(pp, phrases, 3).collect()
+      .map(r => r.getAs[Int]("doc_id") ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("first_start"))).toMap
+    assert(out(0) == (1L, 0L), "self-style match at start 0")
+    assert(out(1) == (2L, 1L), "both occurrences counted, first at pos 1")
+    assert(!out.contains(2), "a gapped sequence is not a phrase match")
+    assert(!out.contains(3), "a reordered sequence is not a phrase match")
+    assert(!out.contains(4))
+  }
+
+  test("proximity: min distance and close-pair count are exact; window gates") {
+    // doc 0: near at dist 1 (twice near? aa at 0, bb at 1 and 5) → dists
+    // {1, 5}; doc 1: aa at 0, bb at 9 → dist 9 > 8, gated out
+    val d = docs(
+      0 -> "aa bb cc dd ee bb",
+      1 -> ("aa " + (1 to 8).map(i => s"x$i").mkString(" ") + " bb"))
+    val pp = RetrievalOps.positionalPostings(d, "doc_id", "text")
+    val terms = Seq((7, "aa", 1), (7, "bb", 2)).toDF("query_id", "word", "role")
+    val out = RetrievalOps.proximityMatches(pp, terms, RetrievalOps.ProxWindow)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("doc_id") == 0)
+    assert(out.head.getAs[Long]("min_dist") == 1L)
+    assert(out.head.getAs[Long]("n_close_pairs") == 2L, "dists {1,5} both ≤ 8")
+  }
+
+  test("phrase fixture query: every probe self-matches at start 0 and plans broadcast") {
+    val q = RetrievalOps.phraseQuery(spark, SparkSpec.FixtureDir)
+    val out = q.collect()
+    val self = out.filter(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("doc_id"))
+    assert(self.length == 8, "all 8 probes carry their own prefix")
+    assert(self.forall(_.getAs[Long]("first_start") == 0L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the bounded phrase-term side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bm25 fixture query: 8 probes, ranks are 1..5, scores descend per query") {
     val out = RetrievalOps.bm25Query(spark, SparkSpec.FixtureDir).collect()
     val byQ = out.groupBy(_.getAs[Long]("query_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,44 @@ object IndexMaintOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("list"))
+  }
+
+  /** The frozen quantizer as driver-held metadata: (list, centroid) rows
+    * collected ordered by list id — bounded at nLists·dim doubles, the
+    * same payload `assignLists` broadcasts. This is what a deployed
+    * ingest job holds between retrains.
+    */
+  def collectCentroids(cents: DataFrame): Seq[(Int, Seq[Double])] =
+    cents.select(col("list").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+
+  /** STATELESS nearest-list assignment at frozen centroids — the
+    * streaming-capable twin of `assignLists`: that batch path ranks a
+    * broadcast crossJoin with a row_number window, which Structured
+    * Streaming rejects; this folds the argmax over a LITERAL centroid
+    * array per row instead (nLists·dim multiply-adds, no state, no
+    * shuffle, append-safe). The inner zip_with/aggregate dot product
+    * accumulates in ascending index order — the same fold `dotK`
+    * codegens — and the strict `>` with lists visited ascending keeps
+    * ties at the smallest list id, so assignments are BIT-EQUAL to
+    * `assignLists` (spec-pinned in StreamOpsSpec).
+    */
+  def assignListExpr(cents: Seq[(Int, Seq[Double])], nv: Column): Column = {
+    require(cents.nonEmpty, "assignListExpr: empty centroid table")
+    val centArr = array(cents.sortBy(_._1).map { case (l, c) =>
+      struct(lit(l).as("list"), array(c.map(lit): _*).as("cv"))
+    }: _*)
+    aggregate(centArr,
+      struct(lit(-1).as("list"), lit(Double.NegativeInfinity).as("best")),
+      (acc, x) => {
+        val d = aggregate(zip_with(x.getField("cv"), nv, (a, b) => a * b),
+          lit(0.0), (s, v) => s + v)
+        when(d > acc.getField("best"),
+          struct(x.getField("list").as("list"), d.as("best")))
+          .otherwise(acc)
+      }).getField("list")
   }
 
   /** Maintain a stored (vec_id, list) index across a corpus refresh:

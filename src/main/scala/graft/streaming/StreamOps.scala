@@ -301,6 +301,47 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming ANN ingest — the DENSE index's ingest twin of
+    * `indexDupStream`: arriving vectors are unit-normalized and assigned
+    * to the FROZEN coarse quantizer statelessly
+    * (IndexMaintOps.assignListExpr — a literal-centroid fold, no state,
+    * no shuffle, bit-equal to the batch assignLists), deduped within the
+    * watermark against at-least-once re-delivery, and emitted as
+    * (vec_id, list) postings ready to append to the stored index table.
+    * Appending these to `assignLists(cents, old)` equals
+    * `maintainIndex(stored, old, old ∪ new, cents)` for pure additions —
+    * the streaming half of the |delta|-cost refresh story: the batch
+    * path handles change/remove compaction, the stream handles the
+    * arrival firehose, both at the same frozen centroids.
+    */
+  def ivfIngestStream(vecs: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      idCol: String, vecCol: String, tsCol: String,
+                      delay: String = "1 hour"): DataFrame = {
+    import graft.functions.HashExpressions.unitVector
+    import graft.functions.VectorFunctions.asDouble
+    vecs
+      .select(col(idCol).as("vec_id"), col(tsCol),
+        graft.operators.IndexMaintOps
+          .assignListExpr(cents, unitVector(asDouble(col(vecCol))))
+          .as("list"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .select(col("vec_id"), col("list"))
+  }
+
+  /** Batch twin of ivfIngestStream's assignment (ids + lists only), for
+    * spec-level stream/batch parity — identical expression, no watermark.
+    */
+  def ivfIngestBatch(vecs: DataFrame, cents: Seq[(Int, Seq[Double])],
+                     idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.HashExpressions.unitVector
+    import graft.functions.VectorFunctions.asDouble
+    vecs.select(col(idCol).as("vec_id"),
+      graft.operators.IndexMaintOps
+        .assignListExpr(cents, unitVector(asDouble(col(vecCol))))
+        .as("list"))
+  }
+
   /** Span flags against a stored gram index, streaming face — the
     * substring tier's ingest gate (sibling of indexDupStream): each
     * incoming doc grams in-stream (stateless codegen'd kernels) and probes

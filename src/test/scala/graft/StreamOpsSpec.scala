@@ -9,6 +9,7 @@ import graft.streaming.StreamOps.Event
 /** Top-level so Spark can build an encoder without an outer-scope capture. */
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 case class StreamClsDoc(doc_id: Long, ts: Timestamp, cls: String, text: String)
+case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
 /** Streaming semantics under MemoryStream: windowed aggregation with
   * watermark-based late-data handling, and stateful sessionization.
@@ -131,6 +132,46 @@ class StreamOpsSpec extends SparkSuite {
         .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       assert(batch === streamed)
+    } finally q.stop()
+  }
+
+  test("ANN ingest in-stream: frozen-centroid assignment, batch parity, " +
+    "re-delivery deduped") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IndexMaintOps, SimilarityOps}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, SparkSpec.FixtureDir)
+    val corpus = SimilarityOps.unitCorpus(emb)
+    val (_, cents) = SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+    val centSeq = IndexMaintOps.collectCentroids(cents)
+    assert(centSeq.length == SimilarityOps.IvfLists)
+    // batch truth: the window-argmax assignment at the same centroids
+    val batch = IndexMaintOps.assignLists(cents, corpus.filter($"vec_id" < 40))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val arrivals = emb.filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => StreamVec(r.getLong(0), ts(9, (r.getLong(0) % 50).toInt),
+        r.getSeq[Float](1).toArray))
+    val input = MemoryStream[StreamVec]
+    val q = StreamOps.ivfIngestStream(input.toDF(), centSeq,
+        "vec_id", "embedding", "ts")
+      .writeStream.format("memory").queryName("ivf_ingest_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.toSeq)
+      // at-least-once re-delivery of the first five vectors
+      input.addData(arrivals.take(5).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_ingest_stream")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+      assert(streamed.length == 40, "re-delivered vectors must dedup")
+      assert(streamed.toMap === batch,
+        "stateless fold assignment must be bit-equal to the batch argmax")
+      // the batch twin of the same expression agrees too
+      val twin = StreamOps.ivfIngestBatch(
+        emb.filter($"vec_id" < 40), centSeq, "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(twin === batch)
     } finally q.stop()
   }
 

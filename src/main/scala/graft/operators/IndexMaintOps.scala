@@ -202,8 +202,11 @@ object IndexMaintOps {
     graft.Artifacts.save("ivf_inc_centroids")(cents)
     val built = assignLists(cents, oldC)
     graft.Artifacts.save("ivf_inc_index")(built)
-    val stored = graft.Artifacts.path("ivf_inc_index")
-      .map(spark.read.parquet(_)).getOrElse(built)
+    // the stored index is VEC_ID-bucketed (LayoutOps seam): the
+    // maintenance path's kept-postings join keys on vec_id, so the BIG
+    // stored side skips its exchange on every refresh; the Artifacts
+    // parquet alongside stays the oracle's read
+    val stored = LayoutOps.storedBucketed("ivf_inc_idx", built, "vec_id")
     maintainIndex(stored, oldC, neu, cents)
       .groupBy(col("list"))
       .agg(count(lit(1)).as("n_vecs"),

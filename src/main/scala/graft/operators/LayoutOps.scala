@@ -36,6 +36,23 @@ object LayoutOps {
     arranged.write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Stored-index seam: route a build-once/serve-many index frame (BM25
+    * postings, IVF list assignments) through the BUCKETED managed-table
+    * path, so every later key-aligned join/aggregation over the STORED
+    * side reads co-located buckets exchange-free — the measured
+    * postings_df A/B in DEPLOY.md, wired into the tables retrieval
+    * actually serves from. Verify-scoped like the Artifacts oracle seam
+    * it rides alongside: outside Verify the in-plan frame returns
+    * unchanged, so Bench and specs never pay the write.
+    */
+  def storedBucketed(name: String, df: DataFrame, bucketCol: String,
+                     nBuckets: Int = 32): DataFrame =
+    if (!graft.Artifacts.enabled) df
+    else {
+      writeBucketed(df, name, bucketCol, nBuckets, sortCols = Seq(bucketCol))
+      df.sparkSession.table(name)
+    }
+
   /** Bucketed (+ optionally sorted) managed-table write: `nBuckets` files
     * hash-clustered by `bucketCol`, with the bucketing recorded in the
     * catalog so downstream joins/aggs on the key skip their exchange.

@@ -292,8 +292,11 @@ object RetrievalOps {
     val neu = docs.filter(col("doc_id") % 101 =!= 0)
     val built = postings(old, "doc_id", "text")
     graft.Artifacts.save("bm25_postings")(built)
-    val stored = graft.Artifacts.path("bm25_postings")
-      .map(spark.read.parquet(_)).getOrElse(built)
+    // the stored table is WORD-bucketed (LayoutOps seam): the df
+    // aggregation every serve pays over the stored side goes
+    // exchange-free (the measured postings_df A/B in DEPLOY.md); the
+    // Artifacts parquet alongside stays the oracle's read
+    val stored = LayoutOps.storedBucketed("bm25_postings_idx", built, "word")
     val maintained = graft.Caching.track(
       maintainPostings(stored, old, neu, "doc_id", "text").drop("origin"))
     bm25FromPostings(maintained, _ < 8, k = 5)

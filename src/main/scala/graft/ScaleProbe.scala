@@ -267,6 +267,66 @@ object ScaleProbe {
         .groupBy(col("word")).agg(count(lit(1)).as("df"))
         .agg(sum(col("df"))).count()
     }
+    // positional tier (r13): phrase = one broadcast join over the
+    // positional postings, cost tracks matched postings of the phrase
+    // terms; proximity adds the bounded per-doc position-pair product
+    time("phrase")(RetrievalOps.phraseQuery(spark, tmp).count())
+    time("proximity")(RetrievalOps.proximityQuery(spark, tmp).count())
+    // |Q|-dimension serving scaling (r13): every corpus-dimension slope
+    // fixed |Q| at 8 — this sweeps the QUERY set 8→256→2048 over ONE
+    // persisted postings frame (raw persist: survives time()'s
+    // releaseAll), isolating the matched-postings aggregation + per-query
+    // top-k from the index build
+    val servedTf = RetrievalOps.postings(
+      Tables.documents(spark, tmp), "doc_id", "text").persist()
+    servedTf.count()
+    for (nq <- Seq(8, 256, 2048))
+      time(s"bm25_srv_q$nq")(
+        RetrievalOps.bm25FromPostings(servedTf, _ < nq, k = 5).count())
+    // bucketed-serving A/B (r13): the SAME bm25FromPostings chain reading
+    // the word-bucketed stored table vs the unbucketed in-plan frame —
+    // the serving-path evidence for LayoutOps.storedBucketed (the
+    // postings_df rows above isolate just the df aggregate)
+    time("bm25_srv_bucketed")(
+      RetrievalOps.bm25FromPostings(
+        spark.table("probe_bkt_postings"), _ < 8, k = 5).count())
+    // percolation standing-set A/B (r13): selective standing queries (the
+    // alerting shape — each query is its doc's 3 RAREST terms, so match
+    // volume stays bounded as |standing| grows) at 10³/10⁴/10⁵, broadcast
+    // vs term-partitioned standing join on the same ingest sample
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val Array(nDocsD, avgdlD) = servedTf.groupBy("doc_id")
+        .agg(sum(col("tf")).as("dl"))
+        .agg(count(lit(1)).cast("double"), avg(col("dl")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      val dfreq = servedTf.groupBy("word").agg(count(lit(1)).as("df"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("df"), col("word"))
+      val ingest = Tables.documents(spark, tmp)
+        .filter(col("doc_id") % 7 === 3)
+      for (nsq <- Seq(1000, 10000, 100000)) {
+        val terms = servedTf.filter(col("doc_id") < nsq)
+          .select(col("doc_id").as("query_id"), col("word")).distinct()
+          .join(dfreq, "word")
+          .withColumn("rk", row_number().over(wR))
+          .filter(col("rk") <= 3)
+          .withColumn("idf", log(lit(1.0) +
+            (lit(nDocsD) - col("df") + 0.5) / (col("df") + 0.5)))
+          .select(col("query_id"), col("word"), col("idf"))
+          .persist()
+        terms.count() // build once, outside both timed arms
+        val standing = RetrievalOps.StandingQueries(terms, avgdlD, nDocsD.toLong)
+        time(s"percolate_bcast_q$nsq")(
+          RetrievalOps.percolateScores(ingest, "doc_id", "text", standing)
+            .count())
+        time(s"percolate_part_q$nsq")(
+          RetrievalOps.percolateScores(ingest, "doc_id", "text", standing,
+            broadcastTerms = false).count())
+        terms.unpersist()
+      }
+    }
+    servedTf.unpersist()
     spark.stop()
   }
 }

@@ -548,24 +548,36 @@ object RetrievalOps {
     StandingQueries(terms, avgdl, nDocs.toLong)
   }
 
-  /** Stateless per-term percolation rows: tokenize the incoming doc,
-    * broadcast-join its terms to the standing table, per-term BM25
-    * contribution with the doc's own tf/dl against the FROZEN idf/avgdl.
-    * No corpus access and no aggregation — both the batch face and the
-    * streaming face group these rows their own way.
+  /** Stateless per-term percolation rows: tokenize the incoming doc, join
+    * its terms to the standing table, per-term BM25 contribution with the
+    * doc's own tf/dl against the FROZEN idf/avgdl. No corpus access and
+    * no aggregation — both the batch face and the streaming face group
+    * these rows their own way.
+    *
+    * `broadcastTerms` picks the standing-side join strategy — the
+    * alerting regime's scale dial: broadcast (default) is right while the
+    * standing TERM table fits executor memory (measured: it wins through
+    * at least 10⁵ three-term standing queries — DEPLOY's percolation
+    * A/B); an unbounded standing set (every user a standing query) flips
+    * to the TERM-PARTITIONED join — the same word-keyed shuffle shape as
+    * the BM25 scoring join, cost tracking matched term pairs, never
+    * |standing| × |ingest|.
     */
   def percolateTermRows(docs: DataFrame, idCol: String, textCol: String,
                         standing: StandingQueries,
-                        keep: Seq[String] = Nil): DataFrame = {
+                        keep: Seq[String] = Nil,
+                        broadcastTerms: Boolean = true): DataFrame = {
     val staged = docs.select(
       (Seq(col(idCol).as("doc_id")) ++ keep.map(col) :+
         tokens(col(textCol)).as("toks")): _*)
+    val termsSide =
+      if (broadcastTerms) broadcast(standing.terms) else standing.terms
     staged
       .withColumn("dl", size(col("toks")))
       .select((Seq(col("doc_id"), col("dl")) ++ keep.map(col) :+
         explode(graft.functions.TextExpressions.tfMapK(col("toks")))
           .as(Seq("word", "tf"))): _*)
-      .join(broadcast(standing.terms), "word")
+      .join(termsSide, "word")
       .withColumn("contrib",
         col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
           (col("tf") + lit(Bm25K1) *
@@ -584,8 +596,9 @@ object RetrievalOps {
   /** Batch (query, doc) percolation scores. */
   def percolateScores(docs: DataFrame, idCol: String, textCol: String,
                       standing: StandingQueries,
-                      keep: Seq[String] = Nil): DataFrame = {
-    percolateTermRows(docs, idCol, textCol, standing, keep)
+                      keep: Seq[String] = Nil,
+                      broadcastTerms: Boolean = true): DataFrame = {
+    percolateTermRows(docs, idCol, textCol, standing, keep, broadcastTerms)
       .groupBy((Seq(col("query_id"), col("doc_id")) ++ keep.map(col)): _*)
       // ORDER-PINNED sum (word-ascending struct fold, the PQ-ADC
       // precedent): the percolate sample scores near-duplicate docs

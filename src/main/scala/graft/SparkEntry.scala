@@ -702,6 +702,10 @@ object SparkEntry {
     // embedding corpus, exact cosine top-5 per asset probe
     "media_text_search" -> graft.multimodal.MediaOps.mediaTextSearch,
     "media_caption_gate" -> graft.multimodal.MediaOps.mediaCaptionGate,
+    // cross-modal keep-best: the dedup ACTION for the media tier — the
+    // near-dup clusters composed with DedupOps.keepBest on quality =
+    // pixels × caption alignment; one keeper per multi-member cluster
+    "media_keep_best" -> graft.multimodal.MediaOps.mediaKeepBest,
     // --- streaming transform, batch-applied (SURVEY.md §2.10) ---
     "stream_hourly" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1050,6 +1054,59 @@ object SparkEntry {
          |  max(doc_id) AS max_asset_id
          |FROM l${DedupOps.ClusterRounds}
          |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // cross-modal keep-best: the media_dup_clusters chain (bands →
+    // anchor-hybrid candidates → cosine edges → propagation) composed
+    // with the keepBest reduction on quality = pixels (pure id
+    // arithmetic, the asset-meta mirror) × caption-signature alignment
+    "media_keep_best" ->
+      s"""WITH ${sigCtes("s", "text")},
+         |${sigCtes("c", s"substring(text, 1, ${graft.multimodal.MediaOps.CaptionChars})")},
+         |sk AS (SELECT doc_id AS vec_id, nv,
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, graft.multimodal.MediaOps.lastMediaBits)} AS bands FROM su),
+         |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
+         |bc AS (SELECT band, band_val, count(*) AS m, min(vec_id) AS anchor
+         |       FROM bb GROUP BY 1, 2),
+         |bj AS (SELECT bb.vec_id, bb.band, bb.band_val, bc.m, bc.anchor
+         |       FROM bb JOIN bc USING (band, band_val)),
+         |cands AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |    FROM bj a JOIN bj b2
+         |      ON a.band = b2.band AND a.band_val = b2.band_val
+         |     AND a.vec_id < b2.vec_id
+         |    WHERE a.m <= ${SimilarityOps.AnchorCap}
+         |    UNION ALL
+         |    SELECT anchor AS vec_a, vec_id AS vec_b FROM bj
+         |    WHERE m > ${SimilarityOps.AnchorCap} AND vec_id <> anchor)),
+         |edges AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb2.nv")} AS cos
+         |    FROM cands
+         |    JOIN sk sa ON sa.vec_id = vec_a
+         |    JOIN sk sb2 ON sb2.vec_id = vec_b)
+         |  WHERE cos >= ${graft.multimodal.MediaOps.MediaDupCosine}),
+         |b AS MATERIALIZED (
+         |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
+         |  UNION ALL
+         |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
+         |${propagationCtes(DedupOps.ClusterRounds)},
+         |q AS (
+         |  SELECT su.doc_id,
+         |    CAST((64 + (su.doc_id % 8) * 16) * 64 AS BIGINT)
+         |      * ${dotSql("su.nv", "cu.nv")} AS q
+         |  FROM su JOIN cu ON cu.doc_id = su.doc_id),
+         |j AS (SELECT l.label, l.doc_id, q.q
+         |      FROM l${DedupOps.ClusterRounds} l JOIN q USING (doc_id)),
+         |best AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+         |               max(q) AS bq
+         |         FROM j GROUP BY 1)
+         |SELECT j.label AS cluster_rep, best.n_docs AS n_assets,
+         |  min(j.doc_id) AS keep_asset_id,
+         |  round(best.bq, 4) AS best_quality,
+         |  best.n_docs - 1 AS n_removed
+         |FROM j JOIN best USING (label)
+         |WHERE j.q = best.bq AND best.n_docs > 1
+         |GROUP BY 1, 2, 4, 5""".stripMargin,
     // media↔text alignment: stub cross-modal projection (plane LCG mirror)
     // of the asset signature vs the document embedding, banded by decile
     "media_text_align" ->

@@ -330,22 +330,10 @@ object MediaOps {
   def mediaCaptionGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashExpressions.{centerVector, dotK, unitVector}
     import graft.functions.VectorFunctions.asDouble
-    import spark.implicits._
     val aSig = extractSignatures(assetsFromDocuments(spark, dir)).toDF()
       .select(col("asset_id").as("doc_id"), col("kind"),
         unitVector(centerVector(asDouble(col("sv")))).as("anv"))
-    val capSig = Tables.documents(spark, dir)
-      .select(col("doc_id"), substring(col("text"), 1, CaptionChars).as("cap"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val codec: MediaCodec = new StubCodec
-        it.map { case (id, cap) =>
-          (id, codec.signature(cap.getBytes("UTF-8")))
-        }
-      }
-      .toDF("doc_id", "csv")
-      .select(col("doc_id"),
-        unitVector(centerVector(asDouble(col("csv")))).as("cnv"))
+    val capSig = captionSignatures(spark, dir)
     // decoy pairing: next doc_id ascending, last wraps to first — the
     // PackingOps two-level range shape instead of a global-sort window
     // (an unpartitioned lead() funnels every id through ONE partition; at
@@ -374,6 +362,62 @@ object MediaOps {
         sum(when(col("cos_decoy") >= CaptionGate, 1).otherwise(0))
           .cast("long").as("n_kept_decoy"))
       .orderBy(col("kind"))
+  }
+
+  /** Unit caption signature per doc — the gate face's caption side,
+    * shared with the keep-best quality signal.
+    */
+  private def captionSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.{centerVector, unitVector}
+    import graft.functions.VectorFunctions.asDouble
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, CaptionChars).as("cap"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val codec: MediaCodec = new StubCodec
+        it.map { case (id, cap) => (id, codec.signature(cap.getBytes("UTF-8"))) }
+      }
+      .toDF("doc_id", "csv")
+      .select(col("doc_id"),
+        unitVector(centerVector(asDouble(col("csv")))).as("cnv"))
+  }
+
+  /** Query: cross-modal KEEP-BEST — the dedup ACTION for the media tier:
+    * the near-dup clusters (same anchor-hybrid edges + label propagation
+    * as `media_dup_clusters`) composed with DedupOps.keepBest on a media
+    * quality signal, quality = pixel count × caption alignment (the
+    * resolution × how-well-the-caption-fits trade a curation pipeline
+    * actually keeps by). One keeper per multi-member cluster, ties to the
+    * smallest asset id; everything after the quality column IS the
+    * text tier's keepBest — no media-specific selection code.
+    */
+  def mediaKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.{centerVector, dotK, unitVector}
+    import graft.functions.VectorFunctions.asDouble
+    import graft.operators.{DedupOps, SimilarityOps}
+    val corpus = signatureCorpus(spark, dir)
+    val edges = SimilarityOps.anchorCosinePairs(corpus, MediaDupCosine)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
+    val assets = assetsFromDocuments(spark, dir)
+    val pixels = assets.toDF()
+      .select(col("asset_id").as("doc_id"),
+        (col("meta.width").cast("long") * col("meta.height")).as("pixels"))
+    val aSig = extractSignatures(assets).toDF()
+      .select(col("asset_id").as("doc_id"),
+        unitVector(centerVector(asDouble(col("sv")))).as("anv"))
+      .join(pixels, "doc_id")
+    val quality = aSig.join(captionSignatures(spark, dir), "doc_id")
+      .select(col("doc_id"),
+        (col("pixels") * dotK(col("anv"), col("cnv"))).as("q"))
+    DedupOps.keepBest(labels, quality, "doc_id", "q")
+      .filter(col("n_docs") > 1)
+      .select(col("label").as("cluster_rep"),
+        col("n_docs").as("n_assets"),
+        col("keep_id").as("keep_asset_id"),
+        round(col("best_score"), 4).as("best_quality"),
+        (col("n_docs") - 1).as("n_removed"))
   }
 
   /** Id width of one successor-computation range: ranges must be small

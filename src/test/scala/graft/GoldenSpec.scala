@@ -105,5 +105,38 @@ class GoldenSpec extends SparkSuite {
       "dominant_topics.svg", "index.html").foreach { f =>
       assert(Files.exists(Paths.get(out, "lda", f)), s"lda figure $f missing")
     }
+
+    // r13 (VERDICT ask #9): the COMMITTED report-manifest golden — the
+    // full report directory shape (every sheet with its row count, every
+    // figure/page artifact) diffed against src/test/resources. Seeded
+    // fits make the whole run deterministic, so any drift in the report
+    // surface — a sheet lost, a figure renamed, a row-count change from a
+    // pipeline edit — fails here instead of shipping silently. The ±1
+    // topic-count quirk is normalized away by design (both halves get
+    // k=4; the reference saw N and N±1 — FullAnalysisMain scaladoc).
+    def manifestOf(dir: String, label: String): Seq[String] = {
+      val mf = new String(Files.readAllBytes(Paths.get(dir, "_report.json")),
+        "UTF-8")
+      val sheets = "\"([^\"]+)\"\\s*:\\s*\"[^\"]*\"".r.findAllMatchIn(mf)
+        .map(_.group(1)).filterNot(_ == "format").toSeq.sorted
+      val sheetLines = sheets.map { s =>
+        s"$label/sheet/$s=${pipeline.ReportSink.readSheet(spark, dir, s).count()}"
+      }
+      val fileLines = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".svg") || f.getName.endsWith(".html"))
+        .map(f => s"$label/file/${f.getName}").sorted.toSeq
+      sheetLines ++ fileLines
+    }
+    val manifest = (manifestOf(s"$out/bertopic", "bertopic") ++
+      manifestOf(s"$out/lda", "lda")).mkString("\n") + "\n"
+    val golden = Paths.get("src/test/resources/ep2_report_manifest.txt")
+    if (!Files.exists(golden)) {
+      Files.createDirectories(golden.getParent)
+      Files.writeString(golden, manifest)
+      info(s"recorded new golden at $golden — commit it")
+    } else {
+      assert(manifest === new String(Files.readAllBytes(golden), "UTF-8"),
+        "EP2 report manifest drifted from the committed golden")
+    }
   }
 }

@@ -283,6 +283,11 @@ object ScaleProbe {
     for (nq <- Seq(8, 256, 2048))
       time(s"bm25_srv_q$nq")(
         RetrievalOps.bm25FromPostings(servedTf, _ < nq, k = 5).count())
+    // diagnostic split of the q2048 point: scored pairs only (no top-k
+    // window) — attributes the superlinear wall time to the aggregation
+    // or to the selection
+    time("bm25_agg_q2048")(
+      RetrievalOps.bm25ScoredPairs(servedTf, _ < 2048).count())
     // bucketed-serving A/B (r13): the SAME bm25FromPostings chain reading
     // the word-bucketed stored table vs the unbucketed in-plan frame —
     // the serving-path evidence for LayoutOps.storedBucketed (the

@@ -239,17 +239,26 @@ object RetrievalOps {
     * aggregates over fixed-width rows), so a maintained index never needs
     * the raw text rescanned to serve queries.
     */
-  def bm25FromPostings(tf: DataFrame,
-                       queryPred: Column => Column, k: Int): DataFrame = {
+  /** The scored (query_id, doc_id, score) pairs before top-k selection —
+    * split out so the |Q| scale probe can time scoring and selection
+    * separately.
+    */
+  private[graft] def bm25ScoredPairs(tf: DataFrame,
+                                     queryPred: Column => Column): DataFrame = {
     val qterms = tf.filter(queryPred(col("doc_id")))
       .select(col("doc_id").as("query_id"), col("word")).distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
     bm25Enriched(tf)
       .join(broadcast(qterms), "word")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
+  }
+
+  def bm25FromPostings(tf: DataFrame,
+                       queryPred: Column => Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25ScoredPairs(tf, queryPred)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),

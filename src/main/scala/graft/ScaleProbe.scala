@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SCALE_PARTITIONS overrides the shuffle width for
+    // partition-sizing A/Bs (the |Q|-sweep's reduce side at q2048 holds
+    // ~100M groups — 32 partitions under-provision it; see DEPLOY)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -288,6 +292,11 @@ object ScaleProbe {
     // or to the selection
     time("bm25_agg_q2048")(
       RetrievalOps.bm25ScoredPairs(servedTf, _ < 2048).count())
+    // the saturated-vocabulary serving path: dense vocabulary pivot +
+    // codegen'd dot kernel instead of the matched-row explosion
+    for (nq <- Seq(256, 2048))
+      time(s"bm25_dense_q$nq")(
+        RetrievalOps.bm25DenseTopK(servedTf, _ < nq, k = 5).count())
     // bucketed-serving A/B (r13): the SAME bm25FromPostings chain reading
     // the word-bucketed stored table vs the unbucketed in-plan frame —
     // the serving-path evidence for LayoutOps.storedBucketed (the

@@ -265,6 +265,65 @@ object RetrievalOps {
         round(col("score"), 4).as("bm25"))
   }
 
+  /** Vocabulary width up to which the DENSE serving path applies. */
+  val DenseVocabMax = 4096
+
+  /** BM25 top-k through a DENSE vocabulary pivot — the saturated-
+    * vocabulary serving path. The |Q| sweep (DEPLOY) measured the
+    * posting-list plan degenerating when every query matches ~every doc
+    * (this corpus' 30-word vocabulary: min df = 5% of docs, so scored
+    * pairs are |Q|·N by construction and there is NO tail for
+    * WAND-style max-impact pruning to skip — every term's upper bound is
+    * live in every query). In that regime the scoring matrix is dense
+    * and the right plan is the brute-cosine shape: pivot each doc's
+    * per-posting contribs to a |V|-wide vector ONCE, broadcast the 0/1
+    * query vectors, and score with the codegen'd dot kernel — no
+    * matched-row explosion, no 10⁸-group aggregation; the only shuffle
+    * is the per-query top-k. Exact: contribs are strictly positive, so
+    * score > 0 ⟺ ≥ 1 matched term, reproducing the sparse path's
+    * candidate set; zero terms add exactly 0.0 to the fold, so scores
+    * agree with the sparse sum to reordering (4-dp-stable, spec-pinned
+    * parity). Guarded by `DenseVocabMax` — at an open vocabulary the
+    * pivot width explodes and the posting-list plan is right again.
+    */
+  def bm25DenseTopK(tf: DataFrame, queryPred: Column => Column,
+                    k: Int): DataFrame = {
+    import graft.functions.HashExpressions.dotK
+    val enriched = graft.Caching.track(bm25Enriched(tf))
+    val vocab = enriched.select(col("word")).distinct()
+      .orderBy(col("word")).collect().map(_.getString(0))
+    require(vocab.length <= DenseVocabMax,
+      s"dense serving needs a bounded vocabulary (${vocab.length} > $DenseVocabMax) — use bm25FromPostings")
+    val wmap = map(vocab.zipWithIndex
+      .flatMap { case (wd, i) => Seq(lit(wd), lit(i)) }: _*)
+    def pivot(rows: DataFrame, valueCol: Column): DataFrame =
+      rows
+        .withColumn("i", element_at(wmap, col("word")))
+        .withColumn("v", valueCol)
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("i"), col("v"))))
+          .as("m"))
+        .withColumn("vec", transform(
+          sequence(lit(0), lit(vocab.length - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))))
+        .select(col("doc_id"), col("vec"))
+    val docVecs = pivot(enriched, col("contrib"))
+    val qVecs = pivot(
+      tf.filter(queryPred(col("doc_id")))
+        .select(col("doc_id"), col("word")).distinct(), lit(1.0))
+      .select(col("doc_id").as("query_id"), col("vec").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    docVecs.crossJoin(broadcast(qVecs))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("score", dotK(col("qv"), col("vec")))
+      .filter(col("score") > 0.0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("bm25"))
+  }
+
   /** Query: BM25 top-5 over the documents fixture for the first 8 docs as
     * query probes (postings from the shared registry).
     */

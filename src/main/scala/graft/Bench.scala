@@ -173,6 +173,7 @@ object Bench {
     operators.DedupOps.clearLabelCache()
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
+    operators.SemDedupOps.clearCache()
     spark.stop()
   }
 }

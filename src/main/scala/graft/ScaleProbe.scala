@@ -276,6 +276,12 @@ object ScaleProbe {
     // terms; proximity adds the bounded per-doc position-pair product
     time("phrase")(RetrievalOps.phraseQuery(spark, tmp).count())
     time("proximity")(RetrievalOps.proximityQuery(spark, tmp).count())
+    // r13 curation/selection/dedup additions
+    time("gopher_rules")(CurationOps.gopherRulesProfile(spark, tmp).count())
+    time("ppl_buckets")(LmOps.pplBucketsQuery(spark, tmp).count())
+    time("dsir")(SamplingOps.dsirProfile(spark, tmp).count())
+    time("semdedup")(SemDedupOps.semanticDupProfile(spark, tmp).count())
+    time("prototypes")(SemDedupOps.prototypesProfile(spark, tmp).count())
     // |Q|-dimension serving scaling (r13): every corpus-dimension slope
     // fixed |Q| at 8 — this sweeps the QUERY set 8→256→2048 over ONE
     // persisted postings frame (raw persist: survives time()'s

@@ -516,6 +516,18 @@ object SparkEntry {
     "txt_lm_nll" -> LmOps.nllBandsQuery,
     "txt_lm_cross" -> LmOps.crossNllBandsQuery,
     "stream_quality_gate" -> LmOps.qualityGateQuery,
+    // CCNet-style per-lang perplexity terciles (head/middle/tail) — the
+    // quality cut CCNet keeps head+middle of; rank-based thresholds
+    "quality_ppl_buckets" -> LmOps.pplBucketsQuery,
+    // Gopher rule-set audit: published word-count/mean-length/symbol/
+    // alpha/stopword/repetition rules, per-source fail counts
+    "quality_gopher_rules" -> CurationOps.gopherRulesProfile,
+    // DSIR data selection: hashed-unigram importance weights against an
+    // English target domain, per-(lang, band) histogram
+    "select_dsir" -> SamplingOps.dsirProfile,
+    // SSL-prototype pruning (D4's second half): per cluster, drop the top
+    // 25% by centroid cosine — the easiest (most prototypical) examples
+    "select_prototypes" -> ((s, d) => SemDedupOps.prototypesProfile(s, d)),
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -615,6 +627,9 @@ object SparkEntry {
     "dedup_embed_lsh" -> SimilarityOps.lshDupPairs,
     "dedup_embed_clusters" -> ((s, d) => SimilarityOps.lshDupClusterProfile(s, d)),
     "dedup_minhash_clusters" -> DedupOps.minhashClusterProfile,
+    // SemDeDup: k-means-partitioned embedding-cosine duplicate groups,
+    // keeper = farthest-from-centroid (the paper's low-similarity rule)
+    "dedup_semdedup" -> ((s, d) => SemDedupOps.semanticDupProfile(s, d)),
     "dedup_keep_best" -> DedupOps.keepBestProfile,
     "dedup_simhash_clusters" -> DedupOps.simhashClusterProfile,
     "dedup_incremental" -> DedupOps.incrementalDupProfile,
@@ -1927,6 +1942,60 @@ object SparkEntry {
          |SELECT lang, CAST(floor(nll) AS INT) AS nll_band,
          |  CAST(count(*) AS BIGINT) AS n_docs, round(avg(nll), 4) AS avg_nll
          |FROM nll GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // CCNet terciles: same per-doc nll derivation as txt_lm_nll, then
+    // rank-based (type-1) per-lang cuts at ceil(n/3) / ceil(2n/3) over the
+    // (lang, distinct nll) histogram — integer ranks, exact value compares
+    "quality_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(t)),
+         |                          i -> t[i] || ' ' || t[i + 1])) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |bg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM big),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |inst AS (
+         |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+         |nll AS (
+         |  SELECT i.doc_id, i.lang,
+         |    round(-sum(l.logp * i.n) / sum(i.n), 6) AS nll
+         |  FROM inst i
+         |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  GROUP BY 1, 2),
+         |hist AS (SELECT lang, nll, count(*) AS hn FROM nll GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, nll,
+         |    sum(hn) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+         |    sum(hn) OVER (PARTITION BY lang) AS nk
+         |  FROM hist),
+         |thr AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum >= (nk + 2) // 3 THEN nll END) AS t1,
+         |    min(CASE WHEN cum >= (2 * nk + 2) // 3 THEN nll END) AS t2
+         |  FROM cum GROUP BY 1)
+         |SELECT n.lang,
+         |  CASE WHEN n.nll <= t1 THEN 'head'
+         |       WHEN n.nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(n.nll), 4) AS avg_nll,
+         |  min(n.nll) AS min_nll, max(n.nll) AS max_nll
+         |FROM nll n JOIN thr USING (lang)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // cross-corpus LM scoring: model from the held-in 80%, held-out 20%
     // scored through the full backoff chain (seen -> (lang,w1) backoff ->
     // per-lang floor), with the miss mass reported per band
@@ -2683,6 +2752,82 @@ object SparkEntry {
          |  coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
          |  coalesce(tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
          |FROM r LEFT JOIN k USING (quality)""".stripMargin,
+    // Gopher rule audit: every rule is integer or single-division
+    // arithmetic over the shared token list — bit-deterministic, no float
+    // sums anywhere (mirrors CurationOps.gopherRules)
+    "quality_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT source, coalesce(text, '') AS text, $NORM AS norm,
+         |    $TOKS_ALL AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT source,
+         |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
+         |         AND len(toks) <= ${CurationOps.GopherMaxWords}
+         |         THEN 1 ELSE 0 END AS p_wc,
+         |    CASE WHEN len(toks) > 0
+         |         AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |             >= ${CurationOps.GopherMinMeanLen}
+         |         AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |             <= ${CurationOps.GopherMaxMeanLen}
+         |         THEN 1 ELSE 0 END AS p_ml,
+         |    CASE WHEN len(toks) > 0
+         |         AND len(regexp_extract_all(text, '#|[.]{3}|…')) * 1.0
+         |             / len(toks) <= ${CurationOps.GopherMaxSymbolRatio}
+         |         THEN 1 ELSE 0 END AS p_sym,
+         |    CASE WHEN len(toks) > 0
+         |         AND len(list_filter(toks,
+         |               t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
+         |             / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
+         |         THEN 1 ELSE 0 END AS p_al,
+         |    CASE WHEN len(list_intersect(list_distinct(toks),
+         |               ${CurationOps.GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")}))
+         |             >= ${CurationOps.GopherMinStopHits}
+         |         THEN 1 ELSE 0 END AS p_st,
+         |    CASE WHEN $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}
+         |         THEN 1 ELSE 0 END AS p_rep
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(1 - p_wc) AS BIGINT) AS fail_wordcount,
+         |  CAST(sum(1 - p_ml) AS BIGINT) AS fail_meanlen,
+         |  CAST(sum(1 - p_sym) AS BIGINT) AS fail_symbol,
+         |  CAST(sum(1 - p_al) AS BIGINT) AS fail_alpha,
+         |  CAST(sum(1 - p_st) AS BIGINT) AS fail_stop,
+         |  CAST(sum(1 - p_rep) AS BIGINT) AS fail_repeat,
+         |  CAST(sum(p_wc * p_ml * p_sym * p_al * p_st * p_rep) AS BIGINT)
+         |    AS n_pass
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DSIR weights: add-one-smoothed hashed-unigram bag models, target =
+    // en docs, raw = the whole corpus; per-doc log-ratio sum 6-dp
+    // pre-rounded before the band floor (mirrors SamplingOps.dsirWeights)
+    "select_dsir" ->
+      s"""WITH inst AS (
+         |  SELECT doc_id, lang, h % ${SamplingOps.DsirBuckets} AS b,
+         |    count(*) AS n
+         |  FROM (SELECT doc_id, lang, unnest(${tokenHashes(TOKS)}) AS h
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
+         |           AS ttot,
+         |    CAST(sum(n) AS BIGINT) AS rtot
+         |  FROM inst),
+         |tc AS (SELECT b, CAST(sum(n) AS BIGINT) AS tc FROM inst
+         |       WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT b, CAST(sum(n) AS BIGINT) AS rc FROM inst GROUP BY 1),
+         |lr AS (
+         |  SELECT rc.b,
+         |    ln((coalesce(tc.tc, 0) + 1) * 1.0
+         |       / (ttot + ${SamplingOps.DsirBuckets}))
+         |    - ln((rc.rc + 1) * 1.0 / (rtot + ${SamplingOps.DsirBuckets}))
+         |      AS lrat
+         |  FROM rc LEFT JOIN tc USING (b), tot),
+         |w AS (
+         |  SELECT doc_id, lang, round(sum(lrat * n), 6) AS w
+         |  FROM inst JOIN lr USING (b) GROUP BY 1, 2)
+         |SELECT lang, CAST(floor(w) AS INT) AS w_band,
+         |  CAST(count(*) AS BIGINT) AS n_docs, round(avg(w), 4) AS avg_w
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // feasible total T* = min(supply/w); keep rates derived, then the same
     // deterministic id-hash selection the sampling tier uses
     "mix_domains" ->
@@ -3173,6 +3318,69 @@ object SparkEntry {
          |SELECT label AS cluster_rep, count(*) AS n_vecs,
          |  max(doc_id) AS max_vec_id
          |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // SemDeDup: edges = within-kmeans-cluster cosine pairs (assignment from
+    // the persisted fit, dots the exact left fold), same propagation
+    // unroll, keeper = min centroid-cosine against the persisted centroid
+    // doubles (exact algebra: min, filter, min — no arg_max)
+    "dedup_semdedup" ->
+      s"""WITH $UNIT_CTE,
+         |a AS (SELECT vec_id, cluster FROM ${Artifacts.ref("semdedup_assign")}),
+         |uv AS (SELECT u.vec_id, a.cluster, u.nv FROM u JOIN a USING (vec_id)),
+         |edges AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM uv x JOIN uv y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${dotSql("x.nv", "y.nv")} >= ${SemDedupOps.Tau}),
+         |b AS MATERIALIZED (
+         |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
+         |  UNION ALL
+         |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
+         |${propagationCtes(DedupOps.ClusterRounds)},
+         |cc AS (
+         |  SELECT uv.vec_id AS doc_id,
+         |    round(${dotSql("uv.nv", "c.centroid")}
+         |          / sqrt(${dotSql("c.centroid", "c.centroid")}), 6) AS ccos
+         |  FROM uv JOIN ${Artifacts.ref("semdedup_centroids")} c
+         |    USING (cluster)),
+         |j AS (SELECT l.doc_id, l.label, cc.ccos
+         |      FROM l${DedupOps.ClusterRounds} l JOIN cc USING (doc_id)),
+         |grp AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    min(ccos) AS keep_cos
+         |  FROM j GROUP BY 1 HAVING count(*) > 1)
+         |SELECT label AS group_rep, n_vecs, min(doc_id) AS keep_id,
+         |  round(keep_cos, 4) AS keep_cos, n_vecs - 1 AS n_removed
+         |FROM j JOIN grp USING (label)
+         |WHERE ccos = keep_cos
+         |GROUP BY label, n_vecs, keep_cos""".stripMargin,
+    // SSL-prototype pruning: same persisted assignment/centroids, rank by
+    // 6-dp centroid cosine (ties to vec_id), drop the top 25% per cluster
+    "select_prototypes" ->
+      s"""WITH $UNIT_CTE,
+         |a AS (SELECT vec_id, cluster FROM ${Artifacts.ref("semdedup_assign")}),
+         |uv AS (SELECT u.vec_id, a.cluster, u.nv FROM u JOIN a USING (vec_id)),
+         |cc AS (
+         |  SELECT uv.vec_id, uv.cluster,
+         |    round(${dotSql("uv.nv", "c.centroid")}
+         |          / sqrt(${dotSql("c.centroid", "c.centroid")}), 6) AS ccos
+         |  FROM uv JOIN ${Artifacts.ref("semdedup_centroids")} c
+         |    USING (cluster)),
+         |rk AS (
+         |  SELECT cluster, ccos,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY ccos DESC, vec_id) AS rk
+         |  FROM cc),
+         |nc AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(floor(count(*) * ${SemDedupOps.PrototypePruneRate})
+         |         AS BIGINT) AS n_pruned
+         |  FROM cc GROUP BY 1)
+         |SELECT cluster, n_vecs, n_pruned,
+         |  round(max(CASE WHEN rk > n_pruned THEN ccos END), 4) AS cut_cos,
+         |  round(avg(CASE WHEN rk > n_pruned THEN ccos END), 4)
+         |    AS avg_kept_cos
+         |FROM rk JOIN nc USING (cluster)
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "topic_ctfidf" ->
       s"""WITH ex AS (SELECT lang AS cls, unnest($TOKS) AS word FROM documents),
          |tf AS (SELECT cls, word, count(*) AS tf FROM ex GROUP BY 1, 2),

@@ -58,6 +58,7 @@ object Verify {
     operators.DedupOps.clearLabelCache()
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
+    operators.SemDedupOps.clearCache()
     spark.stop()
   }
 }

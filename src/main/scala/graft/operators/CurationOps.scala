@@ -184,4 +184,82 @@ object CurationOps {
         sum(length(col("scrubbed"))).cast("long").as("scrubbed_len"))
       .orderBy("lang")
   }
+
+  /** Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 App. A1.1),
+    * published values — word count [50, 100k], mean word length [3, 10],
+    * symbol-to-word ≤ 0.1, ≥80% words alphabetic, ≥2 required stop words —
+    * plus the duplicate-bigram cap from the repetition family (Table A1
+    * bounds duplicate n-gram character fractions; the engine's existing
+    * bigram dup-fraction stands in at ≤ 0.2).
+    */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherStopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+  val GopherMaxDupBigram = 0.2
+
+  /** Per-doc Gopher rule verdicts: one narrow projection, every rule a
+    * codegen'd column over the shared token array — the filter is a pure
+    * map at any scale (no shuffle until the caller aggregates). Docs with
+    * zero tokens fail every ratio rule (the word-count rule already
+    * removes them; stating it keeps the columns total).
+    */
+  def gopherRules(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalized, tokens}
+    docs
+      .withColumn("toks", tokens(col(textCol), 1, 100))
+      .withColumn("nw", size(col("toks")).cast("long"))
+      // total token characters via the normalized string (same derivation
+      // as the quality-score heuristic: norm minus spaces)
+      .withColumn("tchars",
+        length(regexp_replace(normalized(col(textCol)), " ", "")).cast("long"))
+      .withColumn("pass_wordcount",
+        (col("nw") >= GopherMinWords && col("nw") <= GopherMaxWords).cast("int"))
+      .withColumn("pass_meanlen",
+        (col("nw") > 0 &&
+          col("tchars").cast("double") / col("nw") >= GopherMinMeanLen &&
+          col("tchars").cast("double") / col("nw") <= GopherMaxMeanLen).cast("int"))
+      .withColumn("pass_symbol",
+        (col("nw") > 0 &&
+          regexp_count(coalesce(col(textCol), lit("")), lit("#|[.]{3}|…"))
+            .cast("double") / col("nw") <= GopherMaxSymbolRatio).cast("int"))
+      .withColumn("pass_alpha",
+        (col("nw") > 0 &&
+          expr("size(filter(toks, t -> t rlike '[a-z가-힣]'))").cast("double")
+            / col("nw") >= GopherMinAlphaFrac).cast("int"))
+      .withColumn("pass_stop",
+        (size(array_intersect(array_distinct(col("toks")),
+          array(GopherStopWords.map(lit): _*))) >= GopherMinStopHits).cast("int"))
+      .withColumn("pass_repeat",
+        (TextAnalysisOps.dupFrac(TextAnalysisOps.tokenBigrams(col("toks")))
+          <= GopherMaxDupBigram).cast("int"))
+      .withColumn("pass_all",
+        (col("pass_wordcount") * col("pass_meanlen") * col("pass_symbol") *
+          col("pass_alpha") * col("pass_stop") * col("pass_repeat")).cast("int"))
+      .drop("toks", "nw", "tchars")
+  }
+
+  /** Query: the Gopher rule-set audit per source — doc counts, per-rule
+    * FAIL counts, and survivors. Every rule is integer/single-division
+    * arithmetic (no float sums anywhere), so the face is deterministic to
+    * the bit on both engines; output bounded by |sources|.
+    */
+  def gopherRulesProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    gopherRules(docs, "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("pass_wordcount")).as("fail_wordcount"),
+        sum(lit(1L) - col("pass_meanlen")).as("fail_meanlen"),
+        sum(lit(1L) - col("pass_symbol")).as("fail_symbol"),
+        sum(lit(1L) - col("pass_alpha")).as("fail_alpha"),
+        sum(lit(1L) - col("pass_stop")).as("fail_stop"),
+        sum(lit(1L) - col("pass_repeat")).as("fail_repeat"),
+        sum(col("pass_all").cast("long")).as("n_pass"))
+      .orderBy("source")
+  }
 }

@@ -278,4 +278,53 @@ object LmOps {
         sum(col("n_trans")).as("n_trans"))
       .orderBy(col("lang"), col("nll_band"))
   }
+
+  /** Query: CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3) — per language, docs split into head / middle /
+    * tail by LM-score terciles; CCNet keeps the head+middle as its quality
+    * cut. Scores are the same self-trained, 6-dp-pre-rounded per-doc NLLs
+    * as `txt_lm_nll`; tercile THRESHOLDS are rank-based (type-1: the value
+    * at position ⌈n/3⌉ / ⌈2n/3⌉ — pure integer ranks against exact value
+    * compares, so both engines pick the identical cut, no interpolated
+    * floats). The threshold pass runs over the (lang, distinct nll)
+    * histogram, never a row sort — the RankOps CDF shape; at 100 TB the
+    * cuts would come from a `SamplingOps.hashSample` first (CCNet itself
+    * estimates them from a sample), after which bucketing is a broadcast
+    * comparison either way. Output bounded by |langs| × 3.
+    */
+  def pplBucketsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // identical self-scoring derivation to nllBandsQuery (shared exchange)
+    val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("n"))
+    val counts = inst.groupBy("lang", "w1", "w2").agg(sum("n").as("c12"))
+    val vocab = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang").agg(countDistinct("w").as("v"))
+    val model = modelFromCounts(counts, vocab)
+    val nll = inst.join(model.logp, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(-sum(col("logp") * col("n")) / sum(col("n")), 6).as("nll"))
+    val hist = nll.groupBy(col("lang"), col("nll"))
+      .agg(count(lit(1)).as("hn"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("nll")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cum", sum(col("hn")).over(byLang))
+      .withColumn("nk", sum(col("hn")).over(whole))
+    val thr = cum.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(nk + 2) DIV 3"), col("nll"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * nk + 2) DIV 3"), col("nll"))).as("t2"))
+    nll.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("nll") <= col("t1"), lit("head"))
+          .when(col("nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")), 4).as("avg_nll"),
+        min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
 }

@@ -359,4 +359,67 @@ object SamplingOps {
         col("n_total"),
         round(coalesce(col("n_kept"), lit(0L)) / col("n_total"), 4).as("keep_rate"))
   }
+
+  /** DSIR hashed-feature space size (Xie et al. 2023, arXiv:2302.03169 use
+    * 10k buckets over n-grams; 1024 matches the engine's sketch widths at
+    * fixture scale — the bucket count is the bias/variance knob, not a
+    * correctness one).
+    */
+  val DsirBuckets = 1024
+
+  /** Per-doc DSIR importance weights: log p_target(x) − log p_raw(x) under
+    * add-one-smoothed hashed token-unigram bag models — the published
+    * data-selection estimator (Xie et al. 2023), deterministic variant
+    * (their Gumbel-noise resampling replaced by the weight itself; a
+    * pipeline keeps w ≥ cut, or feeds w into `stratifiedSample`).
+    *
+    * Scale shape: the two feature models are `DsirBuckets`-row frames built
+    * by one map-side-combined aggregate over the SAME hashed instance frame
+    * (target = a lang/source predicate over it), then broadcast; scoring is
+    * one broadcast join + per-doc sum. No shuffle grows with the corpus
+    * beyond the per-doc instance aggregate. Zero-token docs have no
+    * instances and drop — they carry no evidence either way.
+    */
+  def dsirWeights(inst: DataFrame, targetPred: Column): DataFrame = {
+    val totals = inst.agg(
+      sum(when(targetPred, col("n")).otherwise(0L)).as("ttot"),
+      sum(col("n")).as("rtot"))
+    val tcnt = inst.filter(targetPred).groupBy("b").agg(sum("n").as("tc"))
+    val rcnt = inst.groupBy("b").agg(sum("n").as("rc"))
+    val lrat = rcnt.join(tcnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lrat",
+        log((coalesce(col("tc"), lit(0L)) + 1).cast("double")
+          / (col("ttot") + DsirBuckets))
+          - log((col("rc") + 1).cast("double") / (col("rtot") + DsirBuckets)))
+      .select("b", "lrat")
+    // 6-dp pre-round: the per-doc sum is the one float fold (house LM-band
+    // guard against last-ulp ln differences across engines)
+    inst.join(broadcast(lrat), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("lrat") * col("n")), 6).as("w"))
+  }
+
+  /** Query: DSIR selection audit with English as the target domain — the
+    * per-(lang, weight-band) histogram a selection cut is read from;
+    * output bounded by |langs| × bands. Recorded finding: the fixture's
+    * five languages share ONE 31-word vocabulary (lang is metadata, not a
+    * distribution), so the estimator correctly reports NO separation — en
+    * bands sit level with the rest, weights all negative (the smoothing
+    * penalty of a noisier target model). The spec pins that the same
+    * estimator separates cleanly the moment target and raw vocabularies
+    * actually differ.
+    */
+  def dsirProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inst = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.HashExpressions.tokenHashesK(col("text")))
+          .as("h"))
+      .withColumn("b", col("h") % DsirBuckets)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    dsirWeights(inst, col("lang") === "en")
+      .groupBy(col("lang"), floor(col("w")).cast("int").as("w_band"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("w")), 4).as("avg_w"))
+      .orderBy(col("lang"), col("w_band"))
+  }
 }

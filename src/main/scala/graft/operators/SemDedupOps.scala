@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashExpressions.{dotK, unitVector}
+import graft.functions.VectorFunctions.asDouble
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+  * cluster the embedding space with k-means, then call two corpus members
+  * semantic duplicates when they land in the SAME cluster with cosine above
+  * a threshold. Within each duplicate group the member FARTHEST from the
+  * cluster's semantic center is kept (the paper's low-centroid-similarity
+  * rule: redundant points crowd the centroid; the outlier carries the
+  * group's information) and the rest are dropped.
+  *
+  * This is the embedding-space complement of the lexical tiers in
+  * [[DedupOps]]: MinHash/SimHash find REWRITES of the same surface text,
+  * SemDeDup finds RESTATEMENTS — different words, same meaning — which no
+  * shingle ever catches. The reference corpus motivation is the same as its
+  * keep-first dedup (/root/reference/preprocessing.py:212-215); the
+  * embedding generalization is what a training-data pipeline runs at scale.
+  *
+  * Scale shape, exactly the paper's: k = ⌈n / ClusterSize⌉ grows with the
+  * corpus so the within-cluster quadratic stays a constant per-task cost
+  * (they run ~50k per cluster at 600M embeddings) — the pair join is then
+  * Σ_c |c|² ≈ n·ClusterSize, linear in n. The quantizer FIT runs on a
+  * deterministic hash sample (SampleFactor points per centroid — the
+  * paper trains faiss on a corpus sample for the same reason), and the
+  * full corpus takes ONE frozen-centroid assignment pass (n·k codegen'd
+  * flops, embarrassingly parallel, no shuffle). Measured: the fixed-k=8
+  * variant paid 156M within-cluster dots at a 50k replica (32.1 s);
+  * scaled-k sample-fit holds cluster size at 64 (10×/30× in DEPLOY.md).
+  * Group contraction reuses the bounded label-propagation loop from the
+  * lexical tiers (fixed point ≤ ClusterRounds, oracle-unrollable).
+  */
+object SemDedupOps {
+
+  /** Pair threshold: the fixture's embeddings are near-orthogonal random
+    * points (within-label cosine tops out ≈ 0.5), so the dedup operating
+    * point sits at the same cos ≥ 0.4 the LSH embedding tier uses; real
+    * sentence embeddings run this at 0.9+.
+    */
+  val Tau = 0.4
+
+  /** Target members per cluster (the paper's 600M/11k ≈ 50k, scaled to
+    * fixture size) and fit-sample size per centroid.
+    */
+  val ClusterSize = 64
+  val SampleFactor = 16
+
+  /** Fitted-assignment registry: one seeded quantizer per corpus content
+    * key, so reruns inside a service lifetime reuse the persisted
+    * assignment (same contract as TopicModelOps' registry).
+    */
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def clearCache(): Unit = {
+    cache.values.foreach(_.unpersist(false))
+    cache.clear()
+  }
+
+  /** (vec_id, cluster, nv): unit vectors under a corpus-scaled k-means
+    * quantizer — k = ⌈n/ClusterSize⌉ (floor 8), fit on a deterministic
+    * `SamplingOps.hashSample` of ~SampleFactor·k vectors, every vector
+    * then assigned once at the frozen centroids (MLlib transform — n·k
+    * flops, no shuffle). Persisted as the `semdedup_assign` artifact so
+    * the oracle re-derives edges/groups/keepers from the identical
+    * assignment.
+    */
+  private def unitAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"semdedup:${graft.Fingerprint.dirKey(spark, dir)}"
+    val assigned = cache.getOrElseUpdate(key, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val unit = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          unitVector(asDouble(col("embedding"))).as("nv"))
+      val n = unit.count()
+      val k = math.max(8L, (n + ClusterSize - 1) / ClusterSize).toInt
+      val frac = math.min(1.0, SampleFactor.toDouble * k / math.max(1L, n))
+      val vecs = unit.withColumn("v", array_to_vector(col("nv")))
+      val km = new KMeans().setK(k).setSeed(TopicModelOps.Seed)
+        .setMaxIter(10).setFeaturesCol("v").setPredictionCol("cluster")
+        .fit(SamplingOps.hashSample(vecs, "vec_id", frac))
+      km.transform(vecs).select("vec_id", "cluster", "nv").persist()
+    })
+    graft.Artifacts.save("semdedup_assign")(
+      assigned.select("vec_id", "cluster"))
+    assigned
+  }
+
+  /** Per-cluster semantic centers: per-dim mean of member unit vectors,
+    * folded back into ordered arrays. k·dims rows after the explode — model
+    * -sized, broadcast back. Persisted as an artifact so the oracle scores
+    * against the IDENTICAL doubles (no cross-engine mean re-derivation).
+    */
+  private def centroids(unit: DataFrame): DataFrame =
+    unit.select(col("cluster"), posexplode(col("nv")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg("x").as("m"))
+      .groupBy("cluster")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Per-member centroid cosine, 6-dp pre-rounded so downstream argmins/
+    * ranks can't flap on a last-bit mean difference (house LM-band
+    * convention). (vec_id, cluster, ccos).
+    */
+  private def centroidCos(unit: DataFrame, cents: DataFrame): DataFrame =
+    unit.join(broadcast(cents), "cluster")
+      .withColumn("cnorm", sqrt(dotK(col("centroid"), col("centroid"))))
+      .withColumn("ccos",
+        round(dotK(col("nv"), col("centroid")) / col("cnorm"), 6))
+      .select(col("vec_id"), col("cluster"), col("ccos"))
+
+  /** Semantic duplicate group report: one row per duplicate group —
+    * representative, size, the kept member (min centroid-cosine, ties to
+    * the smallest vec_id — exact algebra, no arg_max), and the removal
+    * count. The ACTION form a pipeline applies is the anti-join of the
+    * corpus against the non-keeper ids this frame implies.
+    */
+  def semanticDupProfile(spark: SparkSession, dir: String,
+                         tau: Double = Tau): DataFrame = {
+    val unit = unitAssigned(spark, dir)
+    val cents = centroids(unit)
+    graft.Artifacts.save("semdedup_centroids")(cents)
+    val left = unit.select(col("cluster"), col("vec_id").as("doc_a"),
+      col("nv").as("nva"))
+    val right = unit.select(col("cluster"), col("vec_id").as("doc_b"),
+      col("nv").as("nvb"))
+    val edges = left.join(right, "cluster")
+      .filter(col("doc_a") < col("doc_b") &&
+        dotK(col("nva"), col("nvb")) >= tau)
+      .select("doc_a", "doc_b")
+    val labels = DedupOps.propagateEdges(edges, DedupOps.ClusterRounds)
+    val ccos = centroidCos(unit, cents)
+      .select(col("vec_id").as("doc_id"), col("ccos"))
+    val j = labels.join(ccos, "doc_id")
+    val grp = j.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), min(col("ccos")).as("keep_cos"))
+      .filter(col("n_vecs") > 1)
+    j.join(grp, "label")
+      .filter(col("ccos") === col("keep_cos"))
+      .groupBy(col("label").as("group_rep"), col("n_vecs"), col("keep_cos"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("group_rep"), col("n_vecs"), col("keep_id"),
+        round(col("keep_cos"), 4).as("keep_cos"),
+        (col("n_vecs") - 1).as("n_removed"))
+  }
+
+  /** Fraction of each cluster pruned by the prototype rule. */
+  val PrototypePruneRate = 0.25
+
+  /** SSL-prototype pruning (Sorscher et al. 2022, arXiv:2206.14486 — the
+    * second half of the D4 recipe, Tirumala et al. 2023, arXiv:2308.12284,
+    * which runs SemDeDup THEN prototype pruning): in the data-RICH regime
+    * the most prototypical examples — highest cosine to their cluster
+    * centroid — carry the least marginal information, so each cluster
+    * drops its top `rate` fraction by centroid cosine (ties to the
+    * smaller vec_id). Per-cluster report: size, pruned count, the cosine
+    * cut, and the kept mean.
+    *
+    * Scale shape: reuses the semdedup quantizer (registry + artifacts);
+    * the rank window partitions by cluster — ClusterSize-bounded frames by
+    * the k∝n design, never a global sort.
+    */
+  def prototypesProfile(spark: SparkSession, dir: String,
+                        rate: Double = PrototypePruneRate): DataFrame = {
+    val unit = unitAssigned(spark, dir)
+    val cents = centroids(unit)
+    graft.Artifacts.save("semdedup_centroids")(cents)
+    val ccos = centroidCos(unit, cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+    val sized = ccos.withColumn("rk", row_number().over(w))
+    val nc = ccos.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_pruned", floor(col("n_vecs") * rate).cast("long"))
+    sized.join(broadcast(nc), "cluster")
+      .groupBy(col("cluster"), col("n_vecs"), col("n_pruned"))
+      .agg(
+        round(max(when(col("rk") > col("n_pruned"), col("ccos"))), 4)
+          .as("cut_cos"),
+        round(avg(when(col("rk") > col("n_pruned"), col("ccos"))), 4)
+          .as("avg_kept_cos"))
+      .orderBy("cluster")
+  }
+}

@@ -233,6 +233,18 @@ object StreamOps {
       .filter(col("nll") <= maxNll)
       .select(col(idCol), col("lang"), col("nll"))
 
+  /** Gopher rule gate at ingest, streaming face: the rule columns are a
+    * PURE per-row projection (CurationOps.gopherRules — no aggregation, no
+    * state, no watermark needed), so the stream plan is the batch plan:
+    * one codegen'd map, append-mode by construction. The cheapest gate in
+    * the ingest chain — a deployment runs it FIRST, before the LM gate's
+    * model joins and the dedup tier's index probes ever see the row.
+    * Batch parity is definitional (same projection) and spec-pinned.
+    */
+  def gopherGateStream(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.CurationOps.gopherRules(docs, textCol)
+      .filter(col("pass_all") === 1)
+
   /** Percolation at ingest (standing queries / alerting): each incoming
     * doc is tokenized statelessly and its terms broadcast-joined to the
     * FROZEN standing-query table (RetrievalOps.buildStanding — idf and

@@ -82,4 +82,41 @@ class CurationOpsSpec extends SparkSuite {
       .collect().map(_.toString).sorted
     assert(a === b)
   }
+
+  test("gopherRules: each rule fires on exactly its own failure mode") {
+    // 60 distinct 4-letter-ish words incl. two required stop words — the
+    // all-pass baseline every other doc is one mutation away from
+    val passWords = "the with" +: (1 to 58).map(i => f"word$i%02d")
+    val passText = passWords.mkString(" ")
+    val docs = Seq(
+      (1L, passText), // passes everything
+      (2L, "the with tiny doc"), // < 50 words
+      (3L, ("the with " + (1 to 58).map(_ => "a b").mkString(" "))), // mean len < 3
+      (4L, passText + " " + (1 to 20).map(_ => "#").mkString(" ")), // symbols
+      (5L, ("the with " + (1 to 58).map(i => s"$i").mkString(" "))), // digits only
+      (6L, (1 to 60).map(i => f"word$i%02d").mkString(" ")), // no stop words
+      (7L, "the with " + (1 to 58).map(_ => "xx yy").mkString(" ")) // repeats
+    ).toDF("doc_id", "text")
+    val got = CurationOps.gopherRules(docs, "text")
+      .select("doc_id", "pass_wordcount", "pass_meanlen", "pass_symbol",
+        "pass_alpha", "pass_stop", "pass_repeat", "pass_all")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 7).map(r.getInt)).toMap
+    assert(got(1L) === Seq(1, 1, 1, 1, 1, 1, 1))
+    assert(got(2L)(0) === 0 && got(2L)(6) === 0) // word count fails
+    assert(got(3L)(1) === 0) // mean word length fails
+    assert(got(4L)(2) === 0) // symbol ratio fails
+    assert(got(5L)(3) === 0) // alpha fraction fails (58/60 digit words)
+    assert(got(6L)(4) === 0) // stop-word rule fails
+    assert(got(7L)(5) === 0) // duplicate-bigram rule fails
+  }
+
+  test("gopherRules: zero-token docs fail every ratio rule, columns total") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CurationOps.gopherRules(docs, "text")
+      .select("pass_wordcount", "pass_meanlen", "pass_symbol", "pass_alpha",
+        "pass_all").collect()
+    assert(got.length === 2)
+    assert(got.forall(r => (0 until 5).forall(i => r.getInt(i) === 0)))
+  }
 }

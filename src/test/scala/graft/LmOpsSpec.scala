@@ -77,4 +77,24 @@ class LmOpsSpec extends SparkSuite {
       band >= 0 && avg >= band && avg < band + 1 && r.getLong(2) > 0
     })
   }
+
+  test("pplBucketsQuery: terciles partition each lang, sizes within one, " +
+    "ranges ordered") {
+    val rows = LmOps.pplBucketsQuery(spark, SparkSpec.FixtureDir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, rs) =>
+      val m = rs.map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+      assert(m.keySet === Set("head", "middle", "tail"))
+      val n = m.values.map(_._1).sum
+      // rank-based cuts: at least ⌈n/3⌉ land at or below each threshold
+      // (ties can only GROW the lower bucket, never shrink it)
+      assert(m("head")._1 >= (n + 2) / 3)
+      assert(m("head")._1 + m("middle")._1 >= (2 * n + 2) / 3)
+      // value ranges are disjoint and ordered head < middle < tail
+      assert(m("head")._3 <= m("middle")._2)
+      assert(m("middle")._3 <= m("tail")._2)
+    }
+  }
 }

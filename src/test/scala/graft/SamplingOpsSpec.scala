@@ -234,4 +234,35 @@ class SamplingOpsSpec extends SparkSuite {
     assert(kept.filter(col("lang") === "en").count() === 0)
     assert(kept.filter(col("lang") === "ko").count() === 500)
   }
+
+  test("dsirWeights separates a distributionally distinct target domain") {
+    // target docs live on buckets {1,2}, out-of-domain docs on {8,9}; a
+    // doc written in target vocabulary must outscore one written in the
+    // other — the whole point of the estimator. (The fixture's languages
+    // share one vocabulary, so the committed face correctly reports NO
+    // separation there; this pins that the math separates when the data
+    // does.)
+    val inst = ((1L to 10L).flatMap(i => Seq(
+      (i, "en", 1L, 3L), (i, "en", 2L, 2L))) ++
+      (11L to 20L).flatMap(i => Seq(
+        (i, "xx", 8L, 3L), (i, "xx", 9L, 2L))))
+      .toDF("doc_id", "lang", "b", "n")
+    val w = SamplingOps.dsirWeights(inst, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wEn = (1L to 10L).map(w)
+    val wXx = (11L to 20L).map(w)
+    assert(wEn.min > wXx.max)
+    assert(wEn.forall(_ > 0.0) && wXx.forall(_ < 0.0))
+  }
+
+  test("dsirWeights is deterministic across partitionings") {
+    val inst = (1L to 50L).flatMap(i =>
+      Seq((i, "en", i % 7, 1L + i % 3), (i, "xx", i % 11, 2L)))
+      .toDF("doc_id", "lang", "b", "n")
+    val a = SamplingOps.dsirWeights(inst, col("lang") === "en")
+      .collect().map(_.toString).sorted
+    val b = SamplingOps.dsirWeights(inst.repartition(13), col("lang") === "en")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }

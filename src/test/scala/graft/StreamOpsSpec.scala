@@ -97,6 +97,32 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("gopher rule gate in-stream: stateless projection, batch parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CurationOps
+    implicit val sqlCtx = spark.sqlContext
+    val good = ("the with " + (1 to 58).map(i => f"word$i%02d").mkString(" "))
+    val short = "the with tiny doc"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.gopherGateStream(input.toDF(), "text")
+      .select("doc_id", "pass_all")
+      .writeStream.format("memory").queryName("gopher_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1, ts(9, 0), good), StreamDoc(2, ts(9, 1), short))
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_gate_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === Set(1L))
+      // batch parity: the same projection over the same delta
+      val batch = CurationOps.gopherRules(
+          Seq((1L, good), (2L, short)).toDF("doc_id", "text"), "text")
+        .filter(col("pass_all") === 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("percolation in-stream: frozen standing queries alert, batch parity") {
     import org.apache.spark.sql.functions._
     import graft.operators.RetrievalOps

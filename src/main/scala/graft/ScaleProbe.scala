@@ -282,6 +282,7 @@ object ScaleProbe {
     time("dsir")(SamplingOps.dsirProfile(spark, tmp).count())
     time("semdedup")(SemDedupOps.semanticDupProfile(spark, tmp).count())
     time("prototypes")(SemDedupOps.prototypesProfile(spark, tmp).count())
+    time("curation_funnel")(CurationOps.curationFunnel(spark, tmp).count())
     // |Q|-dimension serving scaling (r13): every corpus-dimension slope
     // fixed |Q| at 8 — this sweeps the QUERY set 8→256→2048 over ONE
     // persisted postings frame (raw persist: survives time()'s

@@ -528,6 +528,9 @@ object SparkEntry {
     // SSL-prototype pruning (D4's second half): per cluster, drop the top
     // 25% by centroid cosine — the easiest (most prototypical) examples
     "select_prototypes" -> ((s, d) => SemDedupOps.prototypesProfile(s, d)),
+    // the end-to-end curation funnel: Gopher structural rules -> CCNet
+    // head+middle perplexity gate -> minhash keep-first, per-stage counts
+    "curation_funnel" -> CurationOps.curationFunnel,
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -2797,6 +2800,100 @@ object SparkEntry {
          |  CAST(sum(p_wc * p_ml * p_sym * p_al * p_st * p_rep) AS BIGINT)
          |    AS n_pass
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the end-to-end curation funnel: Gopher structural rules -> CCNet
+    // head+middle -> minhash keep-first; every stage re-derived from the
+    // fragments its standalone face already verifies
+    "curation_funnel" ->
+      s"""WITH gd AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, $NORM AS norm,
+         |    $TOKS_ALL AS toks
+         |  FROM documents),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id FROM gd
+         |  WHERE len(toks) >= ${CurationOps.GopherMinWords}
+         |    AND len(toks) <= ${CurationOps.GopherMaxWords}
+         |    AND len(toks) > 0
+         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |        >= ${CurationOps.GopherMinMeanLen}
+         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |        <= ${CurationOps.GopherMaxMeanLen}
+         |    AND len(regexp_extract_all(text, '#|[.]{3}|…')) * 1.0
+         |        / len(toks) <= ${CurationOps.GopherMaxSymbolRatio}
+         |    AND len(list_filter(toks,
+         |          t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
+         |        / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
+         |    AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}),
+         |tk AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM tk WHERE len(t) >= 2)),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |inst AS (
+         |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+         |nll AS (
+         |  SELECT i.doc_id, i.lang,
+         |    round(-sum(l.logp * i.n) / sum(i.n), 6) AS nll
+         |  FROM inst i
+         |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  GROUP BY 1, 2),
+         |hist AS (SELECT lang, nll, count(*) AS hn FROM nll GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, nll,
+         |    sum(hn) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+         |    sum(hn) OVER (PARTITION BY lang) AS nk
+         |  FROM hist),
+         |thr AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum >= (nk + 2) // 3 THEN nll END) AS t1,
+         |    min(CASE WHEN cum >= (2 * nk + 2) // 3 THEN nll END) AS t2
+         |  FROM cum GROUP BY 1),
+         |s2 AS MATERIALIZED (
+         |  SELECT s1.doc_id
+         |  FROM s1 JOIN nll n USING (doc_id) JOIN thr ON n.lang = thr.lang
+         |  WHERE n.nll <= t2),
+         |sigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |withbands AS (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM withbands, range(0, 8) t(j)),
+         |${propagationCtes(DedupOps.ClusterRounds)},
+         |s3g AS (
+         |  SELECT coalesce(l.label, s2.doc_id) AS grp
+         |  FROM s2 LEFT JOIN l${DedupOps.ClusterRounds} l USING (doc_id)),
+         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+         |c3 AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n FROM s3g)
+         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
+         |  round((n_in - n_out) * 1.0 / n_in, 4) AS drop_rate
+         |FROM (
+         |  SELECT '1_gopher_struct' AS stage, c0.n AS n_in, c1.n AS n_out
+         |  FROM c0, c1
+         |  UNION ALL
+         |  SELECT '2_ppl_head_middle', c1.n, c2.n FROM c1, c2
+         |  UNION ALL
+         |  SELECT '3_neardup_keep_first', c2.n, c3.n FROM c2, c3)
+         |ORDER BY stage""".stripMargin,
     // DSIR weights: add-one-smoothed hashed-unigram bag models, target =
     // en docs, raw = the whole corpus; per-doc log-ratio sum 6-dp
     // pre-rounded before the band floor (mirrors SamplingOps.dsirWeights)

@@ -243,6 +243,56 @@ object CurationOps {
       .drop("toks", "nw", "tchars")
   }
 
+  /** Query: the end-to-end curation FUNNEL — the composition a training-
+    * data pipeline actually runs, each stage an operator this engine
+    * already serves alone:
+    *
+    *   1. Gopher STRUCTURAL rules (word count / mean length / symbol /
+    *      alpha / repetition — the stop-word rule is excluded here because
+    *      the synthetic fixture's 31-word vocabulary carries only 'the',
+    *      so the published ≥2-hits rule zeroes the corpus; a real
+    *      deployment keeps it), the cheapest gate, run first;
+    *   2. CCNet perplexity gate — keep the head+middle terciles (docs the
+    *      LM cannot score were already removed by the word-count rule);
+    *   3. near-dup keep-first over the corpus-wide MinHash cluster index
+    *      (one keeper per cluster among the surviving members; docs
+    *      outside any cluster survive as their own group).
+    *
+    * Output: one row per stage with in/out/dropped counts and the drop
+    * rate — all integer arithmetic plus one exact division, bounded by the
+    * stage count. Each stage is a filter/semi-join over the prior
+    * survivors, so the funnel's scale shape is the max of its parts (the
+    * LM scoring joins and the minhash index build), not their product.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val flags = gopherRules(docs, "text")
+    val s1 = graft.Caching.track(
+      flags.filter(col("pass_wordcount") === 1 && col("pass_meanlen") === 1 &&
+          col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
+          col("pass_repeat") === 1)
+        .select("doc_id"))
+    val s2 = graft.Caching.track(
+      s1.join(graft.operators.LmOps.pplBucketed(spark, dir)
+          .filter(col("bucket") =!= "tail").select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val labels = DedupOps.minhashLabels(spark, dir)
+    val n3 = s2.join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("grp"))
+      .distinct().count()
+    val (n0, n1, n2) = (docs.count(), s1.count(), s2.count())
+    import spark.implicits._
+    Seq(
+      ("1_gopher_struct", n0, n1),
+      ("2_ppl_head_middle", n1, n2),
+      ("3_neardup_keep_first", n2, n3))
+      .toDF("stage", "n_in", "n_out")
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .withColumn("drop_rate",
+        round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 4))
+      .orderBy("stage")
+  }
+
   /** Query: the Gopher rule-set audit per source — doc counts, per-rule
     * FAIL counts, and survivors. Every rule is integer/single-division
     * arithmetic (no float sums anywhere), so the face is deterministic to

@@ -292,7 +292,19 @@ object LmOps {
     * estimates them from a sample), after which bucketing is a broadcast
     * comparison either way. Output bounded by |langs| × 3.
     */
-  def pplBucketsQuery(spark: SparkSession, dir: String): DataFrame = {
+  def pplBucketsQuery(spark: SparkSession, dir: String): DataFrame =
+    pplBucketed(spark, dir)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")), 4).as("avg_nll"),
+        min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /** Per-doc tercile assignment (doc_id, lang, nll, bucket) — the shared
+    * core of `quality_ppl_buckets` and the curation funnel's perplexity
+    * gate. Docs the LM can't score (under two tokens) carry no row.
+    */
+  def pplBucketed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // identical self-scoring derivation to nllBandsQuery (shared exchange)
     val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
@@ -321,10 +333,6 @@ object LmOps {
         when(col("nll") <= col("t1"), lit("head"))
           .when(col("nll") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")))
-      .groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("nll")), 4).as("avg_nll"),
-        min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
-      .orderBy(col("lang"), col("bucket"))
+      .select("doc_id", "lang", "nll", "bucket")
   }
 }

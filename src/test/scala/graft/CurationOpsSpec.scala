@@ -111,6 +111,25 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(7L)(5) === 0) // duplicate-bigram rule fails
   }
 
+  test("curationFunnel: stages chain, counts monotone, rates consistent") {
+    val rows = CurationOps.curationFunnel(spark, SparkSpec.FixtureDir)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("1_gopher_struct", "2_ppl_head_middle", "3_neardup_keep_first"))
+    rows.foreach { r =>
+      val (nIn, nOut, dropped) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOut <= nIn && dropped === nIn - nOut)
+      assert(r.getDouble(4) ===
+        math.rint((nIn - nOut).toDouble / nIn * 1e4) / 1e4)
+    }
+    // each stage's input is the previous stage's output
+    assert(rows(0).getLong(2) === rows(1).getLong(1))
+    assert(rows(1).getLong(2) === rows(2).getLong(1))
+    // something survives the whole funnel on the fixture
+    assert(rows(2).getLong(2) > 0)
+  }
+
   test("gopherRules: zero-token docs fail every ratio rule, columns total") {
     val docs = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = CurationOps.gopherRules(docs, "text")

@@ -380,25 +380,33 @@ object SamplingOps {
     * beyond the per-doc instance aggregate. Zero-token docs have no
     * instances and drop — they carry no evidence either way.
     */
-  def dsirWeights(inst: DataFrame, targetPred: Column): DataFrame = {
+  /** The fitted DSIR model: per-bucket log-likelihood ratio rows (b, lrat)
+    * — `DsirBuckets`-bounded, the broadcast side every scorer (batch or
+    * stream-static) joins. Buckets never seen in the raw corpus carry no
+    * row; a scored doc's tokens in such buckets contribute nothing (the
+    * same inner-join semantics on both faces).
+    */
+  def dsirModel(inst: DataFrame, targetPred: Column): DataFrame = {
     val totals = inst.agg(
       sum(when(targetPred, col("n")).otherwise(0L)).as("ttot"),
       sum(col("n")).as("rtot"))
     val tcnt = inst.filter(targetPred).groupBy("b").agg(sum("n").as("tc"))
-    val rcnt = inst.groupBy("b").agg(sum("n").as("rc"))
-    val lrat = rcnt.join(tcnt, Seq("b"), "left")
+    inst.groupBy("b").agg(sum("n").as("rc"))
+      .join(tcnt, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lrat",
         log((coalesce(col("tc"), lit(0L)) + 1).cast("double")
           / (col("ttot") + DsirBuckets))
           - log((col("rc") + 1).cast("double") / (col("rtot") + DsirBuckets)))
       .select("b", "lrat")
+  }
+
+  def dsirWeights(inst: DataFrame, targetPred: Column): DataFrame =
     // 6-dp pre-round: the per-doc sum is the one float fold (house LM-band
     // guard against last-ulp ln differences across engines)
-    inst.join(broadcast(lrat), "b")
+    inst.join(broadcast(dsirModel(inst, targetPred)), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(round(sum(col("lrat") * col("n")), 6).as("w"))
-  }
 
   /** Query: DSIR selection audit with English as the target domain — the
     * per-(lang, weight-band) histogram a selection cut is read from;

@@ -245,6 +245,33 @@ object StreamOps {
     graft.operators.CurationOps.gopherRules(docs, textCol)
       .filter(col("pass_all") === 1)
 
+  /** DSIR gate at ingest, streaming face: arriving docs are scored against
+    * a FROZEN importance model (SamplingOps.dsirModel — a DsirBuckets-row
+    * broadcast, fit offline on the reference corpora) via one stateless
+    * token-hash explode + stream-static join, then ONE watermarked
+    * per-(window, doc) sum folds the per-occurrence log-ratios and the
+    * gate keeps docs at w ≥ minW — "does this arrival look like the
+    * target domain?" at ingest. Per-occurrence summing equals the batch
+    * face's Σ lrat·n exactly (n collapses), so parity is algebraic and
+    * spec-pinned; buckets absent from the frozen model contribute nothing
+    * on both faces (inner join).
+    */
+  def dsirGateStream(docs: DataFrame, model: DataFrame, textCol: String,
+                     idCol: String, tsCol: String, minW: Double = 0.0,
+                     delay: String = "1 hour"): DataFrame =
+    docs
+      .select(col(idCol), col(tsCol),
+        explode(graft.functions.HashExpressions.tokenHashesK(col(textCol)))
+          .as("h"))
+      .withColumn("b",
+        col("h") % graft.operators.SamplingOps.DsirBuckets)
+      .withWatermark(tsCol, delay)
+      .join(broadcast(model), "b")
+      .groupBy(window(col(tsCol), "1 hour"), col(idCol))
+      .agg(round(sum(col("lrat")), 6).as("w"))
+      .filter(col("w") >= minW)
+      .select(col(idCol), col("w"))
+
   /** Percolation at ingest (standing queries / alerting): each incoming
     * doc is tokenized statelessly and its terms broadcast-joined to the
     * FROZEN standing-query table (RetrievalOps.buildStanding — idf and

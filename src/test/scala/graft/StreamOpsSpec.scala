@@ -123,6 +123,65 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("DSIR gate in-stream: frozen importance model, batch parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SamplingOps
+    implicit val sqlCtx = spark.sqlContext
+    // model fit offline: target docs use one vocabulary, raw adds another
+    val train = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "beta gamma alpha gamma"),
+      (3L, "xx", "delta epsilon zeta delta"),
+      (4L, "xx", "epsilon zeta delta zeta"))
+      .toDF("doc_id", "lang", "text")
+    val inst = train.select(col("doc_id"), col("lang"),
+        explode(graft.functions.HashExpressions.tokenHashesK(col("text")))
+          .as("h"))
+      .withColumn("b", col("h") % SamplingOps.DsirBuckets)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    val model = SamplingOps.dsirModel(inst, col("lang") === "en")
+      .collect() // freeze: the stream joins a static local frame
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(model.toSeq),
+      org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lrat",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    val targetish = "alpha beta gamma beta"
+    val rawish = "delta epsilon zeta epsilon"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.dsirGateStream(input.toDF(), frozen, "text",
+        "doc_id", "ts", minW = 0.0)
+      .writeStream.format("memory").queryName("dsir_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(10, ts(9, 0), targetish),
+        StreamDoc(11, ts(9, 5), rawish))
+      q.processAllAvailable()
+      input.addData(StreamDoc(99, ts(12, 0), targetish)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_gate_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet === Set(10L))
+      assert(streamed(10L) > 0.0)
+      // batch face on the same delta: identical weights, identical verdict
+      val dinst = Seq((10L, "?", targetish), (11L, "?", rawish))
+        .toDF("doc_id", "lang", "text")
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.HashExpressions.tokenHashesK(col("text")))
+            .as("h"))
+        .withColumn("b", col("h") % SamplingOps.DsirBuckets)
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      val batch = dinst.join(broadcast(frozen), "b")
+        .groupBy("doc_id")
+        .agg(round(sum(col("lrat") * col("n")), 6).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(batch(10L) === streamed(10L))
+      assert(batch(11L) < 0.0)
+    } finally q.stop()
+  }
+
   test("percolation in-stream: frozen standing queries alert, batch parity") {
     import org.apache.spark.sql.functions._
     import graft.operators.RetrievalOps

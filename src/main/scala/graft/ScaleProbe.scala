@@ -283,6 +283,27 @@ object ScaleProbe {
     time("semdedup")(SemDedupOps.semanticDupProfile(spark, tmp).count())
     time("prototypes")(SemDedupOps.prototypesProfile(spark, tmp).count())
     time("curation_funnel")(CurationOps.curationFunnel(spark, tmp).count())
+    // parquet codec A/B on the replica documents table: bytes on disk,
+    // write wall, and a projection-heavy scan (tokenize + agg) per codec —
+    // the storage-layout knob DEPLOY's table reads from
+    for (codec <- Seq("snappy", "zstd", "lz4"))
+      time(s"codec_$codec") {
+        val path = s"$tmp/codec_$codec"
+        spark.read.parquet(s"$tmp/documents.parquet")
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", codec).parquet(path)
+        val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          .filter(p => p.toString.endsWith(".parquet"))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        val t0 = System.nanoTime()
+        val n = spark.read.parquet(path)
+          .select(explode(graft.functions.TextFunctions
+            .tokens(col("text"))).as("w"))
+          .groupBy("w").count().count()
+        println(f"[scale]   codec_$codec: ${bytes / 1024} KiB, scan+agg " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s ($n words)")
+        bytes
+      }
     // |Q|-dimension serving scaling (r13): every corpus-dimension slope
     // fixed |Q| at 8 — this sweeps the QUERY set 8→256→2048 over ONE
     // persisted postings frame (raw persist: survives time()'s

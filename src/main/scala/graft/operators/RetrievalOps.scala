@@ -638,13 +638,21 @@ object RetrievalOps {
     * these rows their own way.
     *
     * `broadcastTerms` picks the standing-side join strategy — the
-    * alerting regime's scale dial: broadcast (default) is right while the
-    * standing TERM table fits executor memory (measured: it wins through
-    * at least 10⁵ three-term standing queries — DEPLOY's percolation
-    * A/B); an unbounded standing set (every user a standing query) flips
-    * to the TERM-PARTITIONED join — the same word-keyed shuffle shape as
-    * the BM25 scoring join, cost tracking matched term pairs, never
-    * |standing| × |ingest|.
+    * alerting regime's scale dial, and the MEASURED verdict (DEPLOY's
+    * percolation A/B, 10× corpus, three-rarest-term standing queries) is
+    * the opposite of the naive "broadcast until memory" intuition:
+    * broadcast and term-partitioned tie at 10³ standing queries (6.2 vs
+    * 5.4 s), then broadcast loses 16× at 10⁴ (96.8 vs 6.1 s) and 33× at
+    * 10⁵ (869.7 vs 26.6 s). The limiter is not the broadcast payload
+    * (3·|standing| rows is tiny) but WHERE the matched-pair explosion
+    * runs: a broadcast join inherits the ingest scan's partitioning, so
+    * the |matches| rows (326M at 10⁵ here) are produced and
+    * partially aggregated by a handful of scan tasks, while the
+    * term-partitioned join's word shuffle spreads exactly the same
+    * explosion across the full shuffle width. Broadcast (default) is
+    * right for bounded standing sets scored inside a stream (the
+    * stream-static shape percolateStream needs); any batch re-score of a
+    * 10⁴+ standing set should pass broadcastTerms = false.
     */
   def percolateTermRows(docs: DataFrame, idCol: String, textCol: String,
                         standing: StandingQueries,

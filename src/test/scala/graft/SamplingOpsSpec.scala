@@ -255,6 +255,13 @@ class SamplingOpsSpec extends SparkSuite {
     assert(wEn.forall(_ > 0.0) && wXx.forall(_ < 0.0))
   }
 
+  test("dsir scoring joins the model broadcast, never shuffling the docs side") {
+    val plan = SamplingOps.dsirProfile(spark, SparkSpec.FixtureDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 1024-row lrat model must broadcast to the instance frame")
+  }
+
   test("dsirWeights is deterministic across partitionings") {
     val inst = (1L to 50L).flatMap(i =>
       Seq((i, "en", i % 7, 1L + i % 3), (i, "xx", i % 11, 2L)))

@@ -42,6 +42,18 @@ class SemDedupSpec extends SparkSuite {
     assert(loose >= tight)
   }
 
+  test("plan shape: no single-partition exchange or global sort funnel") {
+    // both faces rank/aggregate within cluster-partitioned frames; a
+    // refactor that drops the partition key would surface here
+    for (q <- Seq(
+      SemDedupOps.semanticDupProfile(spark, SparkSpec.FixtureDir),
+      SemDedupOps.prototypesProfile(spark, SparkSpec.FixtureDir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        "cluster-scoped work must never funnel through one partition")
+    }
+  }
+
   test("prototypesProfile: prune counts follow the rate, cut below ceiling") {
     val rows = SemDedupOps.prototypesProfile(spark, SparkSpec.FixtureDir)
       .collect()

@@ -303,8 +303,14 @@ object LmOps {
   /** Per-doc tercile assignment (doc_id, lang, nll, bucket) — the shared
     * core of `quality_ppl_buckets` and the curation funnel's perplexity
     * gate. Docs the LM can't score (under two tokens) carry no row.
+    * `thresholdFrac < 1.0` estimates the cuts from a deterministic
+    * `SamplingOps.hashSample` of the scored docs instead of all of them —
+    * the 100 TB protocol (CCNet's own: cutoffs from a sample), with
+    * bucketing still a broadcast comparison over every doc. Agreement
+    * between sampled and exact cuts is spec-pinned.
     */
-  def pplBucketed(spark: SparkSession, dir: String): DataFrame = {
+  def pplBucketed(spark: SparkSession, dir: String,
+                  thresholdFrac: Double = 1.0): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // identical self-scoring derivation to nllBandsQuery (shared exchange)
     val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
@@ -317,7 +323,10 @@ object LmOps {
     val nll = inst.join(model.logp, Seq("lang", "w1", "w2"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(round(-sum(col("logp") * col("n")) / sum(col("n")), 6).as("nll"))
-    val hist = nll.groupBy(col("lang"), col("nll"))
+    val thrSource =
+      if (thresholdFrac >= 1.0) nll
+      else SamplingOps.hashSample(nll, "doc_id", thresholdFrac)
+    val hist = thrSource.groupBy(col("lang"), col("nll"))
       .agg(count(lit(1)).as("hn"))
     val byLang = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("nll")

@@ -97,4 +97,21 @@ class LmOpsSpec extends SparkSuite {
       assert(m("middle")._3 <= m("tail")._2)
     }
   }
+
+  test("pplBucketed: sampled thresholds classify nearly all docs like " +
+    "exact ones (the 100 TB protocol)") {
+    val exact = LmOps.pplBucketed(spark, SparkSpec.FixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val sampled = LmOps.pplBucketed(spark, SparkSpec.FixtureDir,
+        thresholdFrac = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sampled.keySet === exact.keySet) // thresholds never drop docs
+    val agree = exact.count { case (id, b) => sampled(id) == b }
+    // cut estimation error only moves docs NEAR a tercile boundary; the
+    // bulk classify identically even from a 40% sample
+    assert(agree.toDouble / exact.size >= 0.80,
+      s"sampled-cut agreement ${agree.toDouble / exact.size}")
+    // and the approximation stays a 3-way partition per lang
+    assert(sampled.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
 }

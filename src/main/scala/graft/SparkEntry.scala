@@ -531,6 +531,9 @@ object SparkEntry {
     // the end-to-end curation funnel: Gopher structural rules -> CCNet
     // head+middle perplexity gate -> minhash keep-first, per-stage counts
     "curation_funnel" -> CurationOps.curationFunnel,
+    // cross-gate agreement: per (lang, ppl tercile) — gopher pass counts
+    // and mean quality score (are the gates redundant or complementary?)
+    "quality_gate_agreement" -> CurationOps.gateAgreementQuery,
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -2894,6 +2897,84 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '3_neardup_keep_first', c2.n, c3.n FROM c2, c3)
          |ORDER BY stage""".stripMargin,
+    // cross-gate agreement: the funnel's gopher-struct flags and nll
+    // terciles joined per doc with the exact-quarters quality score
+    "quality_gate_agreement" ->
+      s"""WITH gd AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, $NORM AS norm,
+         |    $TOKS_ALL AS toks
+         |  FROM documents),
+         |gf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
+         |      AND len(toks) <= ${CurationOps.GopherMaxWords}
+         |      AND len(toks) > 0
+         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |          >= ${CurationOps.GopherMinMeanLen}
+         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |          <= ${CurationOps.GopherMaxMeanLen}
+         |      AND len(regexp_extract_all(text, '#|[.]{3}|…')) * 1.0
+         |          / len(toks) <= ${CurationOps.GopherMaxSymbolRatio}
+         |      AND len(list_filter(toks,
+         |            t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
+         |          / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
+         |      AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}
+         |    THEN 1 ELSE 0 END AS pass_struct
+         |  FROM gd),
+         |qv AS (
+         |  SELECT doc_id, $qualityCaseSql AS q
+         |  FROM (SELECT doc_id, text, $NORM AS norm, $TOKS_ALL AS toks
+         |        FROM documents)),
+         |tk AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM tk WHERE len(t) >= 2)),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
+         |  GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |inst AS (
+         |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+         |nll AS (
+         |  SELECT i.doc_id, i.lang,
+         |    round(-sum(l.logp * i.n) / sum(i.n), 6) AS nll
+         |  FROM inst i
+         |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  GROUP BY 1, 2),
+         |hist AS (SELECT lang, nll, count(*) AS hn FROM nll GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, nll,
+         |    sum(hn) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+         |    sum(hn) OVER (PARTITION BY lang) AS nk
+         |  FROM hist),
+         |thr AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum >= (nk + 2) // 3 THEN nll END) AS t1,
+         |    min(CASE WHEN cum >= (2 * nk + 2) // 3 THEN nll END) AS t2
+         |  FROM cum GROUP BY 1),
+         |bk AS (
+         |  SELECT n.doc_id, n.lang, n.nll,
+         |    CASE WHEN n.nll <= t1 THEN 'head'
+         |         WHEN n.nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM nll n JOIN thr USING (lang))
+         |SELECT bk.lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pass_struct) AS BIGINT) AS n_gopher_pass,
+         |  round(avg(q), 4) AS avg_quality, round(avg(nll), 4) AS avg_nll
+         |FROM bk JOIN gf USING (doc_id) JOIN qv USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DSIR weights: add-one-smoothed hashed-unigram bag models, target =
     // en docs, raw = the whole corpus; per-doc log-ratio sum 6-dp
     // pre-rounded before the band floor (mirrors SamplingOps.dsirWeights)

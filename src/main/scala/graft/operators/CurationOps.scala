@@ -293,6 +293,33 @@ object CurationOps {
       .orderBy("stage")
   }
 
+  /** Query: cross-gate AGREEMENT diagnostic — per (lang, perplexity
+    * tercile): how many docs the Gopher structural rules pass, and the
+    * mean heuristic quality score. The question it answers is whether the
+    * gates are redundant (they agree: drop one) or complementary (they
+    * catch different failure modes: keep the chain). Quality scores are
+    * exact quarters (sums exact in binary), counts are integers, so the
+    * only rounded float is the mean NLL — the same 4-dp house guard as
+    * the bucket face. Output bounded by |langs| × 3.
+    */
+  def gateAgreementQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val flags = gopherRules(docs, "text").select(col("doc_id"),
+      (col("pass_wordcount") * col("pass_meanlen") * col("pass_symbol") *
+        col("pass_alpha") * col("pass_repeat")).as("pass_struct"))
+    val quality = docs.select(col("doc_id"),
+      TextAnalysisOps.qualityScoreCol(col("text")).as("q"))
+    graft.operators.LmOps.pplBucketed(spark, dir)
+      .join(flags, "doc_id")
+      .join(quality, "doc_id")
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass_struct")).cast("long").as("n_gopher_pass"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Query: the Gopher rule-set audit per source — doc counts, per-rule
     * FAIL counts, and survivors. Every rule is integer/single-division
     * arithmetic (no float sums anywhere), so the face is deterministic to

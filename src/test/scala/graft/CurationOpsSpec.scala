@@ -130,6 +130,24 @@ class CurationOpsSpec extends SparkSuite {
     assert(rows(2).getLong(2) > 0)
   }
 
+  test("gateAgreementQuery: totals partition, flags bounded, scores in range") {
+    val rows = CurationOps.gateAgreementQuery(spark, SparkSpec.FixtureDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, pass, q) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(pass >= 0 && pass <= n)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    // the (lang, bucket) cells partition the LM-scored corpus: per-lang
+    // totals equal the tercile face's
+    val byLang = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val buckets = graft.operators.LmOps.pplBucketed(spark, SparkSpec.FixtureDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.toMap === buckets)
+  }
+
   test("gopherRules: zero-token docs fail every ratio rule, columns total") {
     val docs = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = CurationOps.gopherRules(docs, "text")

@@ -283,6 +283,7 @@ object ScaleProbe {
     time("semdedup")(SemDedupOps.semanticDupProfile(spark, tmp).count())
     time("prototypes")(SemDedupOps.prototypesProfile(spark, tmp).count())
     time("curation_funnel")(CurationOps.curationFunnel(spark, tmp).count())
+    time("gate_agreement")(CurationOps.gateAgreementQuery(spark, tmp).count())
     // parquet codec A/B on the replica documents table: bytes on disk,
     // write wall, and a projection-heavy scan (tokenize + agg) per codec —
     // the storage-layout knob DEPLOY's table reads from

@@ -174,6 +174,8 @@ object Bench {
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.SemDedupOps.clearCache()
+    operators.LmOps.clearNllCache()
+    graft.multimodal.MediaOps.clearMediaCache()
     spark.stop()
   }
 }

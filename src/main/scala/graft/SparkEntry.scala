@@ -65,6 +65,15 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB rendering of the Gopher symbol rule over columns named text /
+    * toks — one 0.1 cap PER symbol family (hash, ellipsis), as published
+    * (mirrors CurationOps.gopherRules.pass_symbol). */
+  private val symbolRuleSql: String =
+    s"len(regexp_extract_all(text, '#')) * 1.0 / len(toks)" +
+      s" <= ${CurationOps.GopherMaxSymbolRatio}" +
+      s" AND len(regexp_extract_all(text, '[.]{3}|…')) * 1.0 / len(toks)" +
+      s" <= ${CurationOps.GopherMaxSymbolRatio}"
+
   /** Oracle for the decontamination audits — shared by `decontam_13gram`
     * and `decontam_bloom` (the bloom prefilter has no false negatives and
     * survivors are exact-verified, so the faces are provably equal).
@@ -2778,8 +2787,7 @@ object SparkEntry {
          |             <= ${CurationOps.GopherMaxMeanLen}
          |         THEN 1 ELSE 0 END AS p_ml,
          |    CASE WHEN len(toks) > 0
-         |         AND len(regexp_extract_all(text, '#|[.]{3}|…')) * 1.0
-         |             / len(toks) <= ${CurationOps.GopherMaxSymbolRatio}
+         |         AND $symbolRuleSql
          |         THEN 1 ELSE 0 END AS p_sym,
          |    CASE WHEN len(toks) > 0
          |         AND len(list_filter(toks,
@@ -2820,8 +2828,7 @@ object SparkEntry {
          |        >= ${CurationOps.GopherMinMeanLen}
          |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
          |        <= ${CurationOps.GopherMaxMeanLen}
-         |    AND len(regexp_extract_all(text, '#|[.]{3}|…')) * 1.0
-         |        / len(toks) <= ${CurationOps.GopherMaxSymbolRatio}
+         |    AND $symbolRuleSql
          |    AND len(list_filter(toks,
          |          t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
          |        / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
@@ -2868,8 +2875,10 @@ object SparkEntry {
          |  FROM cum GROUP BY 1),
          |s2 AS MATERIALIZED (
          |  SELECT s1.doc_id
-         |  FROM s1 JOIN nll n USING (doc_id) JOIN thr ON n.lang = thr.lang
-         |  WHERE n.nll <= t2),
+         |  FROM s1 LEFT JOIN (SELECT n.doc_id, n.nll, thr.t2
+         |                     FROM nll n JOIN thr ON n.lang = thr.lang) x
+         |    USING (doc_id)
+         |  WHERE x.nll IS NULL OR x.nll <= x.t2),
          |sigs AS (
          |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
          |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
@@ -2913,8 +2922,7 @@ object SparkEntry {
          |          >= ${CurationOps.GopherMinMeanLen}
          |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
          |          <= ${CurationOps.GopherMaxMeanLen}
-         |      AND len(regexp_extract_all(text, '#|[.]{3}|…')) * 1.0
-         |          / len(toks) <= ${CurationOps.GopherMaxSymbolRatio}
+         |      AND $symbolRuleSql
          |      AND len(list_filter(toks,
          |            t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
          |          / len(toks) >= ${CurationOps.GopherMinAlphaFrac}

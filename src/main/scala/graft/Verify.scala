@@ -59,6 +59,8 @@ object Verify {
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.SemDedupOps.clearCache()
+    operators.LmOps.clearNllCache()
+    graft.multimodal.MediaOps.clearMediaCache()
     spark.stop()
   }
 }

@@ -187,7 +187,9 @@ object CurationOps {
 
   /** Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 App. A1.1),
     * published values — word count [50, 100k], mean word length [3, 10],
-    * symbol-to-word ≤ 0.1, ≥80% words alphabetic, ≥2 required stop words —
+    * symbol-to-word ≤ 0.1 PER symbol family (hash and ellipsis each get
+    * their own 0.1 cap, as the paper applies it), ≥80% words alphabetic,
+    * ≥2 required stop words —
     * plus the duplicate-bigram cap from the repetition family (Table A1
     * bounds duplicate n-gram character fractions; the engine's existing
     * bigram dup-fraction stands in at ≤ 0.2).
@@ -223,9 +225,14 @@ object CurationOps {
         (col("nw") > 0 &&
           col("tchars").cast("double") / col("nw") >= GopherMinMeanLen &&
           col("tchars").cast("double") / col("nw") <= GopherMaxMeanLen).cast("int"))
+      // per-symbol-family caps, as published (Rae et al. A1.1 applies the
+      // 0.1 symbol-to-word threshold to hashes and ellipses SEPARATELY —
+      // the pooled ratio this rule used through r13 was strictly tighter)
       .withColumn("pass_symbol",
         (col("nw") > 0 &&
-          regexp_count(coalesce(col(textCol), lit("")), lit("#|[.]{3}|…"))
+          regexp_count(coalesce(col(textCol), lit("")), lit("#"))
+            .cast("double") / col("nw") <= GopherMaxSymbolRatio &&
+          regexp_count(coalesce(col(textCol), lit("")), lit("[.]{3}|…"))
             .cast("double") / col("nw") <= GopherMaxSymbolRatio).cast("int"))
       .withColumn("pass_alpha",
         (col("nw") > 0 &&
@@ -252,8 +259,12 @@ object CurationOps {
     *      the synthetic fixture's 31-word vocabulary carries only 'the',
     *      so the published ≥2-hits rule zeroes the corpus; a real
     *      deployment keeps it), the cheapest gate, run first;
-    *   2. CCNet perplexity gate — keep the head+middle terciles (docs the
-    *      LM cannot score were already removed by the word-count rule);
+    *   2. CCNet perplexity gate — keep the head+middle terciles. Docs the
+    *      LM cannot score (fewer than two 2-15-char tokens — possible even
+    *      past the word-count rule, whose 1-100-char token census is wider)
+    *      PASS THROUGH unjudged: the perplexity gate only drops what it can
+    *      score, explicitly, rather than silently losing no-nll rows to a
+    *      semi join;
     *   3. near-dup keep-first over the corpus-wide MinHash cluster index
     *      (one keeper per cluster among the surviving members; docs
     *      outside any cluster survive as their own group).
@@ -274,8 +285,10 @@ object CurationOps {
         .select("doc_id"))
     val s2 = graft.Caching.track(
       s1.join(graft.operators.LmOps.pplBucketed(spark, dir)
-          .filter(col("bucket") =!= "tail").select("doc_id"),
-        Seq("doc_id"), "left_semi"))
+          .select("doc_id", "bucket"),
+        Seq("doc_id"), "left")
+        .filter(col("bucket").isNull || col("bucket") =!= "tail")
+        .select("doc_id"))
     val labels = DedupOps.minhashLabels(spark, dir)
     val n3 = s2.join(labels, Seq("doc_id"), "left")
       .select(coalesce(col("label"), col("doc_id")).as("grp"))

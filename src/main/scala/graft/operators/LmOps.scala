@@ -300,29 +300,65 @@ object LmOps {
         min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
       .orderBy(col("lang"), col("bucket"))
 
+  /** Cross-query registry of the corpus' SELF-SCORED per-doc NLL frame
+    * (doc_id, lang, nll) — `quality_ppl_buckets`, `quality_gate_agreement`,
+    * and the curation funnels all consume the same deterministic model fit
+    * + scoring join, so it follows the fit-registry pattern (DedupOps.
+    * labelCache): persisted rows keyed by `Fingerprint.dirKey`, materialized
+    * eagerly so inner scoped frames can release, cleared at harness
+    * teardown. The frame is three fixed-width columns per scoreable doc —
+    * assignment-table-sized. Before r14 each consumer re-fit the bigram
+    * model per query (three fits per Bench/Verify session); the scoring
+    * joins were the measured bound of `quality_gate_agreement` (14.0 s at
+    * the 10× probe).
+    */
+  private val nllCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  def clearNllCache(): Unit = {
+    nllCache.values.foreach(_.unpersist(false))
+    nllCache.clear()
+  }
+
+  /** The registry face: per-doc (doc_id, lang, nll) under the corpus'
+    * own bigram model — identical derivation to nllBandsQuery's scoring
+    * branch (6-dp pre-round guard included).
+    */
+  def selfScoredNll(spark: SparkSession, dir: String): DataFrame =
+    nllCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+      val docs = Tables.documents(spark, dir)
+      val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
+        .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("n"))
+      val counts = inst.groupBy("lang", "w1", "w2").agg(sum("n").as("c12"))
+      val vocab = docs
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang").agg(countDistinct("w").as("v"))
+      val model = modelFromCounts(counts, vocab)
+      val nll = inst.join(model.logp, Seq("lang", "w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(-sum(col("logp") * col("n")) / sum(col("n")), 6).as("nll"))
+        .persist()
+      nll.count() // materialize before the building query's scope ends
+      nll
+    })
+
   /** Per-doc tercile assignment (doc_id, lang, nll, bucket) — the shared
     * core of `quality_ppl_buckets` and the curation funnel's perplexity
-    * gate. Docs the LM can't score (under two tokens) carry no row.
+    * gate, over the registry-shared `selfScoredNll` frame. Docs the LM
+    * can't score (under two tokens) carry no row.
     * `thresholdFrac < 1.0` estimates the cuts from a deterministic
     * `SamplingOps.hashSample` of the scored docs instead of all of them —
     * the 100 TB protocol (CCNet's own: cutoffs from a sample), with
     * bucketing still a broadcast comparison over every doc. Agreement
-    * between sampled and exact cuts is spec-pinned.
+    * between sampled and exact cuts is spec-pinned. A language whose docs
+    * all miss the sample falls back to the GLOBAL (pooled) cuts from the
+    * same sample instead of silently losing every doc to the inner join —
+    * spec-pinned; at thresholdFrac = 1.0 the fallback is provably dead
+    * (every scored lang has its own thresholds).
     */
   def pplBucketed(spark: SparkSession, dir: String,
                   thresholdFrac: Double = 1.0): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // identical self-scoring derivation to nllBandsQuery (shared exchange)
-    val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
-      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("n"))
-    val counts = inst.groupBy("lang", "w1", "w2").agg(sum("n").as("c12"))
-    val vocab = docs
-      .select(col("lang"), explode(tokens(col("text"))).as("w"))
-      .groupBy("lang").agg(countDistinct("w").as("v"))
-    val model = modelFromCounts(counts, vocab)
-    val nll = inst.join(model.logp, Seq("lang", "w1", "w2"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(round(-sum(col("logp") * col("n")) / sum(col("n")), 6).as("nll"))
+    val nll = selfScoredNll(spark, dir)
     val thrSource =
       if (thresholdFrac >= 1.0) nll
       else SamplingOps.hashSample(nll, "doc_id", thresholdFrac)
@@ -337,10 +373,23 @@ object LmOps {
     val thr = cum.groupBy("lang").agg(
       min(when(col("cum") >= expr("(nk + 2) DIV 3"), col("nll"))).as("t1"),
       min(when(col("cum") >= expr("(2 * nk + 2) DIV 3"), col("nll"))).as("t2"))
-    nll.join(broadcast(thr), "lang")
+    // pooled-sample cuts — the per-lang fallback. The unpartitioned window
+    // runs over the distinct-nll histogram (the RankOps-sanctioned bounded
+    // frame), never doc rows.
+    val gAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val gBy = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy("nll")
+    val gcum = thrSource.groupBy(col("nll")).agg(count(lit(1)).as("hn"))
+      .withColumn("cum", sum(col("hn")).over(gBy))
+      .withColumn("nk", sum(col("hn")).over(gAll))
+    val gthr = gcum.agg(
+      min(when(col("cum") >= expr("(nk + 2) DIV 3"), col("nll"))).as("g1"),
+      min(when(col("cum") >= expr("(2 * nk + 2) DIV 3"), col("nll"))).as("g2"))
+    nll.join(broadcast(thr), Seq("lang"), "left")
+      .crossJoin(broadcast(gthr))
       .withColumn("bucket",
-        when(col("nll") <= col("t1"), lit("head"))
-          .when(col("nll") <= col("t2"), lit("middle"))
+        when(col("nll") <= coalesce(col("t1"), col("g1")), lit("head"))
+          .when(col("nll") <= coalesce(col("t2"), col("g2")), lit("middle"))
           .otherwise(lit("tail")))
       .select("doc_id", "lang", "nll", "bucket")
   }

@@ -420,14 +420,25 @@ object SamplingOps {
     */
   def dsirProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val inst = docs.select(col("doc_id"), col("lang"),
-        explode(graft.functions.HashExpressions.tokenHashesK(col("text")))
-          .as("h"))
-      .withColumn("b", col("h") % DsirBuckets)
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    val inst = dsirInstances(docs, "text")
     dsirWeights(inst, col("lang") === "en")
       .groupBy(col("lang"), floor(col("w")).cast("int").as("w_band"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("w")), 4).as("avg_w"))
       .orderBy(col("lang"), col("w_band"))
   }
+
+  /** Per-doc hashed-unigram bucket instances (doc_id, lang, b, n) — the
+    * input shape of `dsirModel`/`dsirWeights`. Text is NORMALIZED before
+    * token hashing: `HashKernels.tokenHashes` splits on single spaces and
+    * assumes the house normal form, so hashing raw text (mixed case,
+    * punctuation, runs of whitespace) would bucket tokens differently from
+    * every other consumer of the kernel (gramHashes, simhashFingerprints)
+    * and from the select_dsir oracle. Spec-pinned on un-normalized input.
+    */
+  def dsirInstances(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.HashExpressions.tokenHashesK(
+          graft.functions.TextFunctions.normalized(col(textCol)))).as("h"))
+      .withColumn("b", col("h") % DsirBuckets)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
 }

@@ -260,9 +260,13 @@ object StreamOps {
                      idCol: String, tsCol: String, minW: Double = 0.0,
                      delay: String = "1 hour"): DataFrame =
     docs
+      // normalized() before the hash kernel: tokenHashes assumes the house
+      // normal form (single-space splits), and the frozen model's buckets
+      // were built over normalized text (SamplingOps.dsirInstances) — raw
+      // text would silently re-bucket arrivals. Spec-pinned.
       .select(col(idCol), col(tsCol),
-        explode(graft.functions.HashExpressions.tokenHashesK(col(textCol)))
-          .as("h"))
+        explode(graft.functions.HashExpressions.tokenHashesK(
+          graft.functions.TextFunctions.normalized(col(textCol)))).as("h"))
       .withColumn("b",
         col("h") % graft.operators.SamplingOps.DsirBuckets)
       .withWatermark(tsCol, delay)

@@ -111,6 +111,26 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(7L)(5) === 0) // duplicate-bigram rule fails
   }
 
+  test("gopherRules: the symbol cap applies per family, as published") {
+    // 100-word base; 8 hashes + 8 ellipses = each family at 0.08 ≤ 0.1,
+    // though POOLED they'd be 0.16 — the pre-r14 combined rule wrongly
+    // failed this doc; per-family caps (Rae et al. A1.1) pass it
+    val base = "the with" +: (1 to 98).map(i => f"word$i%02d")
+    val both = base.mkString(" ") +
+      " " + (1 to 8).map(_ => "#").mkString(" ") +
+      " " + (1 to 8).map(_ => "...").mkString(" ")
+    val hashHeavy = base.mkString(" ") + " " + (1 to 12).map(_ => "#").mkString(" ")
+    val ellHeavy = base.mkString(" ") + " " + (1 to 12).map(_ => "…").mkString(" ")
+    val got = CurationOps.gopherRules(
+        Seq((1L, both), (2L, hashHeavy), (3L, ellHeavy)).toDF("doc_id", "text"),
+        "text")
+      .select("doc_id", "pass_symbol")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 1) // each family under its own cap
+    assert(got(2L) === 0) // hash family over cap
+    assert(got(3L) === 0) // ellipsis family over cap
+  }
+
   test("curationFunnel: stages chain, counts monotone, rates consistent") {
     val rows = CurationOps.curationFunnel(spark, SparkSpec.FixtureDir)
       .collect().sortBy(_.getString(0))

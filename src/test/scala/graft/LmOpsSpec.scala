@@ -114,4 +114,39 @@ class LmOpsSpec extends SparkSuite {
     // and the approximation stays a 3-way partition per lang
     assert(sampled.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
+
+  test("pplBucketed: a lang whose docs all miss the threshold sample falls " +
+    "back to the pooled cuts instead of silently dropping") {
+    import graft.operators.SamplingOps
+    // pick ids the 40% hash sample EXCLUDES for the rare lang, and a mix
+    // for the bulk lang; write a synthetic documents table
+    val candidates = (1L to 400L).toDF("doc_id")
+    val kept = SamplingOps.hashSample(candidates, "doc_id", 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val missed = (1L to 400L).filterNot(kept).take(3)
+    assert(missed.size === 3)
+    val bulkIds = (1L to 400L).filter(kept).take(30) ++
+      (1L to 400L).filterNot(kept).drop(3).take(10)
+    val words = Seq("aa", "bb", "cc", "dd", "ee")
+    def text(id: Long): String =
+      (0 until 8).map(i => words(((id + i * id) % 5).toInt)).mkString(" ")
+    val rows = bulkIds.map(id => (id, text(id), "en", "s", 1L)) ++
+      missed.map(id => (id, text(id), "zz", "s", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl-fb").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val sampled = LmOps.pplBucketed(spark, dir, thresholdFrac = 0.4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      // every zz doc is scoreable and must surface, bucketed by the pooled
+      // fallback cuts (the pre-r14 inner join lost the whole language)
+      val zz = sampled.filter(_._2 == "zz")
+      assert(zz.map(_._1).toSet === missed.toSet)
+      assert(zz.forall(r => Set("head", "middle", "tail").contains(r._3)))
+      // the exact face still buckets zz from its own thresholds
+      val exact = LmOps.pplBucketed(spark, dir)
+        .collect().filter(_.getString(1) == "zz")
+      assert(exact.map(_.getLong(0)).toSet === missed.toSet)
+    } finally LmOps.clearNllCache()
+  }
 }

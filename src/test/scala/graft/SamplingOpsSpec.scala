@@ -262,6 +262,19 @@ class SamplingOpsSpec extends SparkSuite {
       "the 1024-row lrat model must broadcast to the instance frame")
   }
 
+  test("dsirInstances normalizes before hashing: raw text buckets like " +
+    "its normal form") {
+    val raw = Seq((1L, "en", "Alpha,  BETA gamma... beta!"))
+      .toDF("doc_id", "lang", "text")
+    val norm = Seq((1L, "en", "alpha beta gamma beta"))
+      .toDF("doc_id", "lang", "text")
+    val a = SamplingOps.dsirInstances(raw, "text")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted
+    val b = SamplingOps.dsirInstances(norm, "text")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted
+    assert(a.nonEmpty && (a.toSeq === b.toSeq))
+  }
+
   test("dsirWeights is deterministic across partitionings") {
     val inst = (1L to 50L).flatMap(i =>
       Seq((i, "en", i % 7, 1L + i % 3), (i, "xx", i % 11, 2L)))

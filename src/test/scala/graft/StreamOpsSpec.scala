@@ -134,11 +134,7 @@ class StreamOpsSpec extends SparkSuite {
       (3L, "xx", "delta epsilon zeta delta"),
       (4L, "xx", "epsilon zeta delta zeta"))
       .toDF("doc_id", "lang", "text")
-    val inst = train.select(col("doc_id"), col("lang"),
-        explode(graft.functions.HashExpressions.tokenHashesK(col("text")))
-          .as("h"))
-      .withColumn("b", col("h") % SamplingOps.DsirBuckets)
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    val inst = SamplingOps.dsirInstances(train, "text")
     val model = SamplingOps.dsirModel(inst, col("lang") === "en")
       .collect() // freeze: the stream joins a static local frame
     val frozen = spark.createDataFrame(
@@ -148,8 +144,11 @@ class StreamOpsSpec extends SparkSuite {
           org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("lrat",
             org.apache.spark.sql.types.DoubleType, nullable = true))))
-    val targetish = "alpha beta gamma beta"
-    val rawish = "delta epsilon zeta epsilon"
+    // UN-normalized arrivals: mixed case, punctuation, doubled spaces —
+    // the gate must normalize before hashing or these land in different
+    // buckets than the (normalized) frozen model's
+    val targetish = "Alpha,  BETA gamma... beta!"
+    val rawish = "Delta  EPSILON zeta, epsilon?"
     val input = MemoryStream[StreamDoc]
     val q = StreamOps.dsirGateStream(input.toDF(), frozen, "text",
         "doc_id", "ts", minW = 0.0)
@@ -166,13 +165,9 @@ class StreamOpsSpec extends SparkSuite {
       assert(streamed.keySet === Set(10L))
       assert(streamed(10L) > 0.0)
       // batch face on the same delta: identical weights, identical verdict
-      val dinst = Seq((10L, "?", targetish), (11L, "?", rawish))
-        .toDF("doc_id", "lang", "text")
-        .select(col("doc_id"), col("lang"),
-          explode(graft.functions.HashExpressions.tokenHashesK(col("text")))
-            .as("h"))
-        .withColumn("b", col("h") % SamplingOps.DsirBuckets)
-        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      val dinst = SamplingOps.dsirInstances(
+        Seq((10L, "?", targetish), (11L, "?", rawish))
+          .toDF("doc_id", "lang", "text"), "text")
       val batch = dinst.join(broadcast(frozen), "b")
         .groupBy("doc_id")
         .agg(round(sum(col("lrat") * col("n")), 6).as("w"))

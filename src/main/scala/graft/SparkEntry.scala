@@ -28,13 +28,16 @@ object SparkEntry {
   /** DuckDB rendering of TextFunctions.tokens(text, 1, 100). */
   private val TOKS_ALL =
     s"list_filter(string_split($NORM, ' '), t -> length(t) BETWEEN 1 AND 100)"
+  /** DuckDB rendering of TextAnalysisOps.bpeishTokenCount over an arbitrary
+    * string expression. */
+  private def bpeCountOf(c: String): String =
+    s"""CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        regexp_extract_all(lower(coalesce($c, '')),
+       |          '[0-9]+|[a-z]+|[가-힣]+|[^a-z0-9가-힣\\s]+'),
+       |        r -> CAST(ceil(length(r) / 8.0) AS BIGINT)))) AS BIGINT)""".stripMargin
   /** DuckDB rendering of TextAnalysisOps.bpeishTokenCount(text). */
-  private val BPE_COUNT =
-    """CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(
-      |        regexp_extract_all(lower(coalesce(text, '')),
-      |          '[0-9]+|[a-z]+|[가-힣]+|[^a-z0-9가-힣\s]+'),
-      |        r -> CAST(ceil(length(r) / 8.0) AS BIGINT)))) AS BIGINT)""".stripMargin
+  private val BPE_COUNT = bpeCountOf("text")
   /** DuckDB rendering of SamplingOps.hashBucket(id, 10000). */
   private def sampleBucket(id: String): String =
     s"(($id % $MOD) * 8191 + 524287) % $MOD % 10000"
@@ -93,6 +96,70 @@ object SparkEntry {
        |  round(coalesce(n_contaminated, CAST(0 AS BIGINT)) / n_train, 4)
        |    AS contam_rate
        |FROM t LEFT JOIN f ON t.lang = f.lang ORDER BY 1""".stripMargin
+
+  /** Shared CTE block: per-doc self-scored NLL under the corpus' own
+    * bigram model plus per-lang exact tercile cuts (CTEs tk → thr; mirrors
+    * LmOps.selfScoredNll + pplBucketed's threshold pass) — embedded by the
+    * `curation_funnel`, `curation_funnel_full`, and
+    * `quality_gate_agreement` oracles so the three faces share one text.
+    */
+  private lazy val nllThrCtes: String =
+    s"""tk AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+       |    split_part(pair, ' ', 2) AS w2
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(t)),
+       |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+       |        FROM tk WHERE len(t) >= 2)),
+       |counts AS (
+       |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+       |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT lang, count(DISTINCT word) AS v
+       |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
+       |  GROUP BY 1),
+       |logp AS (
+       |  SELECT c.lang, c.w1, c.w2,
+       |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+       |  FROM counts c
+       |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+       |  JOIN vocab v ON c.lang = v.lang),
+       |inst AS (
+       |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+       |nll AS (
+       |  SELECT i.doc_id, i.lang,
+       |    round(-sum(l.logp * i.n) / sum(i.n), 6) AS nll
+       |  FROM inst i
+       |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+       |  GROUP BY 1, 2),
+       |hist AS (SELECT lang, nll, count(*) AS hn FROM nll GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, nll,
+       |    sum(hn) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+       |    sum(hn) OVER (PARTITION BY lang) AS nk
+       |  FROM hist),
+       |thr AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum >= (nk + 2) // 3 THEN nll END) AS t1,
+       |    min(CASE WHEN cum >= (2 * nk + 2) // 3 THEN nll END) AS t2
+       |  FROM cum GROUP BY 1)""".stripMargin
+
+  /** Shared CTE block: corpus-wide MinHash cluster labels (CTEs sigs →
+    * l&lt;ClusterRounds&gt;; mirrors DedupOps.minhashLabels) — embedded by
+    * the two funnel oracles.
+    */
+  private lazy val minhashLabelCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+       |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
+       |  WHERE len(sh) > 0),
+       |withbands AS (
+       |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+       |  FROM withbands, range(0, 8) t(j)),
+       |${propagationCtes(DedupOps.ClusterRounds)}""".stripMargin
 
   /** Oracle for the HLL cardinality queries — shared by `txt_hll_distinct`
     * and `hll_incremental` (registers max-merge losslessly, so the
@@ -525,6 +592,9 @@ object SparkEntry {
     "txt_lm_nll" -> LmOps.nllBandsQuery,
     "txt_lm_cross" -> LmOps.crossNllBandsQuery,
     "stream_quality_gate" -> LmOps.qualityGateQuery,
+    // the composed ingest gate (structural rules + stored-index near-dup
+    // + frozen LM gate in one stream): batch face, per-lang chained counts
+    "stream_ingest_gate" -> graft.streaming.StreamOps.ingestGateQuery,
     // CCNet-style per-lang perplexity terciles (head/middle/tail) — the
     // quality cut CCNet keeps head+middle of; rank-based thresholds
     "quality_ppl_buckets" -> LmOps.pplBucketsQuery,
@@ -540,6 +610,9 @@ object SparkEntry {
     // the end-to-end curation funnel: Gopher structural rules -> CCNet
     // head+middle perplexity gate -> minhash keep-first, per-stage counts
     "curation_funnel" -> CurationOps.curationFunnel,
+    // the FULL five-stage production funnel: gopher -> decontam -> ppl
+    // gate -> keep-best -> pii scrub, with per-stage token accounting
+    "curation_funnel_full" -> CurationOps.curationFunnelFull,
     // cross-gate agreement: per (lang, ppl tercile) — gopher pass counts
     // and mean quality score (are the gates redundant or complementary?)
     "quality_gate_agreement" -> CurationOps.gateAgreementQuery,
@@ -2833,62 +2906,14 @@ object SparkEntry {
          |          t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
          |        / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
          |    AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}),
-         |tk AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
-         |bg AS (
-         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
-         |    split_part(pair, ' ', 2) AS w2
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(list_transform(range(1, len(t)),
-         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
-         |        FROM tk WHERE len(t) >= 2)),
-         |counts AS (
-         |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
-         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
-         |vocab AS (
-         |  SELECT lang, count(DISTINCT word) AS v
-         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
-         |  GROUP BY 1),
-         |logp AS (
-         |  SELECT c.lang, c.w1, c.w2,
-         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
-         |  FROM counts c
-         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
-         |  JOIN vocab v ON c.lang = v.lang),
-         |inst AS (
-         |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
-         |nll AS (
-         |  SELECT i.doc_id, i.lang,
-         |    round(-sum(l.logp * i.n) / sum(i.n), 6) AS nll
-         |  FROM inst i
-         |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
-         |  GROUP BY 1, 2),
-         |hist AS (SELECT lang, nll, count(*) AS hn FROM nll GROUP BY 1, 2),
-         |cum AS (
-         |  SELECT lang, nll,
-         |    sum(hn) OVER (PARTITION BY lang ORDER BY nll) AS cum,
-         |    sum(hn) OVER (PARTITION BY lang) AS nk
-         |  FROM hist),
-         |thr AS (
-         |  SELECT lang,
-         |    min(CASE WHEN cum >= (nk + 2) // 3 THEN nll END) AS t1,
-         |    min(CASE WHEN cum >= (2 * nk + 2) // 3 THEN nll END) AS t2
-         |  FROM cum GROUP BY 1),
+         |$nllThrCtes,
          |s2 AS MATERIALIZED (
          |  SELECT s1.doc_id
          |  FROM s1 LEFT JOIN (SELECT n.doc_id, n.nll, thr.t2
          |                     FROM nll n JOIN thr ON n.lang = thr.lang) x
          |    USING (doc_id)
          |  WHERE x.nll IS NULL OR x.nll <= x.t2),
-         |sigs AS (
-         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
-         |  WHERE len(sh) > 0),
-         |withbands AS (
-         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
-         |b AS MATERIALIZED (
-         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
-         |  FROM withbands, range(0, 8) t(j)),
-         |${propagationCtes(DedupOps.ClusterRounds)},
+         |$minhashLabelCtes,
          |s3g AS (
          |  SELECT coalesce(l.label, s2.doc_id) AS grp
          |  FROM s2 LEFT JOIN l${DedupOps.ClusterRounds} l USING (doc_id)),
@@ -2906,6 +2931,219 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '3_neardup_keep_first', c2.n, c3.n FROM c2, c3)
          |ORDER BY stage""".stripMargin,
+    // the FIVE-stage production funnel over the train slice: gopher ->
+    // 13-gram decontam vs the 5% eval slice -> ppl head+middle (pass-
+    // through for unscoreable) -> minhash keep-BEST (quality keeper) ->
+    // pii scrub (transform; token recount over the scrubbed text); every
+    // stage re-derived from fragments standalone faces already verify,
+    // token sums via the BPE-ish counter
+    "curation_funnel_full" ->
+      s"""WITH gd AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, $NORM AS norm,
+         |    $TOKS_ALL AS toks, ${sampleBucket("doc_id")} AS bkt
+         |  FROM documents),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id FROM gd
+         |  WHERE bkt >= 500
+         |    AND len(toks) >= ${CurationOps.GopherMinWords}
+         |    AND len(toks) <= ${CurationOps.GopherMaxWords}
+         |    AND len(toks) > 0
+         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |        >= ${CurationOps.GopherMinMeanLen}
+         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |        <= ${CurationOps.GopherMaxMeanLen}
+         |    AND $symbolRuleSql
+         |    AND len(list_filter(toks,
+         |          t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
+         |        / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
+         |    AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}),
+         |gg AS (
+         |  SELECT doc_id, ${sampleBucket("doc_id")} AS bkt,
+         |    ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM gg WHERE bkt < 500),
+         |hit AS (
+         |  SELECT DISTINCT sg.doc_id
+         |  FROM (SELECT g2.doc_id, unnest(g2.grams) AS gram
+         |        FROM gg g2 JOIN s1 USING (doc_id)) sg
+         |  JOIN ev USING (gram)),
+         |s2 AS MATERIALIZED (
+         |  SELECT s1.doc_id FROM s1 LEFT JOIN hit ON s1.doc_id = hit.doc_id
+         |  WHERE hit.doc_id IS NULL),
+         |$nllThrCtes,
+         |s3 AS MATERIALIZED (
+         |  SELECT s2.doc_id
+         |  FROM s2 LEFT JOIN (SELECT n.doc_id, n.nll, thr.t2
+         |                     FROM nll n JOIN thr ON n.lang = thr.lang) x
+         |    USING (doc_id)
+         |  WHERE x.nll IS NULL OR x.nll <= x.t2),
+         |$minhashLabelCtes,
+         |grp AS (
+         |  SELECT s3.doc_id, coalesce(lb.label, s3.doc_id) AS label
+         |  FROM s3 LEFT JOIN l${DedupOps.ClusterRounds} lb
+         |    ON s3.doc_id = lb.doc_id),
+         |qv AS (
+         |  SELECT doc_id, $qualityCaseSql AS q
+         |  FROM (SELECT doc_id, text, $NORM AS norm, $TOKS_ALL AS toks
+         |        FROM documents)),
+         |jq AS (SELECT grp.doc_id, grp.label, qv.q FROM grp JOIN qv USING (doc_id)),
+         |best AS (SELECT label, max(q) AS bq FROM jq GROUP BY 1),
+         |s4 AS MATERIALIZED (
+         |  SELECT min(jq.doc_id) AS doc_id
+         |  FROM jq JOIN best ON jq.label = best.label AND jq.q = best.bq
+         |  GROUP BY jq.label),
+         |tok AS (SELECT doc_id, $BPE_COUNT AS tkc FROM documents),
+         |strn AS (SELECT doc_id FROM gd WHERE bkt >= 500),
+         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(tkc), 0) AS BIGINT) AS t
+         |       FROM strn JOIN tok USING (doc_id)),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(tkc), 0) AS BIGINT) AS t
+         |       FROM s1 JOIN tok USING (doc_id)),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(tkc), 0) AS BIGINT) AS t
+         |       FROM s2 JOIN tok USING (doc_id)),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(tkc), 0) AS BIGINT) AS t
+         |       FROM s3 JOIN tok USING (doc_id)),
+         |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(tkc), 0) AS BIGINT) AS t
+         |       FROM s4 JOIN tok USING (doc_id)),
+         |sc AS (SELECT CAST(coalesce(sum(${bpeCountOf("scrubbed")}), 0)
+         |           AS BIGINT) AS t
+         |       FROM (SELECT regexp_replace(regexp_replace(regexp_replace(
+         |               d.text, '$PII_EMAIL', '[EMAIL]', 'g'),
+         |               '$PII_URL', '[URL]', 'g'),
+         |               '$PII_PHONE', '[PHONE]', 'g') AS scrubbed
+         |             FROM documents d JOIN s4 USING (doc_id)))
+         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
+         |  round((n_in - n_out) * 1.0 / n_in, 4) AS drop_rate,
+         |  tokens_in, tokens_out
+         |FROM (
+         |  SELECT '1_gopher_struct' AS stage, c0.n AS n_in, c1.n AS n_out,
+         |    c0.t AS tokens_in, c1.t AS tokens_out
+         |  FROM c0, c1
+         |  UNION ALL
+         |  SELECT '2_decontam_13gram', c1.n, c2.n, c1.t, c2.t FROM c1, c2
+         |  UNION ALL
+         |  SELECT '3_ppl_head_middle', c2.n, c3.n, c2.t, c3.t FROM c2, c3
+         |  UNION ALL
+         |  SELECT '4_neardup_keep_best', c3.n, c4.n, c3.t, c4.t FROM c3, c4
+         |  UNION ALL
+         |  SELECT '5_pii_scrub', c4.n, c4.n, c4.t, sc.t FROM c4, sc)
+         |ORDER BY stage""".stripMargin,
+    // the composed ingest gate's batch face: arrivals (last id decile)
+    // against a history-frozen model + stored band index; chained per-lang
+    // counts (structural -> not-dup -> LM pass). LM scoring reuses the
+    // txt_lm_cross backoff chain; bands reuse the dedup_index_flags shape
+    "stream_ingest_gate" ->
+      s"""WITH cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
+         |  FROM documents),
+         |ar AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text, $NORM AS norm,
+         |    $TOKS_ALL AS toks
+         |  FROM documents, cut WHERE doc_id > cut),
+         |sf AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
+         |      AND len(toks) <= ${CurationOps.GopherMaxWords}
+         |      AND len(toks) > 0
+         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |          >= ${CurationOps.GopherMinMeanLen}
+         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |          <= ${CurationOps.GopherMaxMeanLen}
+         |      AND $symbolRuleSql
+         |      AND len(list_filter(toks,
+         |            t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
+         |          / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
+         |      AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}
+         |    THEN 1 ELSE 0 END AS pass_struct
+         |  FROM ar),
+         |isigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
+         |        FROM documents, cut WHERE doc_id <= cut)
+         |  WHERE len(sh) > 0),
+         |iwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM isigs),
+         |ib AS MATERIALIZED (
+         |  SELECT DISTINCT j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM iwb, range(0, 8) t(j)),
+         |nsigs AS (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
+         |        FROM documents, cut WHERE doc_id > cut)
+         |  WHERE len(sh) > 0),
+         |nwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM nsigs),
+         |nb AS (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM nwb, range(0, 8) t(j)),
+         |dup AS (SELECT DISTINCT doc_id FROM nb JOIN ib USING (band, band_hash)),
+         |trt AS (SELECT lang, $TOKS AS t FROM documents, cut WHERE doc_id <= cut),
+         |tet AS (SELECT doc_id, lang, $TOKS AS t
+         |        FROM documents, cut WHERE doc_id > cut),
+         |trbg AS (
+         |  SELECT lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM trt WHERE len(t) >= 2)),
+         |tebg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM tet WHERE len(t) >= 2)),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM trbg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word
+         |        FROM documents, cut WHERE doc_id <= cut) GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |miss AS (
+         |  SELECT x.lang, x.w1, ln(0.5 / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM ctx x JOIN vocab v ON x.lang = v.lang),
+         |flr AS (SELECT lang, min(logp) AS floor_lp FROM miss GROUP BY 1),
+         |inst AS (
+         |  SELECT doc_id, lang, w1, w2, count(*) AS n
+         |  FROM tebg GROUP BY 1, 2, 3, 4),
+         |scoredrows AS (
+         |  SELECT i.doc_id, i.n,
+         |    coalesce(l.logp, m.logp, f.floor_lp) AS logp
+         |  FROM inst i
+         |  LEFT JOIN logp l
+         |    ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  LEFT JOIN miss m ON i.lang = m.lang AND i.w1 = m.w1
+         |  JOIN flr f ON i.lang = f.lang),
+         |nll AS (
+         |  SELECT doc_id, round(-sum(logp * n) / sum(n), 6) AS nll
+         |  FROM scoredrows GROUP BY 1),
+         |v AS (
+         |  SELECT sf.doc_id, sf.lang, sf.pass_struct,
+         |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+         |    nll.nll,
+         |    CASE WHEN nll.nll IS NOT NULL
+         |         AND nll.nll <= ${graft.operators.LmOps.NllGateMax}
+         |         THEN 1 ELSE 0 END AS pass_lm
+         |  FROM sf
+         |  LEFT JOIN dup ON sf.doc_id = dup.doc_id
+         |  LEFT JOIN nll ON sf.doc_id = nll.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_arrivals,
+         |  CAST(sum(pass_struct) AS BIGINT) AS n_struct,
+         |  CAST(sum(pass_struct * pass_lm) AS BIGINT) AS n_lm,
+         |  round(avg(CASE WHEN pass_struct * pass_lm = 1
+         |                 THEN nll END), 4) AS avg_nll_lm,
+         |  CAST(sum(pass_struct * (1 - is_dup) * pass_lm) AS BIGINT) AS n_pass
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // cross-gate agreement: the funnel's gopher-struct flags and nll
     // terciles joined per doc with the exact-quarters quality score
     "quality_gate_agreement" ->
@@ -2933,46 +3171,7 @@ object SparkEntry {
          |  SELECT doc_id, $qualityCaseSql AS q
          |  FROM (SELECT doc_id, text, $NORM AS norm, $TOKS_ALL AS toks
          |        FROM documents)),
-         |tk AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
-         |bg AS (
-         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
-         |    split_part(pair, ' ', 2) AS w2
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(list_transform(range(1, len(t)),
-         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
-         |        FROM tk WHERE len(t) >= 2)),
-         |counts AS (
-         |  SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
-         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
-         |vocab AS (
-         |  SELECT lang, count(DISTINCT word) AS v
-         |  FROM (SELECT lang, unnest($TOKS) AS word FROM documents)
-         |  GROUP BY 1),
-         |logp AS (
-         |  SELECT c.lang, c.w1, c.w2,
-         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
-         |  FROM counts c
-         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
-         |  JOIN vocab v ON c.lang = v.lang),
-         |inst AS (
-         |  SELECT doc_id, lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
-         |nll AS (
-         |  SELECT i.doc_id, i.lang,
-         |    round(-sum(l.logp * i.n) / sum(i.n), 6) AS nll
-         |  FROM inst i
-         |  JOIN logp l ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
-         |  GROUP BY 1, 2),
-         |hist AS (SELECT lang, nll, count(*) AS hn FROM nll GROUP BY 1, 2),
-         |cum AS (
-         |  SELECT lang, nll,
-         |    sum(hn) OVER (PARTITION BY lang ORDER BY nll) AS cum,
-         |    sum(hn) OVER (PARTITION BY lang) AS nk
-         |  FROM hist),
-         |thr AS (
-         |  SELECT lang,
-         |    min(CASE WHEN cum >= (nk + 2) // 3 THEN nll END) AS t1,
-         |    min(CASE WHEN cum >= (2 * nk + 2) // 3 THEN nll END) AS t2
-         |  FROM cum GROUP BY 1),
+         |$nllThrCtes,
          |bk AS (
          |  SELECT n.doc_id, n.lang, n.nll,
          |    CASE WHEN n.nll <= t1 THEN 'head'

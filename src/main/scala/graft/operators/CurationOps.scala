@@ -306,6 +306,107 @@ object CurationOps {
       .orderBy("stage")
   }
 
+  /** Query: the FULL production curation funnel — the five-stage
+    * composition a pretraining pipeline actually ships, with per-stage
+    * TOKEN accounting (the number a training-data owner budgets) beside
+    * the doc counts. Input is the 95% train slice (the 5% hash slice is
+    * the benchmark suite, as in `decontam_13gram`):
+    *
+    *   1. Gopher STRUCTURAL rules (same five rules as `curation_funnel`);
+    *   2. benchmark DECONTAMINATION — drop survivors sharing any 13-gram
+    *      with the eval slice (grams of survivors only are probed; the
+    *      eval gram set broadcasts);
+    *   3. CCNet perplexity gate — head+middle terciles from the
+    *      registry-shared corpus scores; unscoreable survivors pass
+    *      through (same explicit contract as `curation_funnel`);
+    *   4. near-dup KEEP-BEST over the corpus-wide MinHash clusters — the
+    *      QUALITY-selected keeper among surviving cluster members (ties
+    *      to the smallest id), singletons keep themselves — the action a
+    *      production funnel takes where `curation_funnel` keeps first;
+    *   5. PII SCRUB of the kept set — a transform, not a filter (n_in =
+    *      n_out by construction; the token recount over the scrubbed text
+    *      is the redaction cost). Scrubbing runs LAST so no scrub compute
+    *      is spent on dropped docs and the LM stage scores exactly the
+    *      text the score registry scored.
+    *
+    * Tokens are the BPE-ish counter (`txt_token_budget`'s kernel), summed
+    * over each stage's survivor set from ONE cached per-doc count frame.
+    * Fixture artifacts, recorded not hidden: the 31-word vocabulary puts
+    * 421 of 500 sf0.01 docs into ONE minhash cluster, so stage 4's drop
+    * rate (~0.95) is the fixture's shape, not the operator's; the single
+    * contaminated train doc doesn't survive Gopher, so stage 2 drops 0
+    * here (the standalone `decontam_13gram` face shows the non-zero
+    * pre-gate rate); and the corpus carries no natural PII, so stage 5's
+    * token delta is zero — the stage is structurally exercised (the
+    * scrubbed-text recount is oracle-checked). Scale shape: like `curation_funnel`, the funnel cost is
+    * the max of its parts, and stages 3-4 ride the session registries
+    * (LM scores, minhash labels).
+    */
+  def curationFunnelFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = SamplingOps.hashBucket(col("doc_id"), 10000)
+    val evalDocs = docs.filter(bucket < 500)
+    val train = docs.filter(bucket >= 500)
+    val toks = graft.Caching.track(docs.select(col("doc_id"),
+      TextAnalysisOps.bpeishTokenCount(col("text")).as("tk")))
+    // (docs, tokens) of a survivor id-frame — one broadcast-sized join
+    // against the cached per-doc counts per stage
+    def stat(ids: DataFrame): (Long, Long) = {
+      val r = ids.join(toks, "doc_id")
+        .agg(count(lit(1)).as("n"), sum(col("tk")).as("t")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val flags = gopherRules(train, "text")
+    val s1 = graft.Caching.track(
+      flags.filter(col("pass_wordcount") === 1 && col("pass_meanlen") === 1 &&
+          col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
+          col("pass_repeat") === 1)
+        .select("doc_id"))
+    val s1docs = train.join(s1, Seq("doc_id"), "left_semi")
+    val s2 = graft.Caching.track(
+      s1.join(contaminated(s1docs, evalDocs, "doc_id", "text"),
+        Seq("doc_id"), "left_anti"))
+    val s3 = graft.Caching.track(
+      s2.join(graft.operators.LmOps.pplBucketed(spark, dir)
+          .select("doc_id", "bucket"),
+        Seq("doc_id"), "left")
+        .filter(col("bucket").isNull || col("bucket") =!= "tail")
+        .select("doc_id"))
+    val grp = s3.join(DedupOps.minhashLabels(spark, dir),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    val quality = docs.select(col("doc_id"),
+      TextAnalysisOps.qualityScoreCol(col("text")).as("q"))
+    val s4 = graft.Caching.track(
+      DedupOps.keepBest(grp, quality, "doc_id", "q")
+        .select(col("keep_id").as("doc_id")))
+    val scrubbedToks = scrubPii(train.join(s4, Seq("doc_id"), "left_semi"),
+        "text")
+      .agg(count(lit(1)).as("n"), sum(
+        TextAnalysisOps.bpeishTokenCount(col("scrubbed"))).as("t"))
+      .collect()(0)
+    val (n0, t0) = stat(train.select("doc_id"))
+    val (n1, t1) = stat(s1)
+    val (n2, t2) = stat(s2)
+    val (n3, t3) = stat(s3)
+    val (n4, t4) = stat(s4)
+    val t5 = if (scrubbedToks.isNullAt(1)) 0L else scrubbedToks.getLong(1)
+    import spark.implicits._
+    Seq(
+      ("1_gopher_struct", n0, n1, t0, t1),
+      ("2_decontam_13gram", n1, n2, t1, t2),
+      ("3_ppl_head_middle", n2, n3, t2, t3),
+      ("4_neardup_keep_best", n3, n4, t3, t4),
+      ("5_pii_scrub", n4, n4, t4, t5))
+      .toDF("stage", "n_in", "n_out", "tokens_in", "tokens_out")
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .withColumn("drop_rate",
+        round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 4))
+      .select("stage", "n_in", "n_out", "n_dropped", "drop_rate",
+        "tokens_in", "tokens_out")
+      .orderBy("stage")
+  }
+
   /** Query: cross-gate AGREEMENT diagnostic — per (lang, perplexity
     * tercile): how many docs the Gopher structural rules pass, and the
     * mean heuristic quality score. The question it answers is whether the

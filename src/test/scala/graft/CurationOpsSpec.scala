@@ -150,6 +150,31 @@ class CurationOpsSpec extends SparkSuite {
     assert(rows(2).getLong(2) > 0)
   }
 
+  test("curationFunnelFull: five stages chain, tokens track docs, scrub " +
+    "is a transform") {
+    val rows = CurationOps.curationFunnelFull(spark, SparkSpec.FixtureDir)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq === Seq("1_gopher_struct",
+      "2_decontam_13gram", "3_ppl_head_middle", "4_neardup_keep_best",
+      "5_pii_scrub"))
+    rows.foreach { r =>
+      val (nIn, nOut, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOut <= nIn && dropped === nIn - nOut)
+      assert(r.getDouble(4) ===
+        math.rint((nIn - nOut).toDouble / nIn * 1e4) / 1e4)
+    }
+    // stages chain on BOTH docs and tokens
+    (0 until 4).foreach { i =>
+      assert(rows(i).getLong(2) === rows(i + 1).getLong(1))
+      assert(rows(i).getLong(6) === rows(i + 1).getLong(5))
+    }
+    // filter stages only shrink the token budget; the scrub stage keeps
+    // every doc (transform, not filter)
+    (0 until 4).foreach(i => assert(rows(i).getLong(6) <= rows(i).getLong(5)))
+    assert(rows(4).getLong(1) === rows(4).getLong(2))
+    assert(rows(4).getLong(2) > 0) // something survives the whole funnel
+  }
+
   test("gateAgreementQuery: totals partition, flags bounded, scores in range") {
     val rows = CurationOps.gateAgreementQuery(spark, SparkSpec.FixtureDir)
       .collect()

@@ -177,6 +177,62 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("composed ingest gate in-stream: struct + index-dup + LM gates fold " +
+    "through one stateful op, batch parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DedupOps, LmOps}
+    implicit val sqlCtx = spark.sqlContext
+    // history: two long fluent docs — the frozen model AND the stored index
+    val h1 = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val h2 = (1 to 60).map(i => s"tok${i * 2 % 61 + 1}").mkString(" ")
+    val history = Seq((1L, "en", h1), (2L, "en", h2)).toDF("doc_id", "lang", "text")
+    val model = LmOps.bigramModel(history, "text", "lang")
+    val idxBuckets = DedupOps.minhashSignatures(history, "text")
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq.toDF("band", "band_hash")
+    // arrivals: A passes everything (fresh vocab scores through the
+    // backoff floor, under the generous gate), B fails struct (short),
+    // C is an exact dup of h1 (every band collides)
+    val docA = (61 to 125).map(i => s"tok$i").mkString(" ")
+    val arrivals = Seq(
+      StreamClsDoc(10L, ts(9, 0), "en", docA),
+      StreamClsDoc(11L, ts(9, 5), "en", "tiny doc"),
+      StreamClsDoc(12L, ts(9, 10), "en", h1))
+    val input = MemoryStream[StreamClsDoc]
+    val q = StreamOps.ingestGateStream(input.toDF(), model, idxBuckets,
+        "text", "cls", "doc_id", "ts", maxNll = 10.0)
+      .writeStream.format("memory").queryName("ingest_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      input.addData(StreamClsDoc(99L, ts(12, 0), "en", docA)) // advance wm
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_gate_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // batch face on the same arrivals: identical survivor set + nll
+      val batchDf = arrivals.toDF()
+        .select(col("doc_id"), col("cls"), col("text"))
+      val verdicts = StreamOps.ingestGateBatch(batchDf, model, idxBuckets,
+          "text", "cls", "doc_id", maxNll = 10.0)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6))).toMap
+      // every gate fires on exactly its own arrival
+      assert(verdicts(10L)._4 === 1) // A admitted
+      assert(verdicts(11L)._1 === 0) // B fails structural
+      assert(verdicts(12L)._1 === 1 && verdicts(12L)._2 === 1) // C: dup
+      val batchPass = verdicts.filter(_._2._4 == 1).keySet
+      assert(streamed.keySet === batchPass)
+      // and the admitted doc's nll matches the batch face to the bit
+      val batchNll = StreamOps.ingestGateBatch(batchDf, model, idxBuckets,
+          "text", "cls", "doc_id", maxNll = 10.0)
+        .filter(col("passed") === 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      streamed.foreach { case (id, nll) => assert(batchNll(id) === nll) }
+    } finally q.stop()
+  }
+
   test("percolation in-stream: frozen standing queries alert, batch parity") {
     import org.apache.spark.sql.functions._
     import graft.operators.RetrievalOps

@@ -28,15 +28,48 @@ object ScaleProbe {
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
 
+    // SPARK_GRAFT_SCALE_MODE picks the replica's ADVERSARIAL SHAPE:
+    //   replica (default) — near-dup copies, the standard slope corpus;
+    //   openvocab — every token salted with a per-doc hash-group suffix
+    //     (SPARK_GRAFT_SCALE_GROUPS groups, default 500), so the 31-word
+    //     fixture vocabulary opens into groups×31 terms at controlled df ≈
+    //     n/groups and retrieval runs in the SPARSE-match regime the 100 TB
+    //     web corpus actually serves (the r13 records — WAND inert, 91%
+    //     percolation density, dense pivot 24× — were all conditioned on
+    //     the saturated 31-word regime);
+    //   heavycluster — a planted boilerplate class: 15% of all docs become
+    //     near-dup variants of ONE template (distinct copymark suffixes
+    //     keep them near- not byte-dups), the real-web regime where one
+    //     boilerplate family dominates the dedup tiers' bucket and
+    //     propagation caps.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "replica")
+    val vocabGroups = sys.env.getOrElse("SPARK_GRAFT_SCALE_GROUPS", "500").toInt
+
     val docs = Tables.documents(spark, dir)
     val copies = spark.range(factor).select(col("id").as("copy"))
-    docs.crossJoin(copies)
+    val replica = docs.crossJoin(copies)
       .select(
         (col("doc_id") * factor + col("copy")).as("doc_id"),
         // per-copy suffix: copies are near-dups (distinct shingle sets)
         concat(col("text"), lit(" copymark"), col("copy")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val shaped = mode match {
+      case "openvocab" =>
+        val g = operators.SamplingOps.hashBucket(col("doc_id"), vocabGroups)
+        replica.withColumn("text",
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text"), 1, 100),
+            t => concat(t, lit("x"), g)), " "))
+      case "heavycluster" =>
+        val template = docs.orderBy(col("doc_id")).select(col("text"))
+          .limit(1).collect()(0).getString(0)
+        replica.withColumn("text",
+          when(operators.SamplingOps.hashBucket(col("doc_id"), 10000) < 1500,
+            concat(lit(template), lit(" copymark"), col("doc_id") % 50))
+            .otherwise(col("text")))
+      case _ => replica
+    }
+    shaped.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
     Tables.embeddings(spark, dir).crossJoin(copies)
       .select(
         (col("vec_id") * factor + col("copy")).as("vec_id"),
@@ -284,6 +317,15 @@ object ScaleProbe {
     time("prototypes")(SemDedupOps.prototypesProfile(spark, tmp).count())
     time("curation_funnel")(CurationOps.curationFunnel(spark, tmp).count())
     time("gate_agreement")(CurationOps.gateAgreementQuery(spark, tmp).count())
+    // r14 tier: the five-stage funnel (token accounting; stages 3-4 ride
+    // the LM-score + minhash-label registries), its sampled-threshold
+    // posture, and the composed ingest gate's batch face
+    time("curation_funnel_full")(
+      CurationOps.curationFunnelFull(spark, tmp).count())
+    time("curation_funnel_sampled")(
+      CurationOps.curationFunnelAt(spark, tmp, thresholdFrac = 0.4).count())
+    time("ingest_gate")(
+      graft.streaming.StreamOps.ingestGateQuery(spark, tmp).count())
     // parquet codec A/B on the replica documents table: bytes on disk,
     // write wall, and a projection-heavy scan (tokenize + agg) per codec —
     // the storage-layout knob DEPLOY's table reads from

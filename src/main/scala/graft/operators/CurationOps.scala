@@ -275,7 +275,16 @@ object CurationOps {
     * survivors, so the funnel's scale shape is the max of its parts (the
     * LM scoring joins and the minhash index build), not their product.
     */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnelAt(spark, dir, thresholdFrac = 1.0)
+
+  /** `thresholdFrac < 1.0` runs stage 2 on SAMPLED tercile cuts
+    * (LmOps.pplBucketed's 100 TB posture — CCNet estimates its cutoffs
+    * from a sample); the registered face stays the exact one, and the
+    * sampled-vs-exact funnel agreement is spec-pinned.
+    */
+  def curationFunnelAt(spark: SparkSession, dir: String,
+                       thresholdFrac: Double): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val flags = gopherRules(docs, "text")
     val s1 = graft.Caching.track(
@@ -284,7 +293,7 @@ object CurationOps {
           col("pass_repeat") === 1)
         .select("doc_id"))
     val s2 = graft.Caching.track(
-      s1.join(graft.operators.LmOps.pplBucketed(spark, dir)
+      s1.join(graft.operators.LmOps.pplBucketed(spark, dir, thresholdFrac)
           .select("doc_id", "bucket"),
         Seq("doc_id"), "left")
         .filter(col("bucket").isNull || col("bucket") =!= "tail")

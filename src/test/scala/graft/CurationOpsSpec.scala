@@ -150,6 +150,22 @@ class CurationOpsSpec extends SparkSuite {
     assert(rows(2).getLong(2) > 0)
   }
 
+  test("curationFunnel: sampled tercile cuts (the 100 TB posture) agree " +
+    "with the exact funnel") {
+    val exact = CurationOps.curationFunnelAt(spark, SparkSpec.FixtureDir, 1.0)
+      .collect().sortBy(_.getString(0)).map(r => (r.getLong(1), r.getLong(2)))
+    val sampled = CurationOps.curationFunnelAt(spark, SparkSpec.FixtureDir, 0.4)
+      .collect().sortBy(_.getString(0)).map(r => (r.getLong(1), r.getLong(2)))
+    // stage 1 is threshold-independent; the sampled perplexity cuts may
+    // move only boundary docs, so every stage's output stays within 20%
+    // (or two docs) of the exact funnel's
+    assert(sampled(0) === exact(0))
+    exact.zip(sampled).foreach { case ((_, eo), (_, so)) =>
+      assert(math.abs(so - eo) <= math.max(2L, (0.2 * eo).toLong),
+        s"sampled stage output $so vs exact $eo")
+    }
+  }
+
   test("curationFunnelFull: five stages chain, tokens track docs, scrub " +
     "is a transform") {
     val rows = CurationOps.curationFunnelFull(spark, SparkSpec.FixtureDir)

@@ -216,8 +216,11 @@ object ScaleProbe {
     time("lm_cross")(LmOps.crossNllBandsQuery(spark, tmp).count())
     time("quality_gate")(LmOps.qualityGateQuery(spark, tmp).count())
     time("ivf_drift")(IndexMaintOps.ivfDriftQuery(spark, tmp).count())
-    // pairs-vs-clusters split isolates edge generation + verification from
-    // the label propagation when the cluster slope needs diagnosing
+    // corpus-vs-pairs-vs-clusters split isolates the codec pass (registry
+    // build), edge generation + verification, and the label propagation
+    // when a media slope needs diagnosing
+    time("media_corpus")(
+      graft.multimodal.MediaOps.signatureCorpus(spark, tmp).count())
     time("media_dup_pairs")(
       SimilarityOps.anchorCosinePairs(
         graft.multimodal.MediaOps.signatureCorpus(spark, tmp),

@@ -209,6 +209,9 @@ class StreamOpsSpec extends SparkSuite {
       q.processAllAvailable()
       input.addData(StreamClsDoc(99L, ts(12, 0), "en", docA)) // advance wm
       q.processAllAvailable()
+      // the scaladoc's claim is structural: all three gates fold through
+      // ONE stateful operator (struct filter and both probes stateless)
+      assert(q.lastProgress.stateOperators.length === 1)
       val streamed = spark.table("ingest_gate_stream")
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       // batch face on the same arrivals: identical survivor set + nll

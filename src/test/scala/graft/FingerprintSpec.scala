@@ -41,6 +41,36 @@ class FingerprintSpec extends SparkSuite {
     }
   }
 
+  test("the r14 registries (LM scores, media corpus) re-derive on an " +
+    "in-place corpus rewrite") {
+    import graft.operators.LmOps
+    import graft.multimodal.MediaOps
+    val dir = java.nio.file.Files.createTempDirectory("fp_r14").toFile.getPath
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "spec", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      writeDocs(Seq("aa bb aa bb aa", "bb aa bb aa", "aa bb cc"))
+      val nll1 = LmOps.selfScoredNll(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val cap1 = MediaOps.signatureCorpus(spark, dir).count()
+      // rewrite IN PLACE: different text, different doc count
+      writeDocs(Seq("xx yy xx yy", "yy xx yy xx yy xx"))
+      val nll2 = LmOps.selfScoredNll(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val cap2 = MediaOps.signatureCorpus(spark, dir).count()
+      assert(nll1.keySet !== nll2.keySet) // 3 docs vs 2 — stale would replay 3
+      assert(cap1 === 3L && cap2 === 2L)
+    } finally {
+      LmOps.clearNllCache()
+      MediaOps.clearMediaCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("a corpus overwritten in place serves a FRESH fit, not the cached one") {
     import graft.operators.VocabOps
     val dir = java.nio.file.Files.createTempDirectory("fp_corpus").toFile.getPath

@@ -120,6 +120,34 @@ object ScaleProbe {
     time("simhash_pairs_cap64")(DedupOps.simhashPairs(
       Tables.documents(spark, tmp), "doc_id", "text", 3, maxBucket = 64).count())
     time("ngram_jaccard")(DedupOps.ngramDupPairs(spark, tmp).count())
+    // A/B vs Spark MLlib's built-in MinHashLSH on the SAME 5-char shingle
+    // sets and operating point (est. jaccard ≥ 0.5 ⟺ distance ≤ 0.5;
+    // SPARK_GRAFT_MLLIB_TABLES hash tables, default 8): the evidence that
+    // the custom codegen'd kernel tier earns its complexity. Structural
+    // asymmetry, recorded in DEPLOY: MLlib's MinHashLSH has NO banding —
+    // each table is ONE hash, so a pair collides somewhere with prob
+    // ≈ 1-(1-j)^tables (j-shaped, not the kernel path's j⁴-shaped
+    // 4-row-band AND), and on a corpus with moderate baseline similarity
+    // candidate generation degenerates toward all-pairs at any table
+    // count that preserves recall
+    time("mllib_minhash_lsh") {
+      import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+      import graft.functions.TextFunctions.charShingles
+      val tables = sys.env.getOrElse("SPARK_GRAFT_MLLIB_TABLES", "8").toInt
+      val sh = Tables.documents(spark, tmp)
+        .select(col("doc_id"), array_distinct(
+          charShingles(col("text"), 5)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val cv = new CountVectorizer().setInputCol("sh").setOutputCol("f")
+        .setBinary(true).fit(sh)
+      val feat = cv.transform(sh).select(col("doc_id"), col("f"))
+      val lsh = new MinHashLSH().setInputCol("f").setOutputCol("hashes")
+        .setNumHashTables(tables).setSeed(42)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.5, "dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .count()
+    }
     // substring-span tier: replicas make every original 8-gram occur
     // `factor` times, so nearly every position is a duplicated start — the
     // adversarial regime for the join-back (linear in occurrences) and the

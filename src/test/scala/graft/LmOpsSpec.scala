@@ -115,6 +115,40 @@ class LmOpsSpec extends SparkSuite {
     assert(sampled.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("pplBucketed partitions the scored docs: every doc in exactly one " +
+    "bucket, per-lang rank bounds hold, on an arbitrary synthetic corpus") {
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn")
+    def text(id: Long): String =
+      (0 until (5 + (id % 7)).toInt)
+        .map(i => words(((id * 31 + i * id + i) % 7).toInt)).mkString(" ")
+    val rows = (1L to 120L).map { id =>
+      (id, text(id), if (id % 3 == 0) "aa" else "bb", "s", 1L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl-prop").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val b = LmOps.pplBucketed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      // one row per scoreable doc (all 120 have >= 2 tokens)
+      assert(b.map(_._1).distinct.length === 120 && b.length === 120)
+      b.groupBy(_._2).foreach { case (_, docs) =>
+        val n = docs.length
+        val byB = docs.groupBy(_._4).view.mapValues(_.length).toMap
+        val head = byB.getOrElse("head", 0)
+        val mid = byB.getOrElse("middle", 0)
+        // rank-based cuts: ties only GROW the lower bucket
+        assert(head >= (n + 2) / 3)
+        assert(head + mid >= (2 * n + 2) / 3)
+        // value ranges ordered: max(head) <= min(middle) <= ... (via nll)
+        def rng(k: String) = docs.filter(_._4 == k).map(_._3)
+        for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail")))
+          if (rng(lo).nonEmpty && rng(hi).nonEmpty)
+            assert(rng(lo).max <= rng(hi).min)
+      }
+    } finally LmOps.clearNllCache()
+  }
+
   test("pplBucketed: a lang whose docs all miss the threshold sample falls " +
     "back to the pooled cuts instead of silently dropping") {
     import graft.operators.SamplingOps

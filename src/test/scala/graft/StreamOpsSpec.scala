@@ -236,6 +236,35 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ingestGateBatch verdicts are total: one row per arrival, passed " +
+    "iff struct and not-dup and lm") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DedupOps, LmOps}
+    val h = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val history = Seq((1L, "en", h)).toDF("doc_id", "lang", "text")
+    val model = LmOps.bigramModel(history, "text", "lang")
+    val idx = DedupOps.minhashSignatures(history, "text")
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash"))).distinct()
+    val arrivals = Seq(
+      (10L, "en", (61 to 125).map(i => s"tok$i").mkString(" ")), // fresh
+      (11L, "en", "tiny"), // struct fail
+      (12L, "en", h), // dup
+      (13L, "zz", (61 to 125).map(i => s"tok$i").mkString(" ")), // unknown lang
+      (14L, "en", ""), (15L, "en", null.asInstanceOf[String])) // degenerate
+      .toDF("doc_id", "lang", "text")
+    val v = graft.streaming.StreamOps.ingestGateBatch(arrivals, model, idx,
+        "text", "lang", "doc_id", maxNll = 10.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6))).toMap
+    assert(v.keySet === Set(10L, 11L, 12L, 13L, 14L, 15L)) // total
+    v.values.foreach { case (st, dup, lm, passed) =>
+      assert(passed === (if (st == 1 && dup == 0 && lm == 1) 1 else 0))
+    }
+    assert(v(10L)._4 === 1) // the one genuinely fresh fluent arrival
+    assert(v(13L)._3 === 0) // unknown lang: unscorable, LM gate fails closed
+    assert(v(14L)._1 === 0 && v(15L)._1 === 0)
+  }
+
   test("percolation in-stream: frozen standing queries alert, batch parity") {
     import org.apache.spark.sql.functions._
     import graft.operators.RetrievalOps

@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default on the 128 GiB harness host: the 171-query sweep holds
+  // several persisted fit-registries (NLL scores, media corpus, postings,
+  // dedup labels) plus 32 concurrent task buffers; at 8g the storage
+  // region sat at ~4.6 GiB and major-GC pauses landed inside the
+  // propagation loops' serial round barriers — the measured source of the
+  // dedup_*_clusters sweep variance (r14: spread 6.9-24.8 s, solo 6.8 s).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   // the forked JVM inherits sbt's POSIX locale, whose sun.jnu.encoding
   // cannot map Korean filenames (the reference's RAW_DATA artifact)
   "-Dsun.jnu.encoding=UTF-8", "-Dfile.encoding=UTF-8",

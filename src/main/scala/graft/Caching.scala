@@ -76,4 +76,18 @@ object Caching {
 
   /** Frames currently tracked in the active scope (spec surface). */
   def trackedCount: Int = current.value.size
+
+  /** Atomic fit-registry lookup: lock-free on hits, the build serialized
+    * per registry map. `TrieMap.getOrElseUpdate` evaluates its by-name
+    * builder non-atomically — two concurrent first calls both run the
+    * (expensive) fit and both persist, and the losing frame's storage
+    * leaks until JVM exit because only the cached winner is unpersisted
+    * at teardown. Every cross-query registry (NLL scores, media corpus,
+    * dedup labels, postings, BPE merges, …) routes through here.
+    */
+  def registryGet[V](map: scala.collection.concurrent.TrieMap[String, V],
+                     key: String)(build: => V): V =
+    map.get(key).getOrElse(map.synchronized {
+      map.getOrElseUpdate(key, build)
+    })
 }

@@ -223,17 +223,31 @@ object MediaOps {
   private val mediaCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
 
+  /** Corpus-scaled band width per dirKey — computed once per corpus
+    * version alongside the cached frame (before r15 every signatureCorpus
+    * call re-ran a documents count() job to rederive the same bits, a
+    * per-call scan across all five media faces the registry was meant to
+    * amortize).
+    */
+  private val bitsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Int]
+
   def clearMediaCache(): Unit = {
     mediaCache.values.foreach(_.unpersist(false))
     mediaCache.clear()
+    bitsCache.clear()
   }
 
+  /** Hit path is lock-free; the build is serialized per registry
+    * (Caching.registryGet) so concurrent first calls can't both run the
+    * codec pass and leak the losing persisted frame.
+    */
   private def cached(key: String)(build: => DataFrame): DataFrame =
-    mediaCache.getOrElseUpdate(key, {
+    graft.Caching.registryGet(mediaCache, key) {
       val df = build.persist()
       df.count() // materialize before the building query's scope ends
       df
-    })
+    }
 
   /** The media corpus in the shape the similarity/dedup tier consumes:
     * (vec_id, label, nv, bands) — unit-normalized signature plus the
@@ -245,10 +259,11 @@ object MediaOps {
     import graft.functions.HashExpressions.{centerVector, unitVector}
     import graft.functions.VectorFunctions.asDouble
     import graft.operators.SimilarityOps
-    val bits = SimilarityOps.dedupBandBits(
-      Tables.documents(spark, dir).count())
+    val dirKey = graft.Fingerprint.dirKey(spark, dir)
+    val bits = bitsCache.getOrElseUpdate(dirKey,
+      SimilarityOps.dedupBandBits(Tables.documents(spark, dir).count()))
     lastMediaBits = bits
-    cached(s"mcorpus:${graft.Fingerprint.dirKey(spark, dir)}") {
+    cached(s"mcorpus:$dirKey") {
       // center-then-normalize: count histograms live in the positive orthant
       // where every cosine is ≥ 0 and hyperplane bands barely cut — centering
       // spreads the corpus over the sphere (measured: cross-doc median cos

@@ -113,7 +113,8 @@ object ClassifierOps {
 
   private def confusionRows(spark: SparkSession,
                             dir: String): Seq[(String, String, Long)] =
-    confCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+    graft.Caching.registryGet(confCache,
+        graft.Fingerprint.dirKey(spark, dir)) {
       val docs = Tables.documents(spark, dir)
       val (prior, lik) = nbTrain(docs, "text", "lang")
       nbClassify(prior, lik, docs, "text", "doc_id")
@@ -123,7 +124,7 @@ object ClassifierOps {
         .agg(count(lit(1)).as("n_docs"))
         .collect().toSeq
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    })
+    }
 
   /** Query: per-class precision / recall / F1 from the confusion matrix.
     * F1 computed as 2·tp / (2·tp + fp + fn) — one exact integer ratio, so

@@ -189,13 +189,13 @@ object DedupOps {
   /** Persisted (doc_id, simhash, bands) staging frame — shared by the pair
     * and cluster paths so the corpus tokenizes and fingerprints once.
     */
-  private def bandedFps(docs: DataFrame, idCol: String,
+  private[graft] def bandedFps(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     graft.Caching.track(simhashFingerprints(docs, textCol)
       .select(col(idCol).as("doc_id"), col("simhash"),
         simhashBands(col("simhash"), 4, SimhashBandBits).as("bands")))
 
-  private def simhashPairsOfFps(fps: DataFrame, maxDist: Int,
+  private[graft] def simhashPairsOfFps(fps: DataFrame, maxDist: Int,
                                 maxBucket: Int): DataFrame = {
     val buckets = capHotBuckets(fps.select(
       col("doc_id"), col("simhash"),
@@ -436,18 +436,107 @@ object DedupOps {
         Seq("label"), "left")
       .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
 
-  private[graft] def propagateLabelsTracked(bucketsIn: DataFrame,
-                                            maxRounds: Int): Propagation = {
+  /** Graph size (rows of the bucket/edge frame) under which the
+    * propagation rounds run as a LOCAL simulation of the identical round
+    * algebra instead of distributed jobs. A round is join + aggregate +
+    * jump-join + materialize + sum action — ~0.6 s of pure stage/barrier
+    * overhead per round on local[32] regardless of data volume, and each
+    * serial barrier is a landing slot for a sweep neighbor's major-GC
+    * pause (the r14 `dedup_simhash_clusters` 6.9-24.8 s spread over a
+    * 1 025-edge graph: ~6 s of its 7 s was NINE rounds of overhead).
+    * The local path replays the SAME step + pointer-jump + sum-fixed-point
+    * loop over collected arrays, so `roundsUsed`/`converged`/labels are
+    * bit-identical at ANY round bound — including intentional under-merge
+    * at binding bounds (spec-pinned local == distributed). At the
+    * threshold the collected graph is ≤ ~16 MB of longs on the driver —
+    * the same bounded-output class as the report sinks; past it (the
+    * 100 TB regime) the distributed loop runs exactly as before.
+    */
+  val LocalGraphMaxRows = 1000000L
+
+  private[graft] def propagateLabelsTracked(
+      bucketsIn: DataFrame, maxRounds: Int,
+      localMaxRows: Long = LocalGraphMaxRows): Propagation = {
     val buckets = graft.Caching.track(bucketsIn)
-    val step = (labels: DataFrame) => {
-      val bucketMin = buckets.join(labels, "doc_id")
-        .groupBy("band", "band_hash")
-        .agg(min(col("label")).as("bucket_label"))
-      buckets.join(bucketMin, Seq("band", "band_hash"))
-        .groupBy("doc_id")
-        .agg(min(col("bucket_label")).as("label"))
+    val nRows = buckets.count() // also materializes the tracked frame once
+    if (nRows <= localMaxRows) {
+      val rows = buckets
+        .select(col("doc_id").cast("long"), col("band").cast("long"),
+          col("band_hash").cast("long"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      val byBucket = rows.groupBy(_._2) // (band, hash) -> members
+        .map { case (k, v) => k -> v.map(_._1) }
+      val byDoc = rows.groupBy(_._1).map { case (d, v) => d -> v.map(_._2) }
+      val step = (lab: java.util.HashMap[Long, Long]) => {
+        val bmin = byBucket.map { case (k, members) =>
+          k -> members.iterator.map(lab.get).min
+        }
+        val out = new java.util.HashMap[Long, Long]
+        byDoc.foreach { case (d, bks) =>
+          out.put(d, bks.iterator.map(bmin).min)
+        }
+        out
+      }
+      localPropagateLoop(buckets.sparkSession,
+        buckets.schema("doc_id").dataType, byDoc.keys, step, maxRounds)
+    } else {
+      val step = (labels: DataFrame) => {
+        val bucketMin = buckets.join(labels, "doc_id")
+          .groupBy("band", "band_hash")
+          .agg(min(col("label")).as("bucket_label"))
+        buckets.join(bucketMin, Seq("band", "band_hash"))
+          .groupBy("doc_id")
+          .agg(min(col("bucket_label")).as("label"))
+      }
+      propagateLoop(buckets.select(col("doc_id")).distinct(), step, maxRounds)
     }
-    propagateLoop(buckets.select(col("doc_id")).distinct(), step, maxRounds)
+  }
+
+  /** The shared local replica of `propagateLoop`: identical round
+    * structure (lazy round-0 contraction via `step` of the identity
+    * labels, then per materialized round step → pointer jump → label-sum
+    * fixed-point test, stopping one round past the fixed point or at the
+    * bound). `idType` is the graph frame's id dtype so the returned
+    * frame's schema matches the distributed path's exactly.
+    */
+  private def localPropagateLoop(spark: SparkSession,
+                                 idType: org.apache.spark.sql.types.DataType,
+                                 ids: Iterable[Long],
+                                 step: java.util.HashMap[Long, Long] =>
+                                   java.util.HashMap[Long, Long],
+                                 maxRounds: Int): Propagation = {
+    def jumpL(lab: java.util.HashMap[Long, Long]) = {
+      val out = new java.util.HashMap[Long, Long](lab.size)
+      lab.forEach { (v, l) =>
+        val ll = lab.get(l)
+        out.put(v, if (lab.containsKey(l)) ll else l)
+      }
+      out
+    }
+    val id0 = new java.util.HashMap[Long, Long]
+    ids.foreach(v => id0.put(v, v))
+    var labels = step(id0)
+    var used = 0
+    var converged = false
+    var prevSum: BigInt = null
+    while (used < maxRounds && !converged) {
+      val next = jumpL(step(labels))
+      var s = BigInt(0)
+      next.forEach((_, l) => s += l)
+      val curSum: BigInt = if (next.isEmpty) null else s
+      labels = next
+      used += 1
+      converged = curSum == null ||
+        (prevSum != null && curSum == prevSum)
+      prevSum = curSum
+    }
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    labels.forEach((v, l) => out += ((v, l)))
+    val df = out.toSeq.toDF("doc_id", "label")
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("label").cast(idType).as("label"))
+    Propagation(df, used, converged)
   }
 
   /** Edge-specialized twin of propagateLabelsTracked for graphs that arrive
@@ -461,9 +550,35 @@ object DedupOps {
     * the bucket formulation's (pinned by spec), so the oracle's unrolled
     * bucket CTEs verify this path unchanged.
     */
-  private[graft] def propagateEdgesTracked(edgesIn: DataFrame,
-                                           maxRounds: Int): Propagation = {
+  private[graft] def propagateEdgesTracked(
+      edgesIn: DataFrame, maxRounds: Int,
+      localMaxRows: Long = LocalGraphMaxRows): Propagation = {
     val edges = graft.Caching.track(edgesIn)
+    val nEdges = edges.count() // also materializes the tracked frame once
+    if (nEdges <= localMaxRows) {
+      val pairs = edges
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // undirected adjacency; the self-loop is implicit (min with own label)
+      val adjL = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2) }
+      val nodes = adjL.keySet
+      val step = (lab: java.util.HashMap[Long, Long]) => {
+        val out = new java.util.HashMap[Long, Long](lab.size)
+        nodes.foreach { u =>
+          var m = lab.get(u)
+          adjL(u).foreach { v => val l = lab.get(v); if (l < m) m = l }
+          out.put(u, m)
+        }
+        out
+      }
+      localPropagateLoop(edges.sparkSession,
+        edges.schema("doc_a").dataType, nodes, step, maxRounds)
+    } else propagateEdgesDistributed(edges, maxRounds)
+  }
+
+  private def propagateEdgesDistributed(edges: DataFrame,
+                                        maxRounds: Int): Propagation = {
     val ids = edges.select(col("doc_a").as("doc_id"))
       .union(edges.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -508,7 +623,12 @@ object DedupOps {
       // it only added joins, so one jump it is.
       val jumped = jump(memberMin)
       val rdd = jumped.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // serialized blocks, not deserialized Rows: a round frame is two
+      // long columns, but as Row objects it is ~5 heap objects per row
+      // that every major GC re-scans for the rest of the loop — serialized
+      // storage keeps the live-object count flat across rounds (the
+      // propagation family's GC-variance lever, r15)
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val next = spark.createDataFrame(rdd, jumped.schema)
       // the one action per round: materializes the round AND measures
       // progress via the exact label sum (decimal(38,0) — 1e12 ids × 1e12
@@ -649,12 +769,13 @@ object DedupOps {
 
   private[operators] def minhashLabels(spark: SparkSession,
                                        dir: String): DataFrame =
-    labelCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+    graft.Caching.registryGet(labelCache,
+        graft.Fingerprint.dirKey(spark, dir)) {
       val labels = minhashClusters(Tables.documents(spark, dir),
         "doc_id", "text").persist()
       labels.count() // materialize before the building query's scope ends
       labels
-    })
+    }
 
   /** Canonical-document selection: given cluster labels and a per-doc
     * score, pick the keeper of each cluster — the highest score, ties to

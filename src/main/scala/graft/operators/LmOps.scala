@@ -325,7 +325,11 @@ object LmOps {
     * branch (6-dp pre-round guard included).
     */
   def selfScoredNll(spark: SparkSession, dir: String): DataFrame =
-    nllCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+    graft.Caching.registryGet(nllCache,
+      graft.Fingerprint.dirKey(spark, dir))(buildSelfScoredNll(spark, dir))
+
+  private def buildSelfScoredNll(spark: SparkSession, dir: String)
+      : DataFrame = {
       val docs = Tables.documents(spark, dir)
       val inst = bigramInstances(docs, "text", "lang", Seq("doc_id"))
         .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("n"))
@@ -340,7 +344,7 @@ object LmOps {
         .persist()
       nll.count() // materialize before the building query's scope ends
       nll
-    })
+    }
 
   /** Per-doc tercile assignment (doc_id, lang, nll, bucket) — the shared
     * core of `quality_ppl_buckets` and the curation funnel's perplexity
@@ -359,9 +363,18 @@ object LmOps {
   def pplBucketed(spark: SparkSession, dir: String,
                   thresholdFrac: Double = 1.0): DataFrame = {
     val nll = selfScoredNll(spark, dir)
+    // Empty-sample guard: a tiny thresholdFrac on a tiny corpus can leave
+    // the hash sample with zero rows, making every cut null and silently
+    // routing every scored doc to 'tail' (the funnel gate would then drop
+    // them all). Fall back to exact cuts in that case — `nll` is the
+    // persisted registry frame, so the isEmpty probe is a cached scan,
+    // and it only runs on the sampled path.
     val thrSource =
       if (thresholdFrac >= 1.0) nll
-      else SamplingOps.hashSample(nll, "doc_id", thresholdFrac)
+      else {
+        val s = SamplingOps.hashSample(nll, "doc_id", thresholdFrac)
+        if (s.isEmpty) nll else s
+      }
     val hist = thrSource.groupBy(col("lang"), col("nll"))
       .agg(count(lit(1)).as("hn"))
     val byLang = org.apache.spark.sql.expressions.Window
@@ -375,16 +388,26 @@ object LmOps {
       min(when(col("cum") >= expr("(2 * nk + 2) DIV 3"), col("nll"))).as("t2"))
     // pooled-sample cuts — the per-lang fallback. The unpartitioned window
     // runs over the distinct-nll histogram (the RankOps-sanctioned bounded
-    // frame), never doc rows.
-    val gAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val gBy = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy("nll")
-    val gcum = thrSource.groupBy(col("nll")).agg(count(lit(1)).as("hn"))
-      .withColumn("cum", sum(col("hn")).over(gBy))
-      .withColumn("nk", sum(col("hn")).over(gAll))
-    val gthr = gcum.agg(
-      min(when(col("cum") >= expr("(nk + 2) DIV 3"), col("nll"))).as("g1"),
-      min(when(col("cum") >= expr("(2 * nk + 2) DIV 3"), col("nll"))).as("g2"))
+    // frame), never doc rows. At thresholdFrac = 1.0 every scored lang has
+    // its own thresholds so the fallback is provably dead — skip the
+    // serial pooled sort entirely (doc-level 6-dp nll makes the distinct
+    // histogram ~|scored docs|) and cross-join a null-literal frame.
+    val gthr =
+      if (thresholdFrac >= 1.0)
+        spark.range(1).select(
+          lit(null).cast("double").as("g1"),
+          lit(null).cast("double").as("g2"))
+      else {
+        val gAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val gBy = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy("nll")
+        val gcum = thrSource.groupBy(col("nll")).agg(count(lit(1)).as("hn"))
+          .withColumn("cum", sum(col("hn")).over(gBy))
+          .withColumn("nk", sum(col("hn")).over(gAll))
+        gcum.agg(
+          min(when(col("cum") >= expr("(nk + 2) DIV 3"), col("nll"))).as("g1"),
+          min(when(col("cum") >= expr("(2 * nk + 2) DIV 3"), col("nll"))).as("g2"))
+      }
     nll.join(broadcast(thr), Seq("lang"), "left")
       .crossJoin(broadcast(gthr))
       .withColumn("bucket",

@@ -149,7 +149,7 @@ object PqOps {
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
   private def cached[T](key: String)(f: => T): T =
-    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+    graft.Caching.registryGet(cache, key)(f).asInstanceOf[T]
 
   /** Evict the cached fits (escape hatch for long-lived sessions). */
   def clearFits(): Unit = cache.clear()

@@ -66,12 +66,13 @@ object RetrievalOps {
   }
 
   private def corpusPostings(spark: SparkSession, dir: String): DataFrame =
-    postingsCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+    graft.Caching.registryGet(postingsCache,
+        graft.Fingerprint.dirKey(spark, dir)) {
       val tf = postings(Tables.documents(spark, dir), "doc_id", "text")
         .persist()
       tf.count() // materialize before the building query's scope ends
       tf
-    })
+    }
 
   /** POSITIONAL postings (doc_id, pos, word) from the same one kernel
     * scan — the index variant phrase and proximity retrieval need. The
@@ -86,12 +87,13 @@ object RetrievalOps {
       posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
 
   private def corpusPositional(spark: SparkSession, dir: String): DataFrame =
-    posPostingsCache.getOrElseUpdate(graft.Fingerprint.dirKey(spark, dir), {
+    graft.Caching.registryGet(posPostingsCache,
+        graft.Fingerprint.dirKey(spark, dir)) {
       val pp = positionalPostings(Tables.documents(spark, dir), "doc_id", "text")
         .persist()
       pp.count()
       pp
-    })
+    }
 
   /** Phrase length of the probe phrases and the unordered proximity
     * window (in token positions over the shared term space).

@@ -71,7 +71,7 @@ object SemDedupOps {
     */
   private def unitAssigned(spark: SparkSession, dir: String): DataFrame = {
     val key = s"semdedup:${graft.Fingerprint.dirKey(spark, dir)}"
-    val assigned = cache.getOrElseUpdate(key, {
+    val assigned = graft.Caching.registryGet(cache, key) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val unit = Tables.embeddings(spark, dir)
@@ -85,7 +85,7 @@ object SemDedupOps {
         .setMaxIter(10).setFeaturesCol("v").setPredictionCol("cluster")
         .fit(SamplingOps.hashSample(vecs, "vec_id", frac))
       km.transform(vecs).select("vec_id", "cluster", "nv").persist()
-    })
+    }
     graft.Artifacts.save("semdedup_assign")(
       assigned.select("vec_id", "cluster"))
     assigned

@@ -47,7 +47,7 @@ object TopicModelOps {
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
   private def cached[T](key: String)(f: => T): T =
-    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+    graft.Caching.registryGet(cache, key)(f).asInstanceOf[T]
 
   /** Evict every cached fit and unpersist the frames it pins (the escape
     * hatch for service lifetimes — see the registry contract above).

@@ -312,7 +312,8 @@ object VocabOps {
 
   private def trainedMerges(spark: SparkSession, dir: String,
                             k: Int): Seq[(Int, String, String, String, Long)] =
-    bpeCache.getOrElseUpdate(s"${graft.Fingerprint.dirKey(spark, dir)}|$k",
+    graft.Caching.registryGet(bpeCache,
+        s"${graft.Fingerprint.dirKey(spark, dir)}|$k")(
       bpeTrainLocal(collectDict(topDict(spark, dir)), k))
 
   /** Query: 8 BPE merges learned from the top-200-word dictionary of the

@@ -171,6 +171,41 @@ class DedupOpsSpec extends SparkSuite {
     }
   }
 
+  test("local propagation path == distributed path round-for-round") {
+    // the small-graph local simulation (r15) must be indistinguishable
+    // from the distributed round loop at EVERY bound — roundsUsed,
+    // converged, and labels, including intentional under-merge at a
+    // binding bound. localMaxRows = -1 forces the distributed path on the
+    // same graph.
+    val edges = ((1L until 30L).map(a => (a, a + 1)) ++
+      Seq((50L, 60L), (50L, 70L), (50L, 80L),
+        (90L, 91L), (91L, 92L), (90L, 92L))
+      ).toDF("doc_a", "doc_b")
+    val asBuckets = edges
+      .select(functionsCol("doc_a").as("doc_id"),
+        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash"))
+      .union(edges.select(functionsCol("doc_b").as("doc_id"),
+        functionsCol("doc_a").as("band"), functionsCol("doc_b").as("band_hash")))
+    for (bound <- Seq(2, 12)) {
+      val localE = DedupOps.propagateEdgesTracked(edges, bound)
+      val distE = DedupOps.propagateEdgesTracked(edges, bound, localMaxRows = -1L)
+      assert(localE.roundsUsed == distE.roundsUsed, s"edges bound=$bound")
+      assert(localE.converged == distE.converged, s"edges bound=$bound")
+      assert(localE.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        distE.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"edges bound=$bound")
+      graft.Caching.releaseAll()
+      val localB = DedupOps.propagateLabelsTracked(asBuckets, bound)
+      val distB = DedupOps.propagateLabelsTracked(asBuckets, bound, localMaxRows = -1L)
+      assert(localB.roundsUsed == distB.roundsUsed, s"buckets bound=$bound")
+      assert(localB.converged == distB.converged, s"buckets bound=$bound")
+      assert(localB.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        distB.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"buckets bound=$bound")
+      graft.Caching.releaseAll()
+    }
+  }
+
   test("hot-bucket cap bounds pair emission on a viral duplicate group") {
     // 10k byte-identical docs: every doc lands in the SAME bucket of every
     // band, so the uncapped faces would emit C(10000,2) ≈ 50M candidate

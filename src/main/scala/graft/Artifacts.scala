@@ -25,6 +25,24 @@ object Artifacts {
   @volatile private var baseOpt: Option[String] = None
   private val written = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // Corpus-flavor namespace: `save` is first-write-wins per name, so two
+  // queries running the SAME operator against DIFFERENT corpora (the
+  // realistic-twin faces vs the base fixtures) would otherwise collide —
+  // whichever ran first would pin the artifact and every later consumer
+  // (e.g. storedIndex's probe-many read-back) would silently probe the
+  // WRONG corpus' index (found r15: the base ingest gate's dup flags
+  // changed when a _real face ran earlier in the same Verify JVM).
+  private val ns = new scala.util.DynamicVariable[String]("")
+
+  /** Run `body` with artifact names prefixed `<prefix>/` — the realistic
+    * faces' writes and read-backs stay in their own directory and can
+    * never shadow a base face's artifact (or vice versa).
+    */
+  def namespaced[T](prefix: String)(body: => T): T =
+    ns.withValue(prefix + "/")(body)
+
+  private def full(name: String): String = ns.value + name
+
   /** Route subsequent `save` calls to `<base>/<name>` (fresh registry). */
   def enable(base: String): Unit = {
     written.clear()
@@ -43,8 +61,8 @@ object Artifacts {
     * corpus-sized) so a single-file write keeps the oracle read trivial.
     */
   def save(name: String)(df: => DataFrame): Unit = baseOpt.foreach { base =>
-    written.getOrElseUpdate(name, {
-      val path = s"$base/$name"
+    written.getOrElseUpdate(full(name), {
+      val path = s"$base/${full(name)}"
       df.coalesce(1).write.mode("overwrite").parquet(path)
       path
     })
@@ -54,7 +72,7 @@ object Artifacts {
     * persisted table back (build-once/probe-many index shapes). None when
     * disabled or not yet materialized.
     */
-  def path(name: String): Option[String] = written.get(name)
+  def path(name: String): Option[String] = written.get(full(name))
 
   /** DuckDB table expression for a saved artifact. Only resolves after the
     * owning query ran (Verify dumps oracle SQL after the query loop); an

@@ -84,10 +84,49 @@ object Caching {
     * leaks until JVM exit because only the cached winner is unpersisted
     * at teardown. Every cross-query registry (NLL scores, media corpus,
     * dedup labels, postings, BPE merges, …) routes through here.
+    *
+    * Bounded by construction: each registry map holds at most
+    * `RegistryMaxEntries` corpora — inserting past the cap evicts the
+    * OLDEST entry (FIFO by build order) and unpersists its storage if the
+    * value is a DataFrame. A bounded harness session never reaches the
+    * cap (one or two corpora per run); the cap is the ceiling that keeps
+    * a long-lived SERVICE cycling many corpus versions from accumulating
+    * unbounded executor storage between explicit clears (spec-pinned in
+    * CachingSpec).
     */
+  val RegistryMaxEntries = 8
+
+  // per-registry insertion order, keyed by map identity (registries are
+  // static singletons, so this map never grows past the registry count)
+  private val insertionOrder = new java.util.IdentityHashMap[
+    AnyRef, scala.collection.mutable.ArrayDeque[String]]
+
   def registryGet[V](map: scala.collection.concurrent.TrieMap[String, V],
                      key: String)(build: => V): V =
     map.get(key).getOrElse(map.synchronized {
-      map.getOrElseUpdate(key, build)
+      val v = map.getOrElseUpdate(key, {
+        val built = build
+        val order = insertionOrder.synchronized {
+          var q = insertionOrder.get(map)
+          if (q == null) {
+            q = scala.collection.mutable.ArrayDeque.empty[String]
+            insertionOrder.put(map, q)
+          }
+          q
+        }
+        // drop stale occurrences (a key rebuilt after an explicit clear)
+        // so FIFO eviction can't strike a live re-added entry early
+        order.filterInPlace(_ != key)
+        order += key
+        while (order.size > RegistryMaxEntries) {
+          val victim = order.removeHead()
+          map.remove(victim).foreach {
+            case df: DataFrame => df.unpersist(false)
+            case _ => ()
+          }
+        }
+        built
+      })
+      v
     })
 }

@@ -104,7 +104,8 @@ object SparkEntry {
     * `quality_gate_agreement` oracles so the three faces share one text.
     */
   private lazy val nllThrCtes: String =
-    s"""tk AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+    s"""tk AS MATERIALIZED (
+       |  SELECT doc_id, lang, $TOKS AS t FROM documents),
        |bg AS (
        |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
        |    split_part(pair, ' ', 2) AS w2
@@ -150,16 +151,126 @@ object SparkEntry {
     * the two funnel oracles.
     */
   private lazy val minhashLabelCtes: String =
-    s"""sigs AS (
+    s"""cpc AS MATERIALIZED (
+       |  SELECT doc_id, ${cps(NORM)} AS cp FROM documents),
+       |shc AS MATERIALIZED (
+       |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM cpc),
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-       |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
-       |  WHERE len(sh) > 0),
-       |withbands AS (
+       |  FROM shc WHERE len(sh) > 0),
+       |withbands AS MATERIALIZED (
        |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
        |b AS MATERIALIZED (
        |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
        |  FROM withbands, range(0, 8) t(j)),
        |${propagationCtes(DedupOps.ClusterRounds)}""".stripMargin
+
+  /** Shared CTE block for the ingest-gate oracles (cut → arrivals →
+    * structural flags → stored-index bands → frozen-LM backoff scoring →
+    * per-arrival nll) — embedded by `stream_ingest_gate` (three-gate) and
+    * `stream_ingest_full` (five-gate) so the two faces share one text.
+    */
+  private lazy val ingestGateCtes: String =
+    s"""cut AS (
+         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
+         |  FROM documents),
+         |ar AS MATERIALIZED (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text, $NORM AS norm,
+         |    $TOKS_ALL AS toks
+         |  FROM documents, cut WHERE doc_id > cut),
+         |sf AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
+         |      AND len(toks) <= ${CurationOps.GopherMaxWords}
+         |      AND len(toks) > 0
+         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |          >= ${CurationOps.GopherMinMeanLen}
+         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |          <= ${CurationOps.GopherMaxMeanLen}
+         |      AND $symbolRuleSql
+         |      AND len(list_filter(toks,
+         |            t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
+         |          / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
+         |      AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}
+         |    THEN 1 ELSE 0 END AS pass_struct
+         |  FROM ar),
+         |icpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp
+         |  FROM documents, cut WHERE doc_id <= cut),
+         |ishc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM icpc),
+         |isigs AS MATERIALIZED (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM ishc WHERE len(sh) > 0),
+         |iwb AS MATERIALIZED (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM isigs),
+         |ib AS MATERIALIZED (
+         |  SELECT DISTINCT j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM iwb, range(0, 8) t(j)),
+         |ncpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp
+         |  FROM documents, cut WHERE doc_id > cut),
+         |nshc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM ncpc),
+         |nsigs AS MATERIALIZED (
+         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
+         |  FROM nshc WHERE len(sh) > 0),
+         |nwb AS MATERIALIZED (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM nsigs),
+         |nb AS (
+         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
+         |  FROM nwb, range(0, 8) t(j)),
+         |dup AS (SELECT DISTINCT doc_id FROM nb JOIN ib USING (band, band_hash)),
+         |trt AS MATERIALIZED (
+         |  SELECT lang, $TOKS AS t FROM documents, cut WHERE doc_id <= cut),
+         |tet AS MATERIALIZED (
+         |  SELECT doc_id, lang, $TOKS AS t
+         |  FROM documents, cut WHERE doc_id > cut),
+         |trbg AS (
+         |  SELECT lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM trt WHERE len(t) >= 2)),
+         |tebg AS (
+         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(list_transform(range(1, len(t)),
+         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
+         |        FROM tet WHERE len(t) >= 2)),
+         |counts AS (
+         |  SELECT lang, w1, w2, count(*) AS c12 FROM trbg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT word) AS v
+         |  FROM (SELECT lang, unnest($TOKS) AS word
+         |        FROM documents, cut WHERE doc_id <= cut) GROUP BY 1),
+         |logp AS (
+         |  SELECT c.lang, c.w1, c.w2,
+         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM counts c
+         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
+         |  JOIN vocab v ON c.lang = v.lang),
+         |miss AS (
+         |  SELECT x.lang, x.w1, ln(0.5 / (x.cx + 0.5 * v.v)) AS logp
+         |  FROM ctx x JOIN vocab v ON x.lang = v.lang),
+         |flr AS (SELECT lang, min(logp) AS floor_lp FROM miss GROUP BY 1),
+         |inst AS (
+         |  SELECT doc_id, lang, w1, w2, count(*) AS n
+         |  FROM tebg GROUP BY 1, 2, 3, 4),
+         |scoredrows AS (
+         |  SELECT i.doc_id, i.n,
+         |    coalesce(l.logp, m.logp, f.floor_lp) AS logp
+         |  FROM inst i
+         |  LEFT JOIN logp l
+         |    ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
+         |  LEFT JOIN miss m ON i.lang = m.lang AND i.w1 = m.w1
+         |  JOIN flr f ON i.lang = f.lang),
+         |nll AS (
+         |  SELECT doc_id, round(-sum(logp * n) / sum(n), 6) AS nll
+         |  FROM scoredrows GROUP BY 1)""".stripMargin
 
   /** Oracle for the HLL cardinality queries — shared by `txt_hll_distinct`
     * and `hll_incremental` (registers max-merge losslessly, so the
@@ -595,6 +706,9 @@ object SparkEntry {
     // the composed ingest gate (structural rules + stored-index near-dup
     // + frozen LM gate in one stream): batch face, per-lang chained counts
     "stream_ingest_gate" -> graft.streaming.StreamOps.ingestGateQuery,
+    // the FIVE-stage ingest gate (struct + decontam + dup + LM + scrub
+    // accounting) — the streaming twin of curation_funnel_full's surface
+    "stream_ingest_full" -> graft.streaming.StreamOps.ingestGateFullQuery,
     // CCNet-style per-lang perplexity terciles (head/middle/tail) — the
     // quality cut CCNet keeps head+middle of; rank-based thresholds
     "quality_ppl_buckets" -> LmOps.pplBucketsQuery,
@@ -616,6 +730,23 @@ object SparkEntry {
     // cross-gate agreement: per (lang, ppl tercile) — gopher pass counts
     // and mean quality score (are the gates redundant or complementary?)
     "quality_gate_agreement" -> CurationOps.gateAgreementQuery,
+    // realistic-fixture faces (r15): the SAME four operators over the
+    // RealisticCorpus twin (planted stop words / per-lang vocabulary /
+    // eval contamination / PII), so the paths the synthetic corpus leaves
+    // behaviorally flat — stop-word passes, DSIR separation, non-zero
+    // decontam drops, non-zero scrub token deltas — are oracle-verified
+    // doing real work. Oracles are the base faces' bodies verbatim under
+    // a realistic `documents` CTE (RealisticCorpus.realisticize).
+    "quality_gopher_real" ->
+      RealisticCorpus.over(CurationOps.gopherRulesProfile),
+    "select_dsir_real" ->
+      RealisticCorpus.over(SamplingOps.dsirProfile),
+    "curation_funnel_real" ->
+      RealisticCorpus.over(CurationOps.curationFunnelFull),
+    "stream_ingest_real" ->
+      RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
+    "stream_ingest_full_real" ->
+      RealisticCorpus.over(graft.streaming.StreamOps.ingestGateFullQuery),
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -823,7 +954,21 @@ object SparkEntry {
       graft.streaming.StreamOps.topKeywordsQuery(s, d)),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // realistic-fixture faces: base oracle bodies verbatim under the
+    // realistic `documents` CTE — see RealisticCorpus
+    "quality_gopher_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("quality_gopher_rules")),
+    "select_dsir_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("select_dsir")),
+    "curation_funnel_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("curation_funnel_full")),
+    "stream_ingest_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_gate")),
+    "stream_ingest_full_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_full")))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -2709,11 +2854,14 @@ object SparkEntry {
     // leakage-safe split: same minhash cluster unroll as dedup_minhash_
     // clusters, split hashed on the group label so clusters never span
     "sample_split_safe" ->
-      s"""WITH sigs AS (
+      s"""WITH cpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp FROM documents),
+         |shc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM cpc),
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
-         |  WHERE len(sh) > 0),
-         |withbands AS (
+         |  FROM shc WHERE len(sh) > 0),
+         |withbands AS MATERIALIZED (
          |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
          |b AS MATERIALIZED (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
@@ -2844,7 +2992,7 @@ object SparkEntry {
     // arithmetic over the shared token list — bit-deterministic, no float
     // sums anywhere (mirrors CurationOps.gopherRules)
     "quality_gopher_rules" ->
-      s"""WITH d AS (
+      s"""WITH d AS MATERIALIZED (
          |  SELECT source, coalesce(text, '') AS text, $NORM AS norm,
          |    $TOKS_ALL AS toks
          |  FROM documents),
@@ -2888,7 +3036,7 @@ object SparkEntry {
     // head+middle -> minhash keep-first; every stage re-derived from the
     // fragments its standalone face already verifies
     "curation_funnel" ->
-      s"""WITH gd AS (
+      s"""WITH gd AS MATERIALIZED (
          |  SELECT doc_id, coalesce(text, '') AS text, $NORM AS norm,
          |    $TOKS_ALL AS toks
          |  FROM documents),
@@ -2922,7 +3070,8 @@ object SparkEntry {
          |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
          |c3 AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n FROM s3g)
          |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
-         |  round((n_in - n_out) * 1.0 / n_in, 4) AS drop_rate
+         |  CASE WHEN n_in = 0 THEN NULL
+         |       ELSE round((n_in - n_out) * 1.0 / n_in, 4) END AS drop_rate
          |FROM (
          |  SELECT '1_gopher_struct' AS stage, c0.n AS n_in, c1.n AS n_out
          |  FROM c0, c1
@@ -2938,7 +3087,7 @@ object SparkEntry {
     // stage re-derived from fragments standalone faces already verify,
     // token sums via the BPE-ish counter
     "curation_funnel_full" ->
-      s"""WITH gd AS (
+      s"""WITH gd AS MATERIALIZED (
          |  SELECT doc_id, coalesce(text, '') AS text, $NORM AS norm,
          |    $TOKS_ALL AS toks, ${sampleBucket("doc_id")} AS bkt
          |  FROM documents),
@@ -2957,7 +3106,7 @@ object SparkEntry {
          |          t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
          |        / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
          |    AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}),
-         |gg AS (
+         |gg AS MATERIALIZED (
          |  SELECT doc_id, ${sampleBucket("doc_id")} AS bkt,
          |    ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
          |  FROM documents),
@@ -3017,7 +3166,8 @@ object SparkEntry {
          |               '$PII_PHONE', '[PHONE]', 'g') AS scrubbed
          |             FROM documents d JOIN s4 USING (doc_id)))
          |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
-         |  round((n_in - n_out) * 1.0 / n_in, 4) AS drop_rate,
+         |  CASE WHEN n_in = 0 THEN NULL
+         |       ELSE round((n_in - n_out) * 1.0 / n_in, 4) END AS drop_rate,
          |  tokens_in, tokens_out
          |FROM (
          |  SELECT '1_gopher_struct' AS stage, c0.n AS n_in, c1.n AS n_out,
@@ -3037,96 +3187,7 @@ object SparkEntry {
     // counts (structural -> not-dup -> LM pass). LM scoring reuses the
     // txt_lm_cross backoff chain; bands reuse the dedup_index_flags shape
     "stream_ingest_gate" ->
-      s"""WITH cut AS (
-         |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
-         |  FROM documents),
-         |ar AS (
-         |  SELECT doc_id, lang, coalesce(text, '') AS text, $NORM AS norm,
-         |    $TOKS_ALL AS toks
-         |  FROM documents, cut WHERE doc_id > cut),
-         |sf AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
-         |      AND len(toks) <= ${CurationOps.GopherMaxWords}
-         |      AND len(toks) > 0
-         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
-         |          >= ${CurationOps.GopherMinMeanLen}
-         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
-         |          <= ${CurationOps.GopherMaxMeanLen}
-         |      AND $symbolRuleSql
-         |      AND len(list_filter(toks,
-         |            t -> regexp_matches(t, '[a-z가-힣]'))) * 1.0
-         |          / len(toks) >= ${CurationOps.GopherMinAlphaFrac}
-         |      AND $dupBigramSql <= ${CurationOps.GopherMaxDupBigram}
-         |    THEN 1 ELSE 0 END AS pass_struct
-         |  FROM ar),
-         |isigs AS (
-         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
-         |        FROM documents, cut WHERE doc_id <= cut)
-         |  WHERE len(sh) > 0),
-         |iwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM isigs),
-         |ib AS MATERIALIZED (
-         |  SELECT DISTINCT j AS band, bands[CAST(j AS INT) + 1] AS band_hash
-         |  FROM iwb, range(0, 8) t(j)),
-         |nsigs AS (
-         |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
-         |        FROM documents, cut WHERE doc_id > cut)
-         |  WHERE len(sh) > 0),
-         |nwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM nsigs),
-         |nb AS (
-         |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
-         |  FROM nwb, range(0, 8) t(j)),
-         |dup AS (SELECT DISTINCT doc_id FROM nb JOIN ib USING (band, band_hash)),
-         |trt AS (SELECT lang, $TOKS AS t FROM documents, cut WHERE doc_id <= cut),
-         |tet AS (SELECT doc_id, lang, $TOKS AS t
-         |        FROM documents, cut WHERE doc_id > cut),
-         |trbg AS (
-         |  SELECT lang, split_part(pair, ' ', 1) AS w1,
-         |    split_part(pair, ' ', 2) AS w2
-         |  FROM (SELECT lang,
-         |          unnest(list_transform(range(1, len(t)),
-         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
-         |        FROM trt WHERE len(t) >= 2)),
-         |tebg AS (
-         |  SELECT doc_id, lang, split_part(pair, ' ', 1) AS w1,
-         |    split_part(pair, ' ', 2) AS w2
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(list_transform(range(1, len(t)),
-         |                                i -> t[i] || ' ' || t[i + 1])) AS pair
-         |        FROM tet WHERE len(t) >= 2)),
-         |counts AS (
-         |  SELECT lang, w1, w2, count(*) AS c12 FROM trbg GROUP BY 1, 2, 3),
-         |ctx AS (SELECT lang, w1, sum(c12) AS cx FROM counts GROUP BY 1, 2),
-         |vocab AS (
-         |  SELECT lang, count(DISTINCT word) AS v
-         |  FROM (SELECT lang, unnest($TOKS) AS word
-         |        FROM documents, cut WHERE doc_id <= cut) GROUP BY 1),
-         |logp AS (
-         |  SELECT c.lang, c.w1, c.w2,
-         |    ln((c.c12 + 0.5) / (x.cx + 0.5 * v.v)) AS logp
-         |  FROM counts c
-         |  JOIN ctx x ON c.lang = x.lang AND c.w1 = x.w1
-         |  JOIN vocab v ON c.lang = v.lang),
-         |miss AS (
-         |  SELECT x.lang, x.w1, ln(0.5 / (x.cx + 0.5 * v.v)) AS logp
-         |  FROM ctx x JOIN vocab v ON x.lang = v.lang),
-         |flr AS (SELECT lang, min(logp) AS floor_lp FROM miss GROUP BY 1),
-         |inst AS (
-         |  SELECT doc_id, lang, w1, w2, count(*) AS n
-         |  FROM tebg GROUP BY 1, 2, 3, 4),
-         |scoredrows AS (
-         |  SELECT i.doc_id, i.n,
-         |    coalesce(l.logp, m.logp, f.floor_lp) AS logp
-         |  FROM inst i
-         |  LEFT JOIN logp l
-         |    ON i.lang = l.lang AND i.w1 = l.w1 AND i.w2 = l.w2
-         |  LEFT JOIN miss m ON i.lang = m.lang AND i.w1 = m.w1
-         |  JOIN flr f ON i.lang = f.lang),
-         |nll AS (
-         |  SELECT doc_id, round(-sum(logp * n) / sum(n), 6) AS nll
-         |  FROM scoredrows GROUP BY 1),
+      s"""WITH $ingestGateCtes,
          |v AS (
          |  SELECT sf.doc_id, sf.lang, sf.pass_struct,
          |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
@@ -3144,10 +3205,68 @@ object SparkEntry {
          |                 THEN nll END), 4) AS avg_nll_lm,
          |  CAST(sum(pass_struct * (1 - is_dup) * pass_lm) AS BIGINT) AS n_pass
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the FIVE-stage ingest gate's audit (stream_ingest_full): the shared
+    // three-gate CTEs plus the frozen eval gram set (the funnel's
+    // bkt < 500 slice), per-arrival contamination probe, and the scrub
+    // stage's redaction/token accounting over ADMITTED docs
+    "stream_ingest_full" ->
+      s"""WITH $ingestGateCtes,
+         |egg AS (
+         |  SELECT ${sampleBucket("doc_id")} AS bkt,
+         |    ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
+         |  FROM documents),
+         |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM egg WHERE bkt < 500),
+         |ag AS (
+         |  SELECT doc_id, ${windowHashSql(tokenHashes(TOKS), 13)} AS grams
+         |  FROM documents, cut WHERE doc_id > cut),
+         |cont AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM ag) a
+         |  JOIN eg USING (gram)),
+         |pii AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '$PII_EMAIL'))
+         |      + len(regexp_extract_all(text, '$PII_URL'))
+         |      + len(regexp_extract_all(text, '$PII_PHONE')) AS n_pii,
+         |    $BPE_COUNT AS tk_orig,
+         |    ${bpeCountOf(
+              s"""regexp_replace(regexp_replace(regexp_replace(
+                 |      text, '$PII_EMAIL', '[EMAIL]', 'g'),
+                 |      '$PII_URL', '[URL]', 'g'),
+                 |      '$PII_PHONE', '[PHONE]', 'g')""".stripMargin)} AS tk_scrub
+         |  FROM ar),
+         |v AS (
+         |  SELECT sf.doc_id, sf.lang, sf.pass_struct,
+         |    CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_cont,
+         |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+         |    nll.nll,
+         |    CASE WHEN nll.nll IS NOT NULL
+         |         AND nll.nll <= ${graft.operators.LmOps.NllGateMax}
+         |         THEN 1 ELSE 0 END AS pass_lm,
+         |    pii.n_pii, pii.tk_orig, pii.tk_scrub
+         |  FROM sf
+         |  LEFT JOIN cont ON sf.doc_id = cont.doc_id
+         |  LEFT JOIN dup ON sf.doc_id = dup.doc_id
+         |  LEFT JOIN nll ON sf.doc_id = nll.doc_id
+         |  JOIN pii ON sf.doc_id = pii.doc_id),
+         |w AS (
+         |  SELECT v.*, pass_struct * (1 - is_cont) * (1 - is_dup) * pass_lm
+         |           AS passed
+         |  FROM v)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_arrivals,
+         |  CAST(sum(pass_struct) AS BIGINT) AS n_struct,
+         |  CAST(sum(pass_struct * (1 - is_cont)) AS BIGINT) AS n_clean,
+         |  CAST(sum(pass_struct * (1 - is_cont) * pass_lm) AS BIGINT) AS n_lm,
+         |  CAST(sum(passed) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN passed = 1 THEN n_pii ELSE 0 END) AS BIGINT)
+         |    AS n_pii_redacted,
+         |  CAST(coalesce(sum(CASE WHEN passed = 1 THEN tk_orig - tk_scrub END),
+         |                0) AS BIGINT) AS token_delta
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // cross-gate agreement: the funnel's gopher-struct flags and nll
     // terciles joined per doc with the exact-quarters quality score
     "quality_gate_agreement" ->
-      s"""WITH gd AS (
+      s"""WITH gd AS MATERIALIZED (
          |  SELECT doc_id, coalesce(text, '') AS text, $NORM AS norm,
          |    $TOKS_ALL AS toks
          |  FROM documents),
@@ -3343,11 +3462,14 @@ object SparkEntry {
     // bounded-round label propagation unrolled to ClusterRounds rounds of
     // bucket-min -> member-min, exactly DedupOps.propagateLabels
     "dedup_minhash_clusters" ->
-      s"""WITH sigs AS (
+      s"""WITH cpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp FROM documents),
+         |shc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM cpc),
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
-         |  WHERE len(sh) > 0),
-         |withbands AS (
+         |  FROM shc WHERE len(sh) > 0),
+         |withbands AS MATERIALIZED (
          |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
          |b AS MATERIALIZED (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
@@ -3359,11 +3481,14 @@ object SparkEntry {
     // canonical selection: same cluster unroll, then keeper = max quality,
     // ties to min doc_id — exact algebra (max, filter, min), no arg_max
     "dedup_keep_best" ->
-      s"""WITH sigs AS (
+      s"""WITH cpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp FROM documents),
+         |shc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM cpc),
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
-         |  WHERE len(sh) > 0),
-         |withbands AS (
+         |  FROM shc WHERE len(sh) > 0),
+         |withbands AS MATERIALIZED (
          |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM sigs),
          |b AS MATERIALIZED (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
@@ -3385,11 +3510,14 @@ object SparkEntry {
          |WHERE q = best_score AND n_docs > 1
          |GROUP BY label, n_docs, best_score""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH sigs AS (
+      s"""WITH cpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp FROM documents),
+         |shc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM cpc),
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh FROM documents)
-         |  WHERE len(sh) > 0),
-         |withbands AS (
+         |  FROM shc WHERE len(sh) > 0),
+         |withbands AS MATERIALIZED (
          |  SELECT doc_id, sh, sig, ${lshBandsSql("sig")} AS bands FROM sigs),
          |buckets AS (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
@@ -3419,12 +3547,15 @@ object SparkEntry {
          |  FROM documents),
          |idx AS (SELECT old_id, sh_hashes AS sh, sig, bands
          |        FROM ${Artifacts.ref("dedup_index")}),
-         |nsigs AS (
+         |ncpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp
+         |  FROM documents, cut WHERE doc_id > cut),
+         |nshc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM ncpc),
+         |nsigs AS MATERIALIZED (
          |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
-         |        FROM documents, cut WHERE doc_id > cut)
-         |  WHERE len(sh) > 0),
-         |nwb AS (
+         |  FROM nshc WHERE len(sh) > 0),
+         |nwb AS MATERIALIZED (
          |  SELECT doc_id, sh, sig, ${lshBandsSql("sig")} AS bands FROM nsigs),
          |ib AS (
          |  SELECT old_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
@@ -3454,21 +3585,29 @@ object SparkEntry {
       s"""WITH cut AS (
          |  SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut
          |  FROM documents),
-         |isigs AS (
+         |icpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp
+         |  FROM documents, cut WHERE doc_id <= cut),
+         |ishc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM icpc),
+         |isigs AS MATERIALIZED (
          |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
-         |        FROM documents, cut WHERE doc_id <= cut)
-         |  WHERE len(sh) > 0),
-         |iwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM isigs),
+         |  FROM ishc WHERE len(sh) > 0),
+         |iwb AS MATERIALIZED (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM isigs),
          |ib AS MATERIALIZED (
          |  SELECT DISTINCT j AS band, bands[CAST(j AS INT) + 1] AS band_hash
          |  FROM iwb, range(0, 8) t(j)),
-         |nsigs AS (
+         |ncpc AS MATERIALIZED (
+         |  SELECT doc_id, ${cps(NORM)} AS cp
+         |  FROM documents, cut WHERE doc_id > cut),
+         |nshc AS MATERIALIZED (
+         |  SELECT doc_id, ${windowHashSql("cp", 5)} AS sh FROM ncpc),
+         |nsigs AS MATERIALIZED (
          |  SELECT doc_id, ${minhashSigSql("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingleHashes(cps(NORM))} AS sh
-         |        FROM documents, cut WHERE doc_id > cut)
-         |  WHERE len(sh) > 0),
-         |nwb AS (SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM nsigs),
+         |  FROM nshc WHERE len(sh) > 0),
+         |nwb AS MATERIALIZED (
+         |  SELECT doc_id, ${lshBandsSql("sig")} AS bands FROM nsigs),
          |nb AS (
          |  SELECT doc_id, j AS band, bands[CAST(j AS INT) + 1] AS band_hash
          |  FROM nwb, range(0, 8) t(j))

@@ -28,6 +28,22 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // storage-watermark sampler: peak of the block manager's cached bytes
+    // (RDD + SQL cache blocks), polled at 200 ms — the registry-ceiling
+    // evidence the r15 VERDICT asked to record
+    val storageHighWater = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        try {
+          val used = spark.sparkContext.getRDDStorageInfo
+            .map(_.memSize).sum
+          storageHighWater.accumulateAndGet(used, math.max(_, _))
+          Thread.sleep(200)
+        } catch { case _: InterruptedException => return }
+      }
+    }, "graft-storage-watermark")
+    sampler.setDaemon(true)
+    sampler.start()
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try Caching.scoped {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -53,6 +69,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // storage high-water of the whole run (registry-ceiling evidence,
+    // r15): peak cached memory across all RDD/SQL-cache blocks, sampled
+    // by the watermark thread started before the query loop
+    println(f"[verify] storage high-water: ${storageHighWater.get() / 1e6}%.1f MB")
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()

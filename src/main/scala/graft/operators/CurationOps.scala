@@ -310,8 +310,11 @@ object CurationOps {
       ("3_neardup_keep_first", n2, n3))
       .toDF("stage", "n_in", "n_out")
       .withColumn("n_dropped", col("n_in") - col("n_out"))
+      // total under an empty stage (a tiny or heavily-gated corpus can
+      // zero n_in; ANSI division would abort the whole report)
       .withColumn("drop_rate",
-        round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 4))
+        when(col("n_in") === 0, lit(null).cast("double")).otherwise(
+          round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 4)))
       .orderBy("stage")
   }
 
@@ -409,8 +412,11 @@ object CurationOps {
       ("5_pii_scrub", n4, n4, t4, t5))
       .toDF("stage", "n_in", "n_out", "tokens_in", "tokens_out")
       .withColumn("n_dropped", col("n_in") - col("n_out"))
+      // total under an empty stage (a tiny or heavily-gated corpus can
+      // zero n_in; ANSI division would abort the whole report)
       .withColumn("drop_rate",
-        round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 4))
+        when(col("n_in") === 0, lit(null).cast("double")).otherwise(
+          round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 4)))
       .select("stage", "n_in", "n_out", "n_dropped", "drop_rate",
         "tokens_in", "tokens_out")
       .orderBy("stage")

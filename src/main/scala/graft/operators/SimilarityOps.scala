@@ -256,6 +256,73 @@ object SimilarityOps {
     (indexed, cents)
   }
 
+  /** Hot-list guard for the IVF tier: re-fit after splitting any list
+    * whose occupancy exceeds `maxShare` fair shares (2× by default). A
+    * clustered embedding mass (boilerplate pages, one template family —
+    * the dense twin of the heavycluster text regime) pulls one centroid
+    * onto itself and that list inherits the whole mass; every query that
+    * probes it then scans a corpus-fraction, not a 1/nLists share, and
+    * probe cost degrades SILENTLY (recall stays fine — the scan is merely
+    * huge). The guard re-clusters each oversized list into its own
+    * sub-lists (one extra bounded KMeans per hot list, fit only on that
+    * list's vectors), retires the split centroid, and appends the
+    * sub-centroids — downstream probe code is unchanged because the index
+    * contract is just (indexed.list, cents). One split pass bounds the
+    * worst list at ~maxShare·n/nLists for any single planted mass; a
+    * warehouse build would iterate to a fixpoint, which this loop does
+    * (at most `BalanceRounds` passes, each only touching still-oversized
+    * lists).
+    */
+  val BalanceRounds = 3
+
+  def ivfIndexBalanced(corpus: DataFrame, nLists: Int,
+                       maxShare: Double = 2.0): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var (indexed, cents) = ivfIndex(corpus, nLists)
+    val n = corpus.count()
+    val fair = math.max(1.0, n.toDouble / nLists)
+    val cap = math.ceil(maxShare * fair).toLong
+    var nextList = nLists
+    var round = 0
+    var oversized = Array.empty[(Int, Long)]
+    def findOversized(): Array[(Int, Long)] = indexed
+      .groupBy("list").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > cap)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    oversized = findOversized()
+    while (oversized.nonEmpty && round < BalanceRounds) {
+      // cache the pre-split assignment: every sub-fit filters it, and the
+      // split loop is bounded by the (driver-held) oversized list set
+      indexed = graft.Caching.track(indexed)
+      var out = indexed.filter(!col("list")
+        .isin(oversized.map(_._1.asInstanceOf[Any]): _*))
+      var newCents = cents.filter(!col("list")
+        .isin(oversized.map(_._1.asInstanceOf[Any]): _*))
+      for ((l, sz) <- oversized.sortBy(_._1)) {
+        val sub = indexed.filter(col("list") === l).drop("list")
+          .withColumn("v", array_to_vector(col("nv")))
+        val k = math.max(2, math.ceil(sz.toDouble / fair).toInt)
+        val km = new KMeans().setK(k).setSeed(TopicModelOps.Seed + l + 1)
+          .setFeaturesCol("v").setPredictionCol("sub").fit(sub)
+        val base = nextList
+        out = out.unionByName(km.transform(sub).drop("v")
+          .withColumn("list", col("sub") + base).drop("sub"))
+        newCents = newCents.unionByName(km.clusterCenters.zipWithIndex
+          .map { case (c, i) => (base + i, c.toArray.toSeq) }.toSeq
+          .toDF("list", "centroid"))
+        nextList += k
+      }
+      indexed = out
+      cents = newCents
+      round += 1
+      oversized = findOversized()
+    }
+    (indexed, cents)
+  }
+
   /** IVF-probed approximate top-k: each query scores only the vectors in its
     * `nProbe` nearest lists (by centroid dot product on unit vectors), then
     * exact cosine re-rank — identical output shape to lshTopK/bruteForceTopK.

@@ -107,16 +107,24 @@ object TopicMetricsOps {
 
   /** Cross-topic keyword dedup (D2): each word goes to the first class in
     * (class, rank) precedence order; survivors re-ranked to top `keep`.
+    * `withScore` also carries the keyword's score through — the reference's
+    * committed 중복없는_토픽키워드.xlsx sheet is (Topic, Keyword Rank,
+    * Keyword, Weight), so the EP2 report needs the fourth column
+    * (GoldenSpec pins the parity); the lang-class face keeps the narrow
+    * shape its oracle verifies.
     */
-  def dedupKeywords(keywords: DataFrame, keep: Int): DataFrame = {
+  def dedupKeywords(keywords: DataFrame, keep: Int,
+                    withScore: Boolean = false): DataFrame = {
     val claim = Window.partitionBy("word").orderBy(col("cls"), col("rank"))
     val rerank = Window.partitionBy("cls").orderBy(col("rank"))
-    keywords
+    val base = keywords
       .withColumn("claim", row_number().over(claim))
       .filter(col("claim") === 1)
       .withColumn("new_rank", row_number().over(rerank))
       .filter(col("new_rank") <= keep)
-      .select(col("cls"), col("new_rank"), col("word"))
+    if (withScore)
+      base.select(col("cls"), col("new_rank"), col("word"), col("score"))
+    else base.select(col("cls"), col("new_rank"), col("word"))
   }
 
   /** Query: deduped top-5 keywords per language class. */

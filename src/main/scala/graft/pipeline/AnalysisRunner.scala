@@ -106,7 +106,8 @@ object AnalysisRunner {
       TopicMetricsOps.ctfidfKeywords(denoised, "cluster", textCol, 10))
     ReportSink.write(outDir, Seq(
       "keywords" -> kw,
-      "keywords_dedup" -> TopicMetricsOps.dedupKeywords(kw, 5),
+      "keywords_dedup" -> TopicMetricsOps.dedupKeywords(kw, 5,
+        withScore = true),
       "sizes" -> clustered.groupBy("cluster").agg(count(lit(1)).as("n_docs")),
       "diversity" -> TopicMetricsOps.topicDiversity(kw),
       "similarity" -> TopicMetricsOps.classSimilarityMatrix(

@@ -488,6 +488,154 @@ object StreamOps {
       .select(col("vec_id"), col("list"))
   }
 
+  /** FIVE-stage ingest gate, batch face — `ingestGateBatch` extended to
+    * the full production-funnel surface (`CurationOps.curationFunnelFull`'s
+    * ingest twin): structural rules → 13-gram DECONTAMINATION against a
+    * frozen eval gram set → near-dup against the stored index → frozen-LM
+    * gate → PII SCRUB on the admitted text. The two added stages keep the
+    * batch/stream shape: decontam is one broadcast semi-join (the eval set
+    * is benchmark-sized by construction), the scrub is a stateless
+    * projection over survivors. Verdicts stay TOTAL (one row per arrival,
+    * every flag explicit); `scrubbed` carries the redacted text and
+    * `n_pii` the per-doc redaction count, so a sink can admit the clean
+    * text directly.
+    */
+  def ingestGateFullBatch(docs: DataFrame,
+                          model: graft.operators.LmOps.BigramLm,
+                          indexBuckets: DataFrame, evalGrams: DataFrame,
+                          textCol: String, langCol: String, idCol: String,
+                          maxNll: Double = graft.operators.LmOps.NllGateMax)
+      : DataFrame = {
+    import graft.operators.CurationOps
+    val base = ingestGateBatch(docs, model, indexBuckets, textCol, langCol,
+      idCol, maxNll)
+    val cont = docs
+      .select(col(idCol),
+        explode(CurationOps.gramHashes(col(textCol), 13)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol)).distinct()
+      .withColumn("is_contaminated", lit(1))
+    val scrub = CurationOps.scrubPii(
+        docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col(textCol),
+        (col("n_email") + col("n_url") + col("n_phone")).as("n_pii"),
+        col("scrubbed"))
+    base
+      .join(cont, Seq(idCol), "left")
+      .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(0)))
+      .join(scrub, Seq(idCol))
+      .withColumn("passed",
+        (col("pass_struct") === 1 && col("is_contaminated") === 0 &&
+          col("is_dup") === 0 && col("pass_lm") === 1).cast("int"))
+  }
+
+  /** FIVE-stage ingest gate, STREAMING face — `ingestGateStream` extended
+    * with the decontam gate and the per-doc PII count, still through ONE
+    * stateful operator: survivors of the stateless structural filter fan
+    * into FOUR stateless row kinds — per-bigram LM rows, per-band
+    * index-probe rows, per-gram eval-set probe rows (stream-static left
+    * join against the frozen gram table), and one per-doc PII-count row —
+    * which union into the single watermarked per-(window, doc) fold
+    * (nll sum / dup max / contamination max / pii max). Emitted survivors
+    * pass all four gates; the scrub itself is a stateless projection a
+    * sink applies to the admitted text (the gate emits the redaction
+    * count, not the text — state stays fixed-width per open doc).
+    * Batch parity with `ingestGateFullBatch` is spec-pinned.
+    */
+  def ingestGateFullStream(docs: DataFrame,
+                           model: graft.operators.LmOps.BigramLm,
+                           indexBuckets: DataFrame, evalGrams: DataFrame,
+                           textCol: String, langCol: String, idCol: String,
+                           tsCol: String,
+                           maxNll: Double = graft.operators.LmOps.NllGateMax,
+                           delay: String = "1 hour"): DataFrame = {
+    import graft.operators.CurationOps
+    val structOk = graft.operators.CurationOps.gopherRules(docs, textCol)
+      .filter(col("pass_wordcount") === 1 && col("pass_meanlen") === 1 &&
+        col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
+        col("pass_repeat") === 1)
+      .withWatermark(tsCol, delay)
+    val lmRows = graft.operators.LmOps
+      .scoredBigramRows(structOk, model, textCol, langCol, Seq(idCol, tsCol))
+      .select(col(idCol), col(tsCol), col("lang"), lit("lm").as("kind"),
+        col("lp"), lit(0).as("hit"))
+    val bandRows = graft.operators.DedupOps
+      .minhashSignatures(structOk, textCol)
+      .select(col(idCol), col(tsCol), col(langCol).as("lang"),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .join(indexBuckets.withColumn("mk", lit(1)),
+        Seq("band", "band_hash"), "left")
+      .select(col(idCol), col(tsCol), col("lang"), lit("dup").as("kind"),
+        lit(0.0).as("lp"), coalesce(col("mk"), lit(0)).as("hit"))
+    val gramRows = structOk
+      .select(col(idCol), col(tsCol), col(langCol).as("lang"),
+        explode(CurationOps.gramHashes(col(textCol), 13)).as("gram"))
+      .join(evalGrams.withColumn("ck", lit(1)), Seq("gram"), "left")
+      .select(col(idCol), col(tsCol), col("lang"), lit("cont").as("kind"),
+        lit(0.0).as("lp"), coalesce(col("ck"), lit(0)).as("hit"))
+    val piiRows = CurationOps.scrubPii(structOk, textCol)
+      .select(col(idCol), col(tsCol), col(langCol).as("lang"),
+        lit("pii").as("kind"), lit(0.0).as("lp"),
+        (col("n_email") + col("n_url") + col("n_phone")).as("hit"))
+    lmRows.unionByName(bandRows).unionByName(gramRows).unionByName(piiRows)
+      .groupBy(window(col(tsCol), "1 hour"), col(idCol), col("lang"))
+      .agg(
+        round(-sum(when(col("kind") === "lm", col("lp"))) /
+          sum(when(col("kind") === "lm", 1)), 6).as("nll"),
+        coalesce(max(when(col("kind") === "dup", col("hit"))), lit(0))
+          .as("is_dup"),
+        coalesce(max(when(col("kind") === "cont", col("hit"))), lit(0))
+          .as("is_contaminated"),
+        coalesce(max(when(col("kind") === "pii", col("hit"))), lit(0))
+          .as("n_pii"))
+      .filter(col("is_dup") === 0 && col("is_contaminated") === 0 &&
+        col("nll") <= maxNll)
+      .select(col(idCol), col("lang"), col("nll"), col("n_pii"))
+  }
+
+  /** Query: the FIVE-stage ingest gate's per-language audit — the batch
+    * face of `ingestGateFullStream` on the watermark-cut ingest shape
+    * (history = first 90% of ids → frozen model + stored index; eval gram
+    * set = the funnel's bkt &lt; 500 slice, frozen). Chained per-lang
+    * counts walk the gate order (structural → clean → LM → full pass
+    * incl. not-dup), and the scrub stage reports over ADMITTED docs only:
+    * redaction count and the token delta its scrub produces — the
+    * ingest-side mirror of the funnel's stage-5 accounting.
+    */
+  def ingestGateFullQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CurationOps, DedupOps, LmOps, SamplingOps,
+      TextAnalysisOps}
+    val docs = graft.Tables.documents(spark, dir)
+    val (stored, cut) = DedupOps.storedIndex(spark, dir)
+    val idxBuckets = stored
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .distinct()
+    val history = docs.filter(col("doc_id") <= cut)
+    val arrivals = docs.filter(col("doc_id") > cut)
+    val model = LmOps.bigramModel(history, "text", "lang")
+    val evalGrams = docs
+      .filter(SamplingOps.hashBucket(col("doc_id"), 10000) < 500)
+      .select(explode(CurationOps.gramHashes(col("text"), 13)).as("gram"))
+      .distinct()
+    ingestGateFullBatch(arrivals, model, idxBuckets, evalGrams,
+        "text", "lang", "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(col("pass_struct")).cast("long").as("n_struct"),
+        sum(col("pass_struct") * (lit(1) - col("is_contaminated")))
+          .cast("long").as("n_clean"),
+        sum(col("pass_struct") * (lit(1) - col("is_contaminated")) *
+          col("pass_lm")).cast("long").as("n_lm"),
+        sum(col("passed")).cast("long").as("n_pass"),
+        sum(when(col("passed") === 1, col("n_pii")).otherwise(0))
+          .cast("long").as("n_pii_redacted"),
+        coalesce(sum(when(col("passed") === 1,
+          TextAnalysisOps.bpeishTokenCount(col("text")) -
+            TextAnalysisOps.bpeishTokenCount(col("scrubbed")))), lit(0L))
+          .cast("long").as("token_delta"))
+      .orderBy("lang")
+  }
+
   /** Batch twin of ivfIngestStream's assignment (ids + lists only), for
     * spec-level stream/batch parity — identical expression, no watermark.
     */

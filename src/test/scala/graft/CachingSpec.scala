@@ -71,4 +71,42 @@ class CachingSpec extends SparkSuite {
       assert(scopedDf.storageLevel.useMemory)
     }
   }
+
+  test("registryGet: bounded per-map — past RegistryMaxEntries the oldest " +
+    "entry is evicted and its frame unpersisted") {
+    import spark.implicits._
+    val reg = scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    def build(i: Int) = {
+      val df = Seq(i.toLong).toDF("v").persist()
+      df.count()
+      df
+    }
+    val frames = (0 to Caching.RegistryMaxEntries).map { i =>
+      i -> Caching.registryGet(reg, s"corpus$i")(build(i))
+    }.toMap
+    // one over the cap: corpus0 (oldest) must be gone and unpersisted
+    assert(reg.size === Caching.RegistryMaxEntries)
+    assert(!reg.contains("corpus0"))
+    assert(frames(0).storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    // the survivors stay cached and hit without rebuilding
+    assert(frames(Caching.RegistryMaxEntries).storageLevel.useMemory)
+    var rebuilt = false
+    val hit = Caching.registryGet(reg, "corpus1") { rebuilt = true; build(1) }
+    assert(!rebuilt && (hit eq frames(1)))
+    // a key rebuilt after an explicit clear re-enters at the queue TAIL:
+    // filling the map again must evict older survivors first, not it
+    reg.clear()
+    val again = Caching.registryGet(reg, "corpus1")(build(1))
+    (100 until 100 + Caching.RegistryMaxEntries - 1).foreach { i =>
+      Caching.registryGet(reg, s"corpus$i")(build(i))
+    }
+    assert(reg.contains("corpus1"))
+    Caching.registryGet(reg, "one-more")(build(999))
+    assert(!reg.contains("corpus1")) // now it IS the oldest
+    assert(again.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    reg.values.foreach(_.unpersist(false))
+    reg.clear()
+  }
 }

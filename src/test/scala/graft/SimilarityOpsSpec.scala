@@ -82,6 +82,59 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(gotTop.forall { case (q, c) => c <= brute(q) + 1e-9 })
   }
 
+  test("ivfIndexBalanced: no-op on a balanced corpus, splits a planted " +
+    "hot list under the cap, probe path unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // no-op path: with the cap above the fixture's worst list, the guard
+    // must return the stock index byte-for-byte (the sf0.01 embeddings DO
+    // hold one >2x-fair-share list, so the default cap splits even here —
+    // natural clustering, not an error; the loose cap isolates the no-op)
+    val corpus = SimilarityOps.unitCorpus(Tables.embeddings(spark, dir))
+    val (si, sc) = SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+    val (bi, bc) = SimilarityOps.ivfIndexBalanced(corpus,
+      SimilarityOps.IvfLists, maxShare = 16.0)
+    assert(bc.count() === sc.count())
+    assert(bi.select("vec_id", "list").except(si.select("vec_id", "list"))
+      .isEmpty)
+    // planted hot mass: 30% of vectors collapse onto vector 0 (+ tiny
+    // deterministic jitter) — one list inherits the mass; the guard must
+    // bring every list under maxShare fair shares and keep assignments
+    // total (every vector in exactly one list)
+    val center = corpus.orderBy("vec_id").limit(1)
+      .select("nv").collect()(0).getSeq[Double](0).toArray
+    val centerLit = array(center.map(lit): _*)
+    val hot = corpus.select(col("vec_id"),
+      when(col("vec_id") % 10 < 3,
+        zip_with(centerLit, sequence(lit(0), lit(center.length - 1)),
+          (c, j) => c + lit(0.001) * ((col("vec_id") + j.cast("long")) % 7)))
+        .otherwise(col("nv")).as("nv"),
+      col("label"))
+    val n = hot.count()
+    val (hi0, hc) = SimilarityOps.ivfIndex(hot, SimilarityOps.IvfLists)
+    val hotMax = hi0.groupBy("list").count().agg(max("count"))
+      .collect()(0).getLong(0)
+    val cap = math.ceil(2.0 * n.toDouble / SimilarityOps.IvfLists).toLong
+    assert(hotMax > cap, s"planting failed: max list $hotMax <= cap $cap")
+    val (bi2, bc2) = SimilarityOps.ivfIndexBalanced(hot, SimilarityOps.IvfLists)
+    val balMax = bi2.groupBy("list").count().agg(max("count"))
+      .collect()(0).getLong(0)
+    assert(balMax <= cap, s"guard left an oversized list: $balMax > $cap")
+    assert(bi2.count() === n) // assignments stay total
+    assert(bi2.select("vec_id").distinct().count() === n) // and unique
+    // centroid table matches the live lists exactly (split lists retired)
+    val liveLists = bi2.select("list").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val centLists = bc2.select("list").collect().map(_.getInt(0)).toSet
+    assert(liveLists.subsetOf(centLists))
+    // the stock probe runs unchanged off the balanced index
+    val ann = SimilarityOps.ivfProbe(bi2, bc2,
+      hot.filter(col("vec_id") < 5), k = 3, nProbe = SimilarityOps.IvfProbe)
+    assert(ann.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 3L))
+    graft.Caching.releaseAll()
+  }
+
   test("hot-bucket cap bounds embed-LSH pair emission on 10k identical vectors") {
     // 10k exact-copy vectors share every band value (the hyperplanes are
     // deterministic), so every band has ONE bucket of 10k members — the

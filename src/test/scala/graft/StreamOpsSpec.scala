@@ -236,6 +236,78 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("FIVE-stage ingest gate in-stream: struct + decontam + dup + LM + " +
+    "pii fold through one stateful op, batch parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CurationOps, DedupOps, LmOps}
+    implicit val sqlCtx = spark.sqlContext
+    val h1 = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val h2 = (1 to 60).map(i => s"tok${i * 2 % 61 + 1}").mkString(" ")
+    val history = Seq((1L, "en", h1), (2L, "en", h2)).toDF("doc_id", "lang", "text")
+    val model = LmOps.bigramModel(history, "text", "lang")
+    val idxBuckets = DedupOps.minhashSignatures(history, "text")
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq.toDF("band", "band_hash")
+    // frozen eval set: one 13-token phrase
+    val evalPhrase = (200 to 212).map(i => s"ev$i").mkString(" ")
+    val evalGrams = Seq(Tuple1(evalPhrase)).toDF("text")
+      .select(explode(CurationOps.gramHashes(col("text"), 13)).as("gram"))
+      .collect().map(r => Tuple1(r.getLong(0))).toSeq.toDF("gram")
+    assert(evalGrams.count() == 1)
+    // A admitted (carries an email -> n_pii = 1); B contaminated (embeds
+    // the eval phrase mid-doc); C dup of h1; D fails struct
+    val docA = (61 to 125).map(i => s"tok$i").mkString(" ") +
+      " reach me at a.b@example.org thanks"
+    val docB = (300 to 330).map(i => s"tok$i").mkString(" ") + " " +
+      evalPhrase + " " + (400 to 430).map(i => s"tok$i").mkString(" ")
+    val arrivals = Seq(
+      StreamClsDoc(10L, ts(9, 0), "en", docA),
+      StreamClsDoc(11L, ts(9, 5), "en", docB),
+      StreamClsDoc(12L, ts(9, 10), "en", h1),
+      StreamClsDoc(13L, ts(9, 15), "en", "tiny"))
+    val input = MemoryStream[StreamClsDoc]
+    val q = StreamOps.ingestGateFullStream(input.toDF(), model, idxBuckets,
+        evalGrams, "text", "cls", "doc_id", "ts", maxNll = 10.0)
+      .writeStream.format("memory").queryName("ingest_full_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      input.addData(StreamClsDoc(99L, ts(12, 0), "en",
+        (61 to 125).map(i => s"tok$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length === 1) // one stateful op
+      val streamed = spark.table("ingest_full_stream")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+      val batchDf = arrivals.toDF()
+        .select(col("doc_id"), col("cls"), col("text"))
+      val verdicts = StreamOps.ingestGateFullBatch(batchDf, model, idxBuckets,
+          evalGrams, "text", "cls", "doc_id", maxNll = 10.0)
+      val vm = verdicts.collect().map(r => r.getAs[Long]("doc_id") -> (
+        r.getAs[Int]("pass_struct"), r.getAs[Int]("is_contaminated"),
+        r.getAs[Int]("is_dup"), r.getAs[Int]("passed"),
+        r.getAs[Int]("n_pii"))).toMap
+      assert(vm(10L)._4 === 1 && vm(10L)._5 === 1) // A admitted, email counted
+      assert(vm(11L)._2 === 1 && vm(11L)._4 === 0) // B contaminated
+      assert(vm(12L)._3 === 1 && vm(12L)._4 === 0) // C dup
+      assert(vm(13L)._1 === 0) // D struct fail
+      // stream emits exactly the batch-admitted set, with matching nll+pii
+      assert(streamed.keySet === vm.filter(_._2._4 == 1).keySet)
+      val batchDetail = verdicts.filter(col("passed") === 1)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("nll"), r.getAs[Int]("n_pii"))).toMap
+      streamed.foreach { case (id, (nll, npii)) =>
+        assert(batchDetail(id)._1 === nll && batchDetail(id)._2 === npii)
+      }
+      // and the admitted text scrubs statelessly at the sink
+      val scrubbed = CurationOps.scrubPii(
+          batchDf.filter(col("doc_id") === 10L), "text")
+        .select("scrubbed").collect()(0).getString(0)
+      assert(scrubbed.contains("[EMAIL]") && !scrubbed.contains("@"))
+    } finally q.stop()
+  }
+
   test("ingestGateBatch verdicts are total: one row per arrival, passed " +
     "iff struct and not-dup and lm") {
     import org.apache.spark.sql.functions._

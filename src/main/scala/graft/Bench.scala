@@ -171,6 +171,7 @@ object Bench {
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()
+    operators.DedupOps.clearIndexCache()
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.SemDedupOps.clearCache()

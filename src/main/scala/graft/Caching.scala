@@ -122,6 +122,10 @@ object Caching {
           val victim = order.removeHead()
           map.remove(victim).foreach {
             case df: DataFrame => df.unpersist(false)
+            case p: Product => p.productIterator.foreach {
+              case df: DataFrame => df.unpersist(false)
+              case _ => ()
+            }
             case _ => ()
           }
         }

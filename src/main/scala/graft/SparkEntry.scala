@@ -183,9 +183,9 @@ object SparkEntry {
          |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
          |      AND len(toks) <= ${CurationOps.GopherMaxWords}
          |      AND len(toks) > 0
-         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |      AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |          >= ${CurationOps.GopherMinMeanLen}
-         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |      AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |          <= ${CurationOps.GopherMaxMeanLen}
          |      AND $symbolRuleSql
          |      AND len(list_filter(toks,
@@ -423,6 +423,56 @@ object SparkEntry {
        |    $nv[CAST(d AS INT)]
        |      * (CAST((48271*((48271*((48271*(($seed + o)*131 + d) + 524287) % $MOD) + 524287) % $MOD) + 524287) % $MOD AS DOUBLE)
        |         - 500000003.0))), (acc, x) -> acc + x))""".stripMargin
+
+  /** The dedup_embed_clusters oracle body, parameterized by the band width
+    * — the base face renders the base table's corpus-scaled bits, the
+    * realistic twin (whose embeddings cardinality differs at sf0.1) its
+    * own. Everything else is shared verbatim so the two faces can never
+    * drift semantically.
+    */
+  private def embedClustersOracleBody(bits: Int): String =
+    s"""WITH $UNIT_CTE,
+       |sk AS (SELECT vec_id, nv,
+       |  ${bandsSql("nv", SimilarityOps.DedupBands, bits)} AS bands FROM u),
+       |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM bb a JOIN bb b2
+       |    ON a.band = b2.band AND a.band_val = b2.band_val
+       |   AND a.vec_id < b2.vec_id),
+       |edges AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb.nv")} AS cos
+       |    FROM cands
+       |    JOIN sk sa ON sa.vec_id = vec_a
+       |    JOIN sk sb ON sb.vec_id = vec_b)
+       |  WHERE cos >= 0.4),
+       |b AS MATERIALIZED (
+       |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
+       |  UNION ALL
+       |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
+       |${propagationCtes(DedupOps.ClusterRounds)}
+       |SELECT label AS cluster_rep, count(*) AS n_vecs,
+       |  max(doc_id) AS max_vec_id
+       |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  /** RealisticCorpus.realisticize plus a realistic `embeddings` CTE: the
+    * sigCtes chain over the realistic documents up to its centered
+    * (pre-normalize) stage — the exact SQL mirror of the hash-projected
+    * embedding table RealisticCorpus.ensure materializes for the twin.
+    */
+  private def realisticizeEmbeddings(oracle: String): String = {
+    require(oracle.startsWith("WITH "),
+      "realisticizeEmbeddings expects a WITH-prefixed oracle")
+    s"WITH documents AS MATERIALIZED (\n${RealisticCorpus.cteSql}),\n" +
+      s"${sigCtes("remb", "text")},\n" +
+      s"""embeddings AS MATERIALIZED (
+         |  SELECT doc_id AS vec_id, f AS embedding,
+         |    CAST(doc_id % 3 AS INT) AS label
+         |  FROM rembz),
+         |""".stripMargin +
+      oracle.stripPrefix("WITH ")
+  }
 
   /** Shared sliding-window coherence CTE chain (mirror of
     * TopicMetricsOps.windowPresence/pairProbabilities) for window size w:
@@ -747,6 +797,17 @@ object SparkEntry {
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
     "stream_ingest_full_real" ->
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateFullQuery),
+    // realistic DENSE tier (r16): the twin materializes embeddings
+    // hash-projected from the realistic text (RealisticCorpus.ensure), so
+    // the planted boilerplate family carries into vector space — the
+    // embed cluster profile acts on planted structure, not saturation
+    "dedup_embed_real" ->
+      RealisticCorpus.over((s, dd) =>
+        SimilarityOps.lshDupClusterProfile(s, dd)),
+    // realistic media keep-best: stock operator over the twin documents
+    // (assets derive from text) — cluster structure is the planted family
+    "media_keep_best_real" ->
+      RealisticCorpus.over(graft.multimodal.MediaOps.mediaKeepBest),
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -886,6 +947,9 @@ object SparkEntry {
     // contrastive-training negatives: nearest wrong-label vectors per query
     "sim_hard_negatives" -> SimilarityOps.hardNegatives,
     "sim_ivf_recall" -> SimilarityOps.ivfRecall,
+    // hot-list guard at its nProbe-scaled operating point (the sf0.01
+    // embeddings naturally hold a >2x-fair-share list, so a REAL split)
+    "sim_ivf_balanced" -> SimilarityOps.ivfRecallBalanced,
     "sim_ivfpq_ann" -> PqOps.ivfPqAnn,
     "sim_ivfpq_recall" -> PqOps.ivfPqRecall,
     "dedup_exact_fp" -> ((s, d) => {
@@ -966,7 +1030,15 @@ object SparkEntry {
     "stream_ingest_real" ->
       RealisticCorpus.realisticize(baseOracleSql("stream_ingest_gate")),
     "stream_ingest_full_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_full")))
+      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_full")),
+    // realistic dense tier: embed clusters over the twin's hash-projected
+    // embeddings (own corpus-scaled bits), media keep-best over the twin
+    // documents — base bodies shared/verbatim
+    "dedup_embed_real" ->
+      realisticizeEmbeddings(
+        embedClustersOracleBody(SimilarityOps.dedupBits("real/"))),
+    "media_keep_best_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("media_keep_best")))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -3002,9 +3074,9 @@ object SparkEntry {
          |         AND len(toks) <= ${CurationOps.GopherMaxWords}
          |         THEN 1 ELSE 0 END AS p_wc,
          |    CASE WHEN len(toks) > 0
-         |         AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |         AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |             >= ${CurationOps.GopherMinMeanLen}
-         |         AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |         AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |             <= ${CurationOps.GopherMaxMeanLen}
          |         THEN 1 ELSE 0 END AS p_ml,
          |    CASE WHEN len(toks) > 0
@@ -3045,9 +3117,9 @@ object SparkEntry {
          |  WHERE len(toks) >= ${CurationOps.GopherMinWords}
          |    AND len(toks) <= ${CurationOps.GopherMaxWords}
          |    AND len(toks) > 0
-         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |    AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |        >= ${CurationOps.GopherMinMeanLen}
-         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |    AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |        <= ${CurationOps.GopherMaxMeanLen}
          |    AND $symbolRuleSql
          |    AND len(list_filter(toks,
@@ -3097,9 +3169,9 @@ object SparkEntry {
          |    AND len(toks) >= ${CurationOps.GopherMinWords}
          |    AND len(toks) <= ${CurationOps.GopherMaxWords}
          |    AND len(toks) > 0
-         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |    AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |        >= ${CurationOps.GopherMinMeanLen}
-         |    AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |    AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |        <= ${CurationOps.GopherMaxMeanLen}
          |    AND $symbolRuleSql
          |    AND len(list_filter(toks,
@@ -3275,9 +3347,9 @@ object SparkEntry {
          |    CASE WHEN len(toks) >= ${CurationOps.GopherMinWords}
          |      AND len(toks) <= ${CurationOps.GopherMaxWords}
          |      AND len(toks) > 0
-         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |      AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |          >= ${CurationOps.GopherMinMeanLen}
-         |      AND length(replace(norm, ' ', '')) * 1.0 / len(toks)
+         |      AND coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
          |          <= ${CurationOps.GopherMaxMeanLen}
          |      AND $symbolRuleSql
          |      AND len(list_filter(toks,
@@ -3800,7 +3872,7 @@ object SparkEntry {
     "dedup_embed_lsh" ->
       s"""WITH $UNIT_CTE,
          |sk AS (SELECT vec_id, label, nv,
-         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.lastDedupBits)} AS bands FROM u),
+         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.dedupBits(""))} AS bands FROM u),
          |b AS (${bandRowsSql(SimilarityOps.DedupBands)}),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
@@ -3817,31 +3889,9 @@ object SparkEntry {
          |FROM p WHERE cos >= 0.4""".stripMargin,
     // cosine-verified pair edges + the bounded propagation unroll — the
     // embedding tier's cluster view, same shape as the minhash/simhash ones
+    // (body shared with dedup_embed_real, which renders the twin's bits)
     "dedup_embed_clusters" ->
-      s"""WITH $UNIT_CTE,
-         |sk AS (SELECT vec_id, nv,
-         |  ${bandsSql("nv", SimilarityOps.DedupBands, SimilarityOps.lastDedupBits)} AS bands FROM u),
-         |bb AS (${bandRowsSql(SimilarityOps.DedupBands)}),
-         |cands AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-         |  FROM bb a JOIN bb b2
-         |    ON a.band = b2.band AND a.band_val = b2.band_val
-         |   AND a.vec_id < b2.vec_id),
-         |edges AS (
-         |  SELECT vec_a, vec_b FROM (
-         |    SELECT vec_a, vec_b, ${dotSql("sa.nv", "sb.nv")} AS cos
-         |    FROM cands
-         |    JOIN sk sa ON sa.vec_id = vec_a
-         |    JOIN sk sb ON sb.vec_id = vec_b)
-         |  WHERE cos >= 0.4),
-         |b AS MATERIALIZED (
-         |  SELECT vec_a AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges
-         |  UNION ALL
-         |  SELECT vec_b AS doc_id, vec_a AS band, vec_b AS band_hash FROM edges),
-         |${propagationCtes(DedupOps.ClusterRounds)}
-         |SELECT label AS cluster_rep, count(*) AS n_vecs,
-         |  max(doc_id) AS max_vec_id
-         |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      embedClustersOracleBody(SimilarityOps.dedupBits("")),
     // SemDeDup: edges = within-kmeans-cluster cosine pairs (assignment from
     // the persisted fit, dots the exact left fold), same propagation
     // unroll, keeper = min centroid-cosine against the persisted centroid
@@ -4336,6 +4386,57 @@ object SparkEntry {
          |FROM br LEFT JOIN an
          |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
          |GROUP BY 1""".stripMargin,
+    // Balanced-IVF recall gauge: same shape as sim_ivf_recall over the
+    // ivf_bal_* artifacts at the nProbe-scaled operating point (knobs are
+    // data-dependent, late-bound from lastBalancedCfg at dump time — the
+    // lastMediaBits pattern); n_residual re-derives the guard's give-up
+    // indicator from the persisted assignment (lists still over the
+    // 2x-fair-share cap)
+    "sim_ivf_balanced" ->
+      s"""WITH $UNIT_CTE,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${dotSql("q.nv", "c.nv")} AS cos
+         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 10),
+         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 5),
+         |pr AS (
+         |  SELECT query_id, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("ivf_bal_centroids")} c)),
+         |s2 AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("ivf_bal_assign")} ix USING (list)
+         |  JOIN u cu ON cu.vec_id = ix.vec_id
+         |  WHERE prk <= ${SimilarityOps.lastBalancedCfg._2} AND query_id <> ix.vec_id),
+         |an AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s2)
+         |  WHERE rk <= 10),
+         |res AS (
+         |  SELECT count(*) AS n_residual FROM (
+         |    SELECT list, count(*) AS sz
+         |    FROM ${Artifacts.ref("ivf_bal_assign")} GROUP BY 1)
+         |  WHERE sz > CAST(ceil(2.0 * greatest(1.0,
+         |    (SELECT count(*) FROM u) / ${SimilarityOps.IvfLists}.0)) AS BIGINT))
+         |SELECT br.query_id, count(*) AS n_brute,
+         |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
+         |  '${SimilarityOps.lastBalancedCfg._1}/${SimilarityOps.lastBalancedCfg._2}' AS index_cfg,
+         |  res.n_residual
+         |FROM br LEFT JOIN an
+         |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+         |CROSS JOIN res
+         |GROUP BY 1, res.n_residual""".stripMargin,
     // IVF-PQ: coarse probe + ADC over the exported codes (fixed-order sum
     // fold) + shortlist + exact re-rank — all re-derived from the pq_*
     // artifacts (same seeded fits as the Spark side => identical tables)

@@ -33,13 +33,21 @@ object Verify {
     // evidence the r15 VERDICT asked to record
     val storageHighWater = new java.util.concurrent.atomic.AtomicLong(0L)
     val sampler = new Thread(() => {
-      while (!Thread.currentThread().isInterrupted) {
+      // loop flag, not `return`: a return inside the lambda compiles to a
+      // NonLocalReturnControl throw, which an interrupt would surface as an
+      // uncaught control exception instead of a clean exit
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
         try {
           val used = spark.sparkContext.getRDDStorageInfo
             .map(_.memSize).sum
           storageHighWater.accumulateAndGet(used, math.max(_, _))
           Thread.sleep(200)
-        } catch { case _: InterruptedException => return }
+        } catch {
+          case _: InterruptedException => live = false
+          // context stopped under the poll (teardown race): exit quietly
+          case scala.util.control.NonFatal(_) => live = false
+        }
       }
     }, "graft-storage-watermark")
     sampler.setDaemon(true)

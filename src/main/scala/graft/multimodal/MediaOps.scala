@@ -260,7 +260,10 @@ object MediaOps {
     import graft.functions.VectorFunctions.asDouble
     import graft.operators.SimilarityOps
     val dirKey = graft.Fingerprint.dirKey(spark, dir)
-    val bits = bitsCache.getOrElseUpdate(dirKey,
+    // registryGet, not bare getOrElseUpdate: two concurrent first calls
+    // would both run the documents count() job (benign value-wise, a
+    // wasted scan cost-wise)
+    val bits = graft.Caching.registryGet(bitsCache, dirKey)(
       SimilarityOps.dedupBandBits(Tables.documents(spark, dir).count()))
     lastMediaBits = bits
     cached(s"mcorpus:$dirKey") {

@@ -215,10 +215,17 @@ object CurationOps {
     docs
       .withColumn("toks", tokens(col(textCol), 1, 100))
       .withColumn("nw", size(col("toks")).cast("long"))
-      // total token characters via the normalized string (same derivation
-      // as the quality-score heuristic: norm minus spaces)
+      // mean word length is over the COUNTED words (Rae et al. define the
+      // rule per word): sum of the banded tokens' lengths, not the whole
+      // normalized string. Through r15 this used norm-minus-spaces, which
+      // counts characters of out-of-band runs the word count excludes — a
+      // >100-char unbroken run (the realistic twin's mega-tokens, a long
+      // URL/hash blob in the wild) inflated the ratio and failed meanlen
+      // for every carrier doc (measured: the realistic corpus went
+      // near-all-fail at every sf). Identical on texts whose tokens all
+      // sit in the band — the base fixtures are bit-unchanged.
       .withColumn("tchars",
-        length(regexp_replace(normalized(col(textCol)), " ", "")).cast("long"))
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("long"))
       .withColumn("pass_wordcount",
         (col("nw") >= GopherMinWords && col("nw") <= GopherMaxWords).cast("int"))
       .withColumn("pass_meanlen",

@@ -454,16 +454,38 @@ object DedupOps {
     */
   val LocalGraphMaxRows = 1000000L
 
+  /** The local replay reads ids as raw longs (`Row.getLong` after cast) and
+    * takes numeric min — a non-integral id column would silently read 0 for
+    * uncastable values (collapsing every node into one label), and string
+    * ids would diverge from the distributed path's lexicographic min. Guard:
+    * only integral-typed graphs take the local branch; anything else falls
+    * through to the distributed loop, whose algebra is type-generic.
+    */
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private[graft] def propagateLabelsTracked(
       bucketsIn: DataFrame, maxRounds: Int,
       localMaxRows: Long = LocalGraphMaxRows): Propagation = {
     val buckets = graft.Caching.track(bucketsIn)
     val nRows = buckets.count() // also materializes the tracked frame once
-    if (nRows <= localMaxRows) {
+    val localSafe = Seq("doc_id", "band", "band_hash")
+      .forall(c => integralType(buckets.schema(c).dataType))
+    if (nRows <= localMaxRows && localSafe) {
       val rows = buckets
         .select(col("doc_id").cast("long"), col("band").cast("long"),
           col("band_hash").cast("long"))
-        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .collect().map { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+            "null id/band in propagation graph")
+          (r.getLong(0), (r.getLong(1), r.getLong(2)))
+        }
       val byBucket = rows.groupBy(_._2) // (band, hash) -> members
         .map { case (k, v) => k -> v.map(_._1) }
       val byDoc = rows.groupBy(_._1).map { case (d, v) => d -> v.map(_._2) }
@@ -555,10 +577,16 @@ object DedupOps {
       localMaxRows: Long = LocalGraphMaxRows): Propagation = {
     val edges = graft.Caching.track(edgesIn)
     val nEdges = edges.count() // also materializes the tracked frame once
-    if (nEdges <= localMaxRows) {
+    val localSafe = Seq("doc_a", "doc_b")
+      .forall(c => integralType(edges.schema(c).dataType))
+    if (nEdges <= localMaxRows && localSafe) {
       val pairs = edges
         .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect().map { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            "null id in propagation edge")
+          (r.getLong(0), r.getLong(1))
+        }
       // undirected adjacency; the self-loop is implicit (min with own label)
       val adjL = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
         .map { case (u, vs) => u -> vs.map(_._2) }

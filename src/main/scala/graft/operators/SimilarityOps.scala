@@ -71,6 +71,19 @@ object SimilarityOps {
     */
   @volatile var lastDedupBits: Int = DedupBandBits
 
+  /** Per-corpus-flavor band widths, keyed by the Artifacts namespace the
+    * query ran under ("" = base, "real/" = the realistic twin). One global
+    * is not enough once two corpora of DIFFERENT cardinality run in the
+    * same Verify session: at sf0.1 the twin's 5000 doc-derived embeddings
+    * scale to a wider band than the base table's 2000, and whichever face
+    * ran last would clobber the other's oracle rendering.
+    */
+  private val dedupBitsByNs =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Band width the last dedup-tier query under namespace `ns` used. */
+  def dedupBits(ns: String): Int = dedupBitsByNs.getOrElse(ns, lastDedupBits)
+
   /** ANN tier: narrower bands + Hamming ≤ 2 multiprobe on the query side —
     * sized for moderate-similarity top-k on near-orthogonal corpora.
     */
@@ -233,6 +246,51 @@ object SimilarityOps {
       .withColumn("index_cfg", concat_ws("/", lit(IvfLists), lit(IvfProbe)))
   }
 
+  /** Operating point the last `ivfRecallBalanced` run actually used —
+    * (nLists after splitting, nProbe scaled to it). The oracle SQL is
+    * assembled AFTER the query loop (Verify dumps last), so embedding
+    * these data-dependent knobs into the oracle is exact, the same
+    * late-binding pattern as MediaOps.lastMediaBits.
+    */
+  @volatile private[graft] var lastBalancedCfg: (Int, Int) = (IvfLists, IvfProbe)
+
+  /** Query: recall@10 of the BALANCED IVF tier at the nProbe-scaled
+    * operating point. `ivfRecall`'s twin with the hot-list guard applied:
+    * the guard splits oversized lists (the sf0.01 embeddings naturally
+    * hold a >2×-fair-share list at 32 lists, so this exercises a REAL
+    * split, not a planted one), and the probe scales nProbe with the
+    * post-split list count so the same corpus FRACTION is probed — the
+    * deployment recipe DEPLOY's dense-skew table prescribes (fixed nProbe
+    * over more lists probes a smaller fraction and silently costs
+    * recall). `n_residual` carries the give-up indicator from
+    * ivfIndexBalancedReport, re-derived by the oracle as the count of
+    * persisted lists still above the fair-share cap.
+    */
+  def ivfRecallBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
+    val queries = corpus.filter(col("vec_id") < 5)
+    val brute = bruteForceTopK(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val (indexed, cents, residual) =
+      ivfIndexBalancedReport(corpus, nLists = IvfLists)
+    val nListsAfter = cents.count().toInt
+    val nProbeScaled = math.max(1,
+      math.round(IvfProbe.toDouble * nListsAfter / IvfLists).toInt)
+    lastBalancedCfg = (nListsAfter, nProbeScaled)
+    graft.Artifacts.save("ivf_bal_assign")(indexed.select("vec_id", "list"))
+    graft.Artifacts.save("ivf_bal_centroids")(cents)
+    val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = nProbeScaled)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    brute.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
+      .withColumn("index_cfg",
+        concat_ws("/", lit(nListsAfter), lit(nProbeScaled)))
+      .withColumn("n_residual", lit(residual.length.toLong))
+  }
+
   /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns
     * every corpus vector to its nearest centroid's list; queries probe the
     * `nProbe` nearest lists and re-rank exactly. The second ANN tier next to
@@ -277,6 +335,22 @@ object SimilarityOps {
 
   def ivfIndexBalanced(corpus: DataFrame, nLists: Int,
                        maxShare: Double = 2.0): (DataFrame, DataFrame) = {
+    val (indexed, cents, _) = ivfIndexBalancedReport(corpus, nLists, maxShare)
+    (indexed, cents)
+  }
+
+  /** `ivfIndexBalanced` plus the RESIDUAL oversized lists — (list, size)
+    * pairs still over the cap when the bounded loop exits. Without this
+    * the caller cannot distinguish "balanced" from "gave up" (an
+    * identical-vector mass KMeans cannot split exits after BalanceRounds
+    * looking exactly like success). A list whose sub-fit produced NO size
+    * reduction (one child inherits the parent's full count — the
+    * unsplittable signature) is also excluded from later rounds, so the
+    * loop never re-fits a provably unsplittable mass.
+    */
+  def ivfIndexBalancedReport(corpus: DataFrame, nLists: Int,
+                             maxShare: Double = 2.0)
+      : (DataFrame, DataFrame, Array[(Int, Long)]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -287,12 +361,16 @@ object SimilarityOps {
     val cap = math.ceil(maxShare * fair).toLong
     var nextList = nLists
     var round = 0
-    var oversized = Array.empty[(Int, Long)]
     def findOversized(): Array[(Int, Long)] = indexed
       .groupBy("list").agg(count(lit(1)).as("sz"))
       .filter(col("sz") > cap)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    oversized = findOversized()
+    // child list -> its parent's pre-split size: a child matching it did
+    // not reduce, i.e. the parent mass was unsplittable
+    var parentSize = Map.empty[Int, Long]
+    val unsplittable = scala.collection.mutable.Set.empty[Int]
+    var residual = findOversized()
+    var oversized = residual
     while (oversized.nonEmpty && round < BalanceRounds) {
       // cache the pre-split assignment: every sub-fit filters it, and the
       // split loop is bounded by the (driver-held) oversized list set
@@ -313,14 +391,19 @@ object SimilarityOps {
         newCents = newCents.unionByName(km.clusterCenters.zipWithIndex
           .map { case (c, i) => (base + i, c.toArray.toSeq) }.toSeq
           .toDF("list", "centroid"))
+        parentSize ++= (base until base + k).map(_ -> sz)
         nextList += k
       }
       indexed = out
       cents = newCents
       round += 1
-      oversized = findOversized()
+      residual = findOversized()
+      residual.foreach { case (l, sz) =>
+        if (parentSize.get(l).contains(sz)) unsplittable += l
+      }
+      oversized = residual.filterNot(t => unsplittable.contains(t._1))
     }
-    (indexed, cents)
+    (indexed, cents, residual)
   }
 
   /** IVF-probed approximate top-k: each query scores only the vectors in its
@@ -531,6 +614,7 @@ object SimilarityOps {
     val embs = Tables.embeddings(spark, dir)
     val bits = dedupBandBits(embs.count())
     lastDedupBits = bits
+    dedupBitsByNs(graft.Artifacts.currentNamespace) = bits
     graft.Caching.track(withBands(unitCorpus(embs), DedupBands, bits))
   }
 

@@ -46,8 +46,14 @@ object TopicModelOps {
     * between corpora (Bench/Verify call it at teardown).
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
+  // ModelRegistryMaxEntries, not the default: this registry's per-corpus
+  // working set is ≥ 9 keys (base lda/ldaT + four grid fits + km/kmNoise +
+  // example/reduce variants) — an 8-entry cap thrashes every bench sweep,
+  // re-fitting the 5:20 LDA that ldaTopicCoherence reuses (measured 2.93 →
+  // 6.43 s median in r15; back under 3 s with the sized cap + LRU).
   private def cached[T](key: String)(f: => T): T =
-    graft.Caching.registryGet(cache, key)(f).asInstanceOf[T]
+    graft.Caching.registryGet(cache, key,
+      graft.Caching.ModelRegistryMaxEntries)(f).asInstanceOf[T]
 
   /** Evict every cached fit and unpersist the frames it pins (the escape
     * hatch for service lifetimes — see the registry contract above).

@@ -592,6 +592,25 @@ object StreamOps {
       .select(col(idCol), col("lang"), col("nll"), col("n_pii"))
   }
 
+  /** Sink-side admitted-TEXT path for the five-stage gate — the composed
+    * example the gate's scaladoc documents. `ingestGateFullStream` emits
+    * the redaction COUNT so per-doc state stays fixed-width; the scrubbed
+    * text a training sink actually stores is this stateless composition:
+    * gate survivors joined back to the arrival source and run through
+    * `scrubPii`'s projection. Works unchanged whether `admitted` is the
+    * streaming gate output (stream-static join, `docs` = the replayable
+    * source the arrivals came from) or the batch face's survivors —
+    * parity with `ingestGateFullBatch`'s own `scrubbed` column is
+    * spec-pinned, so a consumer cannot mis-wire the admitted-text path.
+    */
+  def admittedScrubbed(admitted: DataFrame, docs: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val scrub = graft.operators.CurationOps
+      .scrubPii(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("scrubbed"))
+    admitted.join(scrub, Seq(idCol))
+  }
+
   /** Query: the FIVE-stage ingest gate's per-language audit — the batch
     * face of `ingestGateFullStream` on the watermark-cut ingest shape
     * (history = first 90% of ids → frozen model + stored index; eval gram

@@ -109,4 +109,101 @@ class CachingSpec extends SparkSuite {
     reg.values.foreach(_.unpersist(false))
     reg.clear()
   }
+
+  test("registryGet: LRU-on-access — a hot key re-read each sweep survives " +
+    "its family's colder keys cycling past the cap") {
+    import spark.implicits._
+    val reg = scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    def build(i: Int) = {
+      val df = Seq(i.toLong).toDF("v").persist()
+      df.count()
+      df
+    }
+    // fill to cap: hot is the OLDEST by build order
+    Caching.registryGet(reg, "hot")(build(0))
+    (1 until Caching.RegistryMaxEntries).foreach { i =>
+      Caching.registryGet(reg, s"cold$i")(build(i))
+    }
+    // the sweep re-reads hot (a hit) …
+    var rebuilt = false
+    Caching.registryGet(reg, "hot") { rebuilt = true; build(0) }
+    assert(!rebuilt)
+    // … then a new cold key arrives: under FIFO hot would be evicted
+    // (oldest build); under LRU the least-recently-READ cold1 goes instead
+    Caching.registryGet(reg, "coldNew")(build(100))
+    assert(reg.contains("hot"), "LRU must keep the recently-read key")
+    assert(!reg.contains("cold1"), "LRU must evict the least-recently-read key")
+    reg.values.foreach(_.unpersist(false))
+    reg.clear()
+  }
+
+  test("registryGet: distinct keys build CONCURRENTLY (per-key latch, " +
+    "not a per-map build lock); duplicate keys still build once") {
+    val reg = scala.collection.concurrent.TrieMap.empty[String, String]
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inBuild = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def slowBuild(key: String): String = {
+      builds.incrementAndGet()
+      val now = inBuild.incrementAndGet()
+      maxConcurrent.updateAndGet(m => math.max(m, now))
+      Thread.sleep(150) // long enough that overlapping builds are observed
+      inBuild.decrementAndGet()
+      s"built:$key"
+    }
+    // four threads: two distinct keys, each requested twice
+    val keys = Seq("kA", "kA", "kB", "kB")
+    val threads = keys.map { k =>
+      new Thread(() => {
+        start.await()
+        val v = Caching.registryGet(reg, k)(slowBuild(k))
+        assert(v === s"built:$k")
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(10000))
+    assert(builds.get === 2, "each distinct key must build exactly once")
+    assert(maxConcurrent.get === 2,
+      "the two distinct-key builds must overlap (no per-map build serialization)")
+    reg.clear()
+  }
+
+  test("registryGet: a failed build is not cached — the next caller retries") {
+    val reg = scala.collection.concurrent.TrieMap.empty[String, String]
+    var attempts = 0
+    intercept[RuntimeException] {
+      Caching.registryGet(reg, "flaky") { attempts += 1; sys.error("boom") }
+    }
+    assert(!reg.contains("flaky"))
+    val v = Caching.registryGet(reg, "flaky") { attempts += 1; "ok" }
+    assert(v === "ok" && attempts === 2)
+    reg.clear()
+  }
+
+  test("registryGet: per-registry cap override — the model registry holds " +
+    "a working set larger than the default cap") {
+    import spark.implicits._
+    val reg = scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    def build(i: Int) = {
+      val df = Seq(i.toLong).toDF("v").persist()
+      df.count()
+      df
+    }
+    val n = Caching.RegistryMaxEntries + 4 // over the default, under the model cap
+    (0 until n).foreach { i =>
+      Caching.registryGet(reg, s"fit$i", Caching.ModelRegistryMaxEntries)(build(i))
+    }
+    assert(reg.size === n, "no eviction below the per-registry cap")
+    var rebuilt = false
+    Caching.registryGet(reg, "fit0", Caching.ModelRegistryMaxEntries) {
+      rebuilt = true; build(0)
+    }
+    assert(!rebuilt, "the whole working set must stay resident")
+    reg.values.foreach(_.unpersist(false))
+    reg.clear()
+  }
 }

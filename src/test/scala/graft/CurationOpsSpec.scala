@@ -209,6 +209,23 @@ class CurationOpsSpec extends SparkSuite {
     assert(byLang.toMap === buckets)
   }
 
+  test("gopherRules: mean word length is over the COUNTED words — an " +
+    "out-of-band mega-run does not inflate the ratio") {
+    import spark.implicits._
+    val passWords = Seq("the", "with") ++ (1 to 58).map(i => f"word$i%02d")
+    val mega = "z" * 150 // one >100-char run: outside the token band
+    val docs = Seq(
+      (1L, passWords.mkString(" ")),
+      (2L, passWords.mkString(" ") + " " + mega)).toDF("doc_id", "text")
+    val got = CurationOps.gopherRules(docs, "text")
+      .select("doc_id", "pass_meanlen", "pass_all")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // through r15 doc 2 failed meanlen ((300+150)/60 > 10) though its 60
+    // counted words average 5 chars; the banded-sum numerator passes both
+    assert(got(1L) === ((1, 1)))
+    assert(got(2L) === ((1, 1)))
+  }
+
   test("gopherRules: zero-token docs fail every ratio rule, columns total") {
     val docs = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = CurationOps.gopherRules(docs, "text")

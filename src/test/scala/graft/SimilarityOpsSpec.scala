@@ -135,6 +135,40 @@ class SimilarityOpsSpec extends SparkSuite {
     graft.Caching.releaseAll()
   }
 
+  test("ivfIndexBalancedReport: residual names an unsplittable identical-" +
+    "vector mass; balanced exits report residual empty") {
+    import org.apache.spark.sql.functions._
+    // an IDENTICAL-vector mass (zero jitter) cannot be split by KMeans —
+    // every sub-fit leaves one child with the parent's full count, so the
+    // loop must give up WITHOUT silently looking balanced, and must not
+    // burn rounds 2..BalanceRounds re-fitting the provably unsplittable list
+    val corpus = SimilarityOps.unitCorpus(Tables.embeddings(spark, dir))
+    val center = corpus.orderBy("vec_id").limit(1)
+      .select("nv").collect()(0).getSeq[Double](0).toArray
+    val centerLit = array(center.map(lit): _*)
+    val degenerate = corpus.select(col("vec_id"),
+      when(col("vec_id") % 10 < 3, centerLit)
+        .otherwise(col("nv")).as("nv"),
+      col("label"))
+    val n = degenerate.count()
+    val cap = math.ceil(2.0 * n.toDouble / SimilarityOps.IvfLists).toLong
+    val (_, _, residual) = SimilarityOps.ivfIndexBalancedReport(
+      degenerate, SimilarityOps.IvfLists)
+    assert(residual.nonEmpty, "identical mass must surface as residual")
+    assert(residual.exists(_._2 > cap))
+    // a splittable planted mass (jittered) balances: residual empty
+    val jittered = corpus.select(col("vec_id"),
+      when(col("vec_id") % 10 < 3,
+        zip_with(centerLit, sequence(lit(0), lit(center.length - 1)),
+          (c, j) => c + lit(0.001) * ((col("vec_id") + j.cast("long")) % 7)))
+        .otherwise(col("nv")).as("nv"),
+      col("label"))
+    val (_, _, res2) = SimilarityOps.ivfIndexBalancedReport(
+      jittered, SimilarityOps.IvfLists)
+    assert(res2.isEmpty, s"balanced exit must report no residual: ${res2.toSeq}")
+    graft.Caching.releaseAll()
+  }
+
   test("hot-bucket cap bounds embed-LSH pair emission on 10k identical vectors") {
     // 10k exact-copy vectors share every band value (the hyperplanes are
     // deterministic), so every band has ONE bucket of 10k members — the

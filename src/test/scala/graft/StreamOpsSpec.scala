@@ -308,6 +308,58 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("admittedScrubbed: the sink-side admitted-text composition runs " +
+    "IN-STREAM (stream-static join on gate survivors) and matches the " +
+    "batch face's scrubbed column exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CurationOps, DedupOps, LmOps}
+    implicit val sqlCtx = spark.sqlContext
+    val h1 = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val history = Seq((1L, "en", h1)).toDF("doc_id", "lang", "text")
+    val model = LmOps.bigramModel(history, "text", "lang")
+    val idxBuckets = DedupOps.minhashSignatures(history, "text")
+      .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq.toDF("band", "band_hash")
+    val evalGrams = Seq(Tuple1(0L)).toDF("gram").filter(col("gram") < 0)
+    // A admitted with an email + URL; C is a dup (must NOT reach the sink)
+    val docA = (61 to 125).map(i => s"tok$i").mkString(" ") +
+      " reach me at a.b@example.org or https://ex.org/p thanks"
+    val arrivals = Seq(
+      StreamClsDoc(10L, ts(9, 0), "en", docA),
+      StreamClsDoc(12L, ts(9, 10), "en", h1))
+    val srcBatch = arrivals.toDF().select(col("doc_id"), col("cls"), col("text"))
+    val input = MemoryStream[StreamClsDoc]
+    val gated = StreamOps.ingestGateFullStream(input.toDF(), model,
+      idxBuckets, evalGrams, "text", "cls", "doc_id", "ts", maxNll = 10.0)
+    // the composed example from the gate's scaladoc: survivors joined
+    // back to the (static, replayable) source and scrubbed statelessly
+    val q = StreamOps.admittedScrubbed(gated, srcBatch, "text", "doc_id")
+      .writeStream.format("memory").queryName("admitted_scrubbed")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      input.addData(StreamClsDoc(99L, ts(12, 0), "en",
+        (61 to 125).map(i => s"tok$i").mkString(" ")))
+      q.processAllAvailable()
+      val out = spark.table("admitted_scrubbed")
+        .select("doc_id", "scrubbed").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // only the admitted doc reaches the sink, text fully redacted
+      assert(out.keySet === Set(10L))
+      assert(out(10L).contains("[EMAIL]") && out(10L).contains("[URL]") &&
+        !out(10L).contains("@"))
+      // bit parity with the batch face's own scrubbed column
+      val batchScrubbed = StreamOps.ingestGateFullBatch(srcBatch, model,
+          idxBuckets, evalGrams, "text", "cls", "doc_id", maxNll = 10.0)
+        .filter(col("passed") === 1)
+        .select("doc_id", "scrubbed").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batchScrubbed === out)
+    } finally q.stop()
+  }
+
   test("ingestGateBatch verdicts are total: one row per arrival, passed " +
     "iff struct and not-dup and lm") {
     import org.apache.spark.sql.functions._

@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Pre-clock pause after each System.gc() — see the protocol note in
+    * `run`. Overridable for A/B protocol measurements.
+    */
+  val GcSettleMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_GC_SETTLE_MS", "100").toLong
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,7 +30,14 @@ object Bench {
       // pauses to whatever small query runs next — r03 medians showed a
       // 1.2 s query at 22.7 s purely from sweep interference. Skipped on
       // the (untimed) warmup pass: ~80 extra gc calls buy nothing there.
-      if (gc) System.gc()
+      // The post-gc SETTLE (r16, the harness audit's lever): System.gc()
+      // returns while G1's concurrent phases are still running, and at the
+      // driver-matched 89 GB heap those phases landed inside the next
+      // query's clock often enough to need 16 solo adjudications in the
+      // r15 sweep (vs 1 at HEAP=20). A fixed pre-clock pause lets the
+      // concurrent cycle drain on idle cores — untimed, ~54 s of wall
+      // across a 180-query 3-run sweep.
+      if (gc) { System.gc(); Thread.sleep(GcSettleMs) }
       val t0 = System.nanoTime()
       try Caching.scoped {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -137,6 +150,7 @@ object Bench {
     val env =
       s"""{"host_cpus": ${Runtime.getRuntime.availableProcessors},
          | "spark_master": "local[$cpus]",
+         | "gc_settle_ms": $GcSettleMs,
          | "heap_gb": ${r1(Runtime.getRuntime.maxMemory / 1073741824.0)},
          | "jvm": "${System.getProperty("java.version")}",
          | "spark": "${spark.version}",

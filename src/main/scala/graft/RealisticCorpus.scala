@@ -99,9 +99,16 @@ object RealisticCorpus {
     *     structure instead of corpus-wide saturation.
     *   - DUP FAMILY: train docs with bkt ≥ 1000 and bkt % 100 = 37
     *     (~0.9%) instead REPLACE their
-    *     text with doc 0's text plus a per-doc copymark — a realistic
-    *     boilerplate family (in-vocabulary, so it survives the perplexity
-    *     gate) for keep-best and the stream near-dup gate to catch.
+    *     text with doc 0's text plus a per-doc copymark, the stop phrase
+    *     (always — constant, so no within-family divergence, and the
+    *     family passes Gopher's stop rule into the funnel's keep-best
+    *     stage), and a shared FamMassChars mega-token; never the PII
+    *     span. A realistic boilerplate family (in-vocabulary, so it
+    *     survives the perplexity gate) for keep-best, the stream
+    *     near-dup gate, AND the dense tier (the realistic embeddings are
+    *     hash-projected from this text) to catch — see the FAMILY MASS
+    *     and family-append notes below for the measured divergence
+    *     budget.
     *
     * The stop/PII plant moduli are 7 and 13, NOT 10: `source` is periodic
     * in doc_id and 8191 ≡ 1 (mod 10), so a mod-10 plant would be constant

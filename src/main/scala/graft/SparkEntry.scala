@@ -808,6 +808,13 @@ object SparkEntry {
     // (assets derive from text) — cluster structure is the planted family
     "media_keep_best_real" ->
       RealisticCorpus.over(graft.multimodal.MediaOps.mediaKeepBest),
+    // detection twins of the two realistic ACTION faces above: the
+    // lexical (minhash) and media cluster views over the same twin —
+    // both must surface the planted family, not saturation
+    "dedup_minhash_real" ->
+      RealisticCorpus.over((s, dd) => DedupOps.minhashClusterProfile(s, dd)),
+    "media_dup_clusters_real" ->
+      RealisticCorpus.over(graft.multimodal.MediaOps.mediaDupClusters),
     // learned lang-ID: multinomial NB self-trained on (text, lang), the
     // confusion matrix as the report
     "txt_nb_confusion" -> ClassifierOps.nbLangConfusion,
@@ -1038,7 +1045,11 @@ object SparkEntry {
       realisticizeEmbeddings(
         embedClustersOracleBody(SimilarityOps.dedupBits("real/"))),
     "media_keep_best_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("media_keep_best")))
+      RealisticCorpus.realisticize(baseOracleSql("media_keep_best")),
+    "dedup_minhash_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("dedup_minhash_clusters")),
+    "media_dup_clusters_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("media_dup_clusters")))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->

@@ -77,8 +77,9 @@ object Caching {
   /** Frames currently tracked in the active scope (spec surface). */
   def trackedCount: Int = current.value.size
 
-  /** Atomic fit-registry lookup — lock-free on hits, per-KEY build latch
-    * on misses. `TrieMap.getOrElseUpdate` evaluates its by-name builder
+  /** Atomic fit-registry lookup — hits pay one brief LRU-bookkeeping lock
+    * (never a build); misses take a per-KEY build latch.
+    * `TrieMap.getOrElseUpdate` evaluates its by-name builder
     * non-atomically — two concurrent first calls both run the (expensive)
     * fit and both persist, and the losing frame's storage leaks until JVM
     * exit because only the cached winner is unpersisted at teardown. Every
@@ -123,10 +124,24 @@ object Caching {
     */
   val ModelRegistryMaxEntries = 32
 
-  // One lazy holder per in-flight build: losers of the putIfAbsent race
-  // block on `value` (the winner's thunk) instead of re-running the build.
+  // One holder per in-flight build. The creator alone runs `compute`;
+  // joiners block in `await`. An explicit latch, NOT a lazy val: a lazy
+  // val that fails re-runs its (captured) thunk in whichever blocked
+  // thread touches it next — that thread's retry result would never be
+  // published to the map (it isn't the creator), leaking its persisted
+  // frame and silently rebuilding per caller. With the latch, a failed
+  // build wakes the joiners with the error and they retry the whole
+  // lookup with their OWN builder (one of them becomes the new creator).
   private final class Holder[V](thunk: () => V) {
-    lazy val value: V = thunk()
+    private val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile private var result: Either[Throwable, V] = _
+    def compute(): Either[Throwable, V] = {
+      val r = try Right(thunk()) catch { case e: Throwable => Left(e) }
+      result = r
+      done.countDown()
+      r
+    }
+    def await(): Either[Throwable, V] = { done.await(); result }
   }
 
   // Per-registry access order (LRU) and in-flight holders, keyed by map
@@ -159,14 +174,16 @@ object Caching {
 
   /** Move `key` to the most-recently-accessed position (no-op if the key
     * was never registered through registryGet, e.g. direct map puts).
+    * One O(cap) scan under the per-registry deque monitor — hits are not
+    * strictly lock-free, but the lock covers only this bookkeeping (never
+    * a build) and cap ≤ 32.
     */
   private def touch(map: AnyRef, key: String): Unit = {
     val q = orderFor(map)
     q.synchronized {
-      if (q.contains(key)) {
-        q.filterInPlace(_ != key)
-        q += key
-      }
+      val before = q.size
+      q.filterInPlace(_ != key)
+      if (q.size != before) q += key
     }
   }
 
@@ -227,22 +244,31 @@ object Caching {
             touch(map, key)
             v
           case Right((h, mine)) =>
-            val v =
-              try h.value // duplicate keys block here; distinct keys overlap
-              catch {
-                case e: Throwable =>
-                  // failed build: drop the holder so the next caller retries
-                  holders.synchronized {
-                    if (holders.get(key).exists(_ eq h)) holders.remove(key)
-                  }
-                  throw e
+            if (mine) {
+              // creator: run the build, publish BEFORE retiring the holder
+              // (so no other caller can miss the map and start a second
+              // build of a value that already exists), drop the holder on
+              // failure so the next caller retries
+              val r = h.compute()
+              holders.synchronized {
+                r match {
+                  case Right(v) =>
+                    map.put(key, v)
+                    touchAndEvict(map, key, cap)
+                  case Left(_) => ()
+                }
+                if (holders.get(key).exists(_ eq h)) holders.remove(key)
               }
-            if (mine) holders.synchronized {
-              map.put(key, v)
-              touchAndEvict(map, key, cap)
-              holders.remove(key)
+              r.fold(e => throw e, identity)
+            } else {
+              // joiner: duplicate keys block here; distinct keys overlap.
+              // If the creator failed, retry the whole lookup with OUR
+              // builder — never re-run the dead holder's thunk.
+              h.await() match {
+                case Right(v) => touch(map, key); v
+                case Left(_) => registryGet(map, key, cap)(build)
+              }
             }
-            v
         }
     }
 }

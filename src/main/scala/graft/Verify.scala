@@ -45,8 +45,13 @@ object Verify {
           Thread.sleep(200)
         } catch {
           case _: InterruptedException => live = false
-          // context stopped under the poll (teardown race): exit quietly
-          case scala.util.control.NonFatal(_) => live = false
+          // a transient poll error must NOT kill the sampler (a one-off
+          // listener hiccup at query 3 of 180 would silently truncate the
+          // high-water evidence); only a stopped context ends the loop
+          case scala.util.control.NonFatal(_) =>
+            if (spark.sparkContext.isStopped) live = false
+            else try Thread.sleep(200)
+            catch { case _: InterruptedException => live = false }
         }
       }
     }, "graft-storage-watermark")

@@ -142,15 +142,19 @@ class CachingSpec extends SparkSuite {
     "not a per-map build lock); duplicate keys still build once") {
     val reg = scala.collection.concurrent.TrieMap.empty[String, String]
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
-    val inBuild = new java.util.concurrent.atomic.AtomicInteger(0)
-    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    // rendezvous INSIDE the two builds: each build can only proceed once
+    // BOTH are in flight — if the implementation serialized builds per
+    // map, the first build would wait out the bound alone and fail. A
+    // latch handshake, not a sleep window: deterministic under arbitrary
+    // scheduler starvation.
+    val rendezvous = new java.util.concurrent.CountDownLatch(2)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(true)
     val start = new java.util.concurrent.CountDownLatch(1)
     def slowBuild(key: String): String = {
       builds.incrementAndGet()
-      val now = inBuild.incrementAndGet()
-      maxConcurrent.updateAndGet(m => math.max(m, now))
-      Thread.sleep(150) // long enough that overlapping builds are observed
-      inBuild.decrementAndGet()
+      rendezvous.countDown()
+      if (!rendezvous.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        overlapped.set(false)
       s"built:$key"
     }
     // four threads: two distinct keys, each requested twice
@@ -164,10 +168,47 @@ class CachingSpec extends SparkSuite {
     }
     threads.foreach(_.start())
     start.countDown()
-    threads.foreach(_.join(10000))
+    threads.foreach(_.join(60000))
     assert(builds.get === 2, "each distinct key must build exactly once")
-    assert(maxConcurrent.get === 2,
+    assert(overlapped.get,
       "the two distinct-key builds must overlap (no per-map build serialization)")
+    reg.clear()
+  }
+
+  test("registryGet: a joiner blocked on a FAILING build retries with its " +
+    "own builder and the retried value is published (no silent per-caller " +
+    "rebuilds, no unpublished persisted frame)") {
+    val reg = scala.collection.concurrent.TrieMap.empty[String, String]
+    val creatorIn = new java.util.concurrent.CountDownLatch(1)
+    val joinerJoined = new java.util.concurrent.CountDownLatch(1)
+    val retried = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var joinerGot: String = null
+    val creator = new Thread(() => {
+      intercept[RuntimeException] {
+        Caching.registryGet(reg, "flaky2") {
+          creatorIn.countDown()
+          // hold the build until the joiner is provably blocked on it
+          joinerJoined.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          Thread.sleep(50)
+          sys.error("creator boom")
+        }
+      }
+    })
+    val joiner = new Thread(() => {
+      creatorIn.await()
+      joinerJoined.countDown()
+      joinerGot = Caching.registryGet(reg, "flaky2") {
+        retried.incrementAndGet(); "joiner value"
+      }
+    })
+    creator.start(); joiner.start()
+    creator.join(60000); joiner.join(60000)
+    assert(joinerGot === "joiner value")
+    assert(retried.get === 1, "the joiner's own builder must run exactly once")
+    // the retried value is PUBLISHED: a third lookup is a pure hit
+    var rebuilt = false
+    val hit = Caching.registryGet(reg, "flaky2") { rebuilt = true; "x" }
+    assert(!rebuilt && hit === "joiner value")
     reg.clear()
   }
 

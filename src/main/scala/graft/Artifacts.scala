@@ -24,6 +24,7 @@ object Artifacts {
 
   @volatile private var baseOpt: Option[String] = None
   private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+  Caching.nameRegistry(written, "artifacts.written")
 
   // Corpus-flavor namespace: `save` is first-write-wins per name, so two
   // queries running the SAME operator against DIFFERENT corpora (the
@@ -76,13 +77,18 @@ object Artifacts {
   /** Write `df` once per enable() scope (idempotent across the queries that
     * share a fit); no-op when disabled. The frame is tiny (fit-sized, not
     * corpus-sized) so a single-file write keeps the oracle read trivial.
+    * Routed through the registryGet latch (r17): TrieMap.getOrElseUpdate
+    * evaluates its builder non-atomically, so two concurrent first saves of
+    * one name would BOTH run the parquet write — racing overwrites of the
+    * same path. Sequential harnesses never hit this; a parallel Verify will.
     */
   def save(name: String)(df: => DataFrame): Unit = baseOpt.foreach { base =>
-    written.getOrElseUpdate(full(name), {
+    Caching.registryGet(written, full(name), cap = Int.MaxValue) {
       val path = s"$base/${full(name)}"
       df.coalesce(1).write.mode("overwrite").parquet(path)
       path
-    })
+    }
+    ()
   }
 
   /** Filesystem path of a saved artifact, for queries that read their own

@@ -4,8 +4,18 @@ object Bench {
   /** Pre-clock pause after each System.gc() — see the protocol note in
     * `run`. Overridable for A/B protocol measurements.
     */
-  val GcSettleMs: Long =
-    sys.env.getOrElse("SPARK_GRAFT_GC_SETTLE_MS", "100").toLong
+  val GcSettleMs: Long = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_GC_SETTLE_MS", "100")
+    // a bare .toLong here surfaced a typo as an opaque
+    // ExceptionInInitializerError with no hint of which knob was bad
+    try raw.toLong catch {
+      case _: NumberFormatException =>
+        System.err.println(
+          s"[bench] SPARK_GRAFT_GC_SETTLE_MS='$raw' is not a number; " +
+            "using default 100 ms")
+        100L
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,6 +192,11 @@ object Bench {
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $selfFile: ${e.getMessage}")
       }
+    // per-registry hit/miss/eviction account for the sweep (VERDICT r16 #3:
+    // "did the LRU evict a hot entry mid-sweep" adjudicates from this line,
+    // not from re-running) — evictions > 0 on a registry a slow face rides
+    // means cap thrash; 0 means the face's cost is its own work
+    System.err.println("[bench] registry stats:\n" + Caching.registryStatsReport())
     operators.TopicModelOps.clearModelCache() // drop cross-query fit frames
     operators.VocabOps.clearBpeCache()
     operators.DedupOps.clearLabelCache()

@@ -132,11 +132,28 @@ object Caching {
   // frame and silently rebuilding per caller. With the latch, a failed
   // build wakes the joiners with the error and they retry the whole
   // lookup with their OWN builder (one of them becomes the new creator).
+  //
+  // Failure taxonomy (ADVICE r16): only NonFatal errors take the Left
+  // path — joiners treating an OutOfMemoryError as a retriable miss would
+  // re-run the expensive build under a condition the JVM may not survive.
+  // Fatal throwables still PUBLISH a Left first (the latch must open or
+  // joiners hang forever) and then rethrow in the creator's thread; an
+  // interrupt publishes, restores the thread's interrupt flag, and
+  // propagates.
   private final class Holder[V](thunk: () => V) {
     private val done = new java.util.concurrent.CountDownLatch(1)
     @volatile private var result: Either[Throwable, V] = _
     def compute(): Either[Throwable, V] = {
-      val r = try Right(thunk()) catch { case e: Throwable => Left(e) }
+      val r = try Right(thunk()) catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          Left(e)
+        case scala.util.control.NonFatal(e) => Left(e)
+        case fatal: Throwable =>
+          result = Left(fatal)
+          done.countDown()
+          throw fatal
+      }
       result = r
       done.countDown()
       r
@@ -187,6 +204,19 @@ object Caching {
     }
   }
 
+  /** Best-effort storage release on LRU eviction: DataFrame values (and
+    * DataFrame members of Products — BigramLm, (index, cut) tuples) are
+    * unpersisted. LIMITATION (documented, ADVICE r16): fitted ML model
+    * values (the TopicModelOps registry) expose no uniform handle to the
+    * RDDs/datasets they pin internally (e.g. DistributedLDAModel's graph),
+    * so an evicted model's internal storage is NOT reclaimed here — model
+    * registries rely on the harness-teardown `clearModelCache()` (which
+    * drops the references and lets GC + ContextCleaner reap the RDDs) for
+    * model-pinned storage, and their caps exist to bound the MAP, not the
+    * executor store. A corpus-cycling service wanting eager reclamation
+    * should register model values wrapped in a Product carrying their
+    * persisted frames.
+    */
   private def releaseValue(v: Any): Unit = v match {
     case df: DataFrame => df.unpersist(false)
     case p: Product => p.productIterator.foreach {
@@ -208,17 +238,35 @@ object Caching {
       q += key
       while (q.size > cap) {
         val victim = q.removeHead()
-        map.remove(victim).foreach(releaseValue)
+        map.remove(victim).foreach { v =>
+          statsFor(map).evictions.incrementAndGet()
+          releaseValue(v)
+        }
       }
     }
   }
 
+  /** Joiner retry bound: a joiner that finds the creator failed becomes
+    * the next creator AT MOST this many times before propagating the last
+    * error. Without a bound, N concurrent callers on a persistently
+    * failing hot key run N sequential full builds (ADVICE r16); with it,
+    * the worst case is `JoinerRetryBound + 1` builds per caller, after
+    * which the caller sees the creator's error.
+    */
+  val JoinerRetryBound = 1
+
   def registryGet[V](map: scala.collection.concurrent.TrieMap[String, V],
                      key: String,
                      cap: Int = RegistryMaxEntries)(build: => V): V =
+    registryGetAttempt(map, key, cap, JoinerRetryBound)(build)
+
+  private def registryGetAttempt[V](
+      map: scala.collection.concurrent.TrieMap[String, V],
+      key: String, cap: Int, retriesLeft: Int)(build: => V): V =
     map.get(key) match {
       case Some(v) =>
         touch(map, key)
+        statsFor(map).hits.incrementAndGet()
         v
       case None =>
         val holders = holdersFor(map)
@@ -242,14 +290,24 @@ object Caching {
         resolved match {
           case Left(v) =>
             touch(map, key)
+            statsFor(map).hits.incrementAndGet()
             v
           case Right((h, mine)) =>
             if (mine) {
+              statsFor(map).misses.incrementAndGet()
               // creator: run the build, publish BEFORE retiring the holder
               // (so no other caller can miss the map and start a second
               // build of a value that already exists), drop the holder on
-              // failure so the next caller retries
-              val r = h.compute()
+              // failure so the next caller retries. A FATAL throwable
+              // escapes compute() after publishing its Left (joiners must
+              // wake) — retire the holder on that path too, or every later
+              // caller would join a dead latch and fail instantly.
+              val r = try h.compute() catch { case fatal: Throwable =>
+                holders.synchronized {
+                  if (holders.get(key).exists(_ eq h)) holders.remove(key)
+                }
+                throw fatal
+              }
               holders.synchronized {
                 r match {
                   case Right(v) =>
@@ -262,13 +320,73 @@ object Caching {
               r.fold(e => throw e, identity)
             } else {
               // joiner: duplicate keys block here; distinct keys overlap.
-              // If the creator failed, retry the whole lookup with OUR
-              // builder — never re-run the dead holder's thunk.
+              // If the creator failed with a RETRIABLE (NonFatal) error,
+              // retry the whole lookup with OUR builder — never re-run the
+              // dead holder's thunk — at most JoinerRetryBound times, then
+              // propagate. Fatal Lefts (VM errors, interrupts) propagate
+              // immediately: re-running an expensive build after an OOM is
+              // how a sick JVM dies slower.
               h.await() match {
-                case Right(v) => touch(map, key); v
-                case Left(_) => registryGet(map, key, cap)(build)
+                case Right(v) =>
+                  touch(map, key)
+                  statsFor(map).hits.incrementAndGet()
+                  v
+                case Left(e) if retriesLeft > 0 &&
+                    scala.util.control.NonFatal(e) =>
+                  registryGetAttempt(map, key, cap, retriesLeft - 1)(build)
+                case Left(e) => throw e
               }
             }
         }
     }
+
+  // ------------------------------------------------------- registry stats
+  // Per-registry hit/miss/eviction counters (r17, VERDICT ask #3): the
+  // adjudication tool for "did the LRU evict a hot entry mid-sweep". Maps
+  // self-name at first use via `nameRegistry`; unnamed maps report under
+  // their identity hash.
+  private final class Stats {
+    val hits = new java.util.concurrent.atomic.AtomicLong
+    val misses = new java.util.concurrent.atomic.AtomicLong
+    val evictions = new java.util.concurrent.atomic.AtomicLong
+  }
+  private val stats = new java.util.IdentityHashMap[AnyRef, Stats]
+  private val registryNames = new java.util.IdentityHashMap[AnyRef, String]
+
+  private def statsFor(map: AnyRef): Stats = stats.synchronized {
+    var s = stats.get(map)
+    if (s == null) { s = new Stats; stats.put(map, s) }
+    s
+  }
+
+  /** Label `map` in the stats report (idempotent; call once at the
+    * registry definition site).
+    */
+  def nameRegistry(map: AnyRef, name: String): Unit =
+    stats.synchronized { registryNames.put(map, name); () }
+
+  /** One line per registry that saw traffic: name hits/misses/evictions.
+    * Misses = builds run; evictions = LRU victims released. A hot face
+    * whose registry shows evictions > 0 mid-sweep is thrashing its cap.
+    */
+  def registryStatsReport(): String = stats.synchronized {
+    import scala.jdk.CollectionConverters._
+    stats.entrySet().asScala.toSeq
+      .map { e =>
+        val name = Option(registryNames.get(e.getKey))
+          .getOrElse(s"anon@${System.identityHashCode(e.getKey)}")
+        val s = e.getValue
+        (name, s"$name hits=${s.hits.get} misses=${s.misses.get} " +
+          s"evictions=${s.evictions.get}")
+      }
+      .sortBy(_._1).map(_._2).mkString("\n")
+  }
+
+  /** Zero every counter (tool runs that want per-phase deltas). */
+  def resetRegistryStats(): Unit = stats.synchronized {
+    import scala.jdk.CollectionConverters._
+    stats.values().asScala.foreach { s =>
+      s.hits.set(0); s.misses.set(0); s.evictions.set(0)
+    }
+  }
 }

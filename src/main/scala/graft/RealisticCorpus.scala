@@ -268,6 +268,7 @@ object RealisticCorpus {
 
   private val materialized =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  Caching.nameRegistry(materialized, "realistic.dirs")
 
   /** Materialize (once per corpus version per session) the realistic twin
     * of `dir` and return its path. Content-keyed like the fit registries:

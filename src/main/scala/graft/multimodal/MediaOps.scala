@@ -222,6 +222,7 @@ object MediaOps {
     */
   private val mediaCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  graft.Caching.nameRegistry(mediaCache, "media.corpus")
 
   /** Corpus-scaled band width per dirKey — computed once per corpus
     * version alongside the cached frame (before r15 every signatureCorpus
@@ -231,6 +232,7 @@ object MediaOps {
     */
   private val bitsCache = scala.collection.concurrent.TrieMap
     .empty[String, Int]
+  graft.Caching.nameRegistry(bitsCache, "media.bits")
 
   def clearMediaCache(): Unit = {
     mediaCache.values.foreach(_.unpersist(false))

@@ -108,6 +108,7 @@ object ClassifierOps {
     */
   private val confCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, String, Long)]]
+  graft.Caching.nameRegistry(confCache, "classifier.nb")
 
   def clearNbCache(): Unit = confCache.clear()
 

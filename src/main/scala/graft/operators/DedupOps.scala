@@ -764,6 +764,7 @@ object DedupOps {
     */
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, Long)]
+  graft.Caching.nameRegistry(indexCache, "dedup.index")
 
   def clearIndexCache(): Unit = {
     indexCache.values.foreach(_._1.unpersist(false))
@@ -813,6 +814,7 @@ object DedupOps {
     */
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  graft.Caching.nameRegistry(labelCache, "dedup.labels")
 
   def clearLabelCache(): Unit = {
     labelCache.values.foreach(_.unpersist(false))

@@ -62,6 +62,7 @@ object Embedders {
     * TopicModelOps' fitted models).
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  graft.Caching.nameRegistry(cache, "embedders.w2v")
 
   /** Shared unit-vector Word2Vec corpus over the documents fixture. */
   private def w2vCorpus(spark: SparkSession, dir: String): DataFrame = {

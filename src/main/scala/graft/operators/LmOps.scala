@@ -314,6 +314,7 @@ object LmOps {
     */
   private val nllCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  graft.Caching.nameRegistry(nllCache, "lm.nll")
 
   def clearNllCache(): Unit = {
     nllCache.values.foreach(_.unpersist(false))
@@ -333,6 +334,7 @@ object LmOps {
     */
   private val historyModelCache = scala.collection.concurrent.TrieMap
     .empty[String, BigramLm]
+  graft.Caching.nameRegistry(historyModelCache, "lm.history")
 
   def frozenHistoryModel(spark: SparkSession, dir: String, cut: Long,
                          textCol: String, langCol: String): BigramLm =

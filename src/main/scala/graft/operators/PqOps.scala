@@ -148,6 +148,7 @@ object PqOps {
     * never fits.
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
+  graft.Caching.nameRegistry(cache, "pq.codebooks")
   private def cached[T](key: String)(f: => T): T =
     graft.Caching.registryGet(cache, key)(f).asInstanceOf[T]
 

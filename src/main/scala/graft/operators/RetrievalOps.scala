@@ -57,6 +57,8 @@ object RetrievalOps {
     .empty[String, DataFrame]
   private val posPostingsCache = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  graft.Caching.nameRegistry(postingsCache, "retrieval.postings")
+  graft.Caching.nameRegistry(posPostingsCache, "retrieval.pospostings")
 
   def clearPostingsCache(): Unit = {
     postingsCache.values.foreach(_.unpersist(false))

@@ -55,6 +55,7 @@ object SemDedupOps {
     * assignment (same contract as TopicModelOps' registry).
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  graft.Caching.nameRegistry(cache, "semdedup.assign")
 
   def clearCache(): Unit = {
     cache.values.foreach(_.unpersist(false))

@@ -46,6 +46,7 @@ object TopicModelOps {
     * between corpora (Bench/Verify call it at teardown).
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Any]
+  graft.Caching.nameRegistry(cache, "topicmodel.fits")
   // ModelRegistryMaxEntries, not the default: this registry's per-corpus
   // working set is ≥ 9 keys (base lda/ldaT + four grid fits + km/kmNoise +
   // example/reduce variants) — an 8-entry cap thrashes every bench sweep,

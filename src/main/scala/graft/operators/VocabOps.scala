@@ -301,6 +301,7 @@ object VocabOps {
     */
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Int, String, String, String, Long)]]
+  graft.Caching.nameRegistry(bpeCache, "vocab.bpe")
 
   def clearBpeCache(): Unit = bpeCache.clear()
 

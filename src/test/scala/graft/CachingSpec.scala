@@ -224,6 +224,87 @@ class CachingSpec extends SparkSuite {
     reg.clear()
   }
 
+  test("registryGet: a FATAL build error reaches joiners WITHOUT a retry " +
+    "and does not trap later callers (holder retired on the fatal path)") {
+    val reg = scala.collection.concurrent.TrieMap.empty[String, String]
+    val creatorIn = new java.util.concurrent.CountDownLatch(1)
+    val joinerJoined = new java.util.concurrent.CountDownLatch(1)
+    val joinerBuilt = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var creatorGot: Throwable = null
+    @volatile var joinerGot: Throwable = null
+    val creator = new Thread(() => {
+      try Caching.registryGet(reg, "fatal1") {
+        creatorIn.countDown()
+        joinerJoined.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Thread.sleep(50)
+        throw new NoClassDefFoundError("synthetic fatal")
+      } catch { case t: Throwable => creatorGot = t }
+    })
+    val joiner = new Thread(() => {
+      creatorIn.await()
+      joinerJoined.countDown()
+      try Caching.registryGet(reg, "fatal1") {
+        joinerBuilt.incrementAndGet(); "joiner value"
+      } catch { case t: Throwable => joinerGot = t }
+    })
+    creator.start(); joiner.start()
+    creator.join(60000); joiner.join(60000)
+    assert(creatorGot.isInstanceOf[NoClassDefFoundError],
+      "the creator must rethrow the fatal")
+    assert(joinerGot.isInstanceOf[NoClassDefFoundError],
+      "a fatal Left must propagate to joiners — retrying an expensive " +
+        "build after a VM error is how a sick JVM dies slower")
+    assert(joinerBuilt.get === 0, "the joiner's builder must NOT run")
+    // the holder was retired on the fatal path: a fresh caller rebuilds
+    val v = Caching.registryGet(reg, "fatal1")("recovered")
+    assert(v === "recovered")
+    reg.clear()
+  }
+
+  test("registryGet: an interrupted build restores the thread's interrupt " +
+    "flag (the build's InterruptedException is not swallowed)") {
+    val reg = scala.collection.concurrent.TrieMap.empty[String, String]
+    @volatile var thrown: Throwable = null
+    @volatile var flagRestored = false
+    val t = new Thread(() => {
+      try Caching.registryGet(reg, "intr1") {
+        throw new InterruptedException("synthetic interrupt")
+      } catch { case e: Throwable =>
+        thrown = e
+        flagRestored = Thread.currentThread().isInterrupted
+      }
+    })
+    t.start(); t.join(60000)
+    assert(thrown.isInstanceOf[InterruptedException])
+    assert(flagRestored, "the interrupt status must survive registryGet")
+    assert(!reg.contains("intr1"))
+    reg.clear()
+  }
+
+  test("registryGet: per-registry hit/miss/eviction counters account for " +
+    "the traffic (the mid-sweep thrash adjudicator)") {
+    import spark.implicits._
+    val reg = scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    Caching.nameRegistry(reg, "spec.counters")
+    def build(i: Int) = {
+      val df = Seq(i.toLong).toDF("v").persist()
+      df.count()
+      df
+    }
+    (0 to Caching.RegistryMaxEntries).foreach { i => // one past cap: 1 evict
+      Caching.registryGet(reg, s"k$i")(build(i))
+    }
+    Caching.registryGet(reg, s"k${Caching.RegistryMaxEntries}")(build(0)) // hit
+    val line = Caching.registryStatsReport().linesIterator
+      .find(_.startsWith("spec.counters")).getOrElse("")
+    assert(line.contains(s"misses=${Caching.RegistryMaxEntries + 1}"), line)
+    assert(line.contains("hits=1"), line)
+    assert(line.contains("evictions=1"), line)
+    reg.values.foreach(_.unpersist(false))
+    reg.clear()
+  }
+
   test("registryGet: per-registry cap override — the model registry holds " +
     "a working set larger than the default cap") {
     import spark.implicits._

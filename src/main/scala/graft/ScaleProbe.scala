@@ -260,6 +260,43 @@ object ScaleProbe {
     time("media_caption_gate")(
       graft.multimodal.MediaOps.mediaCaptionGate(spark, tmp).count())
     time("ivf_incremental")(IndexMaintOps.ivfIncrementalQuery(spark, tmp).count())
+    // r17 decade tier (VERDICT r16 #5): the twin's materialization (text
+    // transform + hash-projected embeddings over the SCALED corpus) and
+    // the balanced-IVF build — the split loop's driver-held oversized set
+    // and per-round findOversized action are the one piece whose ROUND
+    // COUNT could grow with skew; rounds/lists/residual print beside the
+    // wall time so the slope row carries the loop shape
+    time("twin_materialize") {
+      val out = RealisticCorpus.ensure(spark, tmp)
+      spark.read.parquet(s"$out/embeddings.parquet").count()
+    }
+    time("ivf_balanced_build") {
+      val corpus = Caching.track(
+        SimilarityOps.unitCorpus(Tables.embeddings(spark, tmp)))
+      val (indexed, cents, residual) =
+        SimilarityOps.ivfIndexBalancedReport(corpus, SimilarityOps.IvfLists)
+      val r = indexed.count()
+      println(s"[scale] ivf_balanced shape: rounds=" +
+        s"${SimilarityOps.lastBalanceRounds} lists_after=${cents.count()} " +
+        s"residual=${residual.length}")
+      r
+    }
+    // the same build on the TWIN's text-projected embeddings: the planted
+    // dup family + unique mass give the quantizer REAL skew to split (the
+    // plain replica above scales every list uniformly — rounds stays 0),
+    // so this row carries the loop's round count under skew at scale
+    time("ivf_balanced_build_twin") {
+      val twin = RealisticCorpus.ensure(spark, tmp)
+      val corpus = Caching.track(
+        SimilarityOps.unitCorpus(Tables.embeddings(spark, twin)))
+      val (indexed, cents, residual) =
+        SimilarityOps.ivfIndexBalancedReport(corpus, SimilarityOps.IvfLists)
+      val r = indexed.count()
+      println(s"[scale] ivf_balanced_twin shape: rounds=" +
+        s"${SimilarityOps.lastBalanceRounds} lists_after=${cents.count()} " +
+        s"residual=${residual.length}")
+      r
+    }
     time("split_safe")(SamplingOps.leakageSafeSplitProfile(spark, tmp).count())
     // BPE: wall time should track the ONE word-count scan, not the rounds —
     // the dictionary (and so every training round) is corpus-size-invariant

@@ -793,6 +793,17 @@ object SparkEntry {
       RealisticCorpus.over(SamplingOps.dsirProfile),
     "curation_funnel_real" ->
       RealisticCorpus.over(CurationOps.curationFunnelFull),
+    // lexical retrieval over the twin (r17): the planted structure is
+    // exactly what stresses BM25 — the ContamPhrase's 13 shared tokens
+    // (~28% df) and the per-lang qq-vocabulary create real idf tiers the
+    // base fixture's 31 uniform words lack, and the unique mega-tokens
+    // sit OUTSIDE the 2-15 token band so postings stay clean of them
+    "search_bm25_real" -> RealisticCorpus.over(RetrievalOps.bm25Query),
+    // standing queries against the twin's ingest sample: percolation is
+    // idf-weighted too, so the planted vocabulary tiers shift which
+    // standing query wins each incoming doc
+    "search_percolate_real" ->
+      RealisticCorpus.over(RetrievalOps.percolateQuery),
     "stream_ingest_real" ->
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
     "stream_ingest_full_real" ->
@@ -1034,6 +1045,10 @@ object SparkEntry {
       RealisticCorpus.realisticize(baseOracleSql("select_dsir")),
     "curation_funnel_real" ->
       RealisticCorpus.realisticize(baseOracleSql("curation_funnel_full")),
+    "search_bm25_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("search_bm25")),
+    "search_percolate_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("search_percolate")),
     "stream_ingest_real" ->
       RealisticCorpus.realisticize(baseOracleSql("stream_ingest_gate")),
     "stream_ingest_full_real" ->

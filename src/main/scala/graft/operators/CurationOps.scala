@@ -143,12 +143,35 @@ object CurationOps {
     * broader one (an email in a URL query string) counts in both categories.
     * The oracle mirrors both choices.
     */
+  /** Cheap NECESSARY-substring gate per category: the email pattern can
+    * only match where a literal '@' exists, the URL pattern where "http"
+    * does — `instr` is a linear scan while the ungated email regex is
+    * quadratic on long alphanumeric runs (each start position greedily
+    * consumes the run then backtracks hunting an '@'; measured 3.0 s of
+    * the realistic funnel's 6.7 s was this scrub, the twin's 137-char
+    * digit mega-tokens being the worst case). Gated and ungated results
+    * are bit-identical by the necessity of the substring; the phone
+    * pattern has no such literal and stays ungated (it fails fast: 2-3
+    * digits then a required separator).
+    */
+  private def piiGate(cat: String, c: Column): Option[Column] = cat match {
+    case "email" => Some(instr(c, "@") > 0)
+    case "url" => Some(instr(c, "http") > 0)
+    case _ => None
+  }
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat, _)) =>
-      d.withColumn(s"n_$cat", regexp_count(col(textCol), lit(pat)))
+      val n = regexp_count(col(textCol), lit(pat))
+      d.withColumn(s"n_$cat",
+        piiGate(cat, col(textCol)).fold(n)(g => when(g, n).otherwise(lit(0))))
     }
     val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+      case (c, (cat, pat, token)) =>
+        val repl = regexp_replace(c, pat, token)
+        // gate on the PRE-replacement column: earlier placeholders
+        // introduce no '@'/"http", so the gate basis is equivalent
+        piiGate(cat, c).fold(repl)(g => when(g, repl).otherwise(c))
     }
     counted.withColumn("scrubbed", scrubbed)
   }
@@ -360,56 +383,29 @@ object CurationOps {
     * scrubbed-text recount is oracle-checked). Scale shape: like `curation_funnel`, the funnel cost is
     * the max of its parts, and stages 3-4 ride the session registries
     * (LM scores, minhash labels).
+    *
+    * Cost discipline (r17, after the Gopher meanlen fix legitimately
+    * widened stages 2-5 on the realistic twin): ONE full-text scan
+    * computes every per-doc scalar the funnel reads (gopher flags +
+    * BPE-ish token count + quality score, all independent codegen kernels
+    * in a single cached projection — through r16 gopherRules,
+    * qualityScoreCol and the token frame each re-tokenized the text), and
+    * ONE action aggregates all five per-stage (docs, tokens) stats — the
+    * survivor id-frames join the combined frame as membership flags and a
+    * single aggregate reads them all (was five sequential collect jobs).
+    * The remaining full-text passes are semantically distinct: the
+    * decontam gram hashing (13-gram hash stream ≠ banded tokens) and the
+    * PII scrub's regex rewrite + recount (over REPLACED text; the scrub's
+    * email/url regexes are substring-gated — see `piiGate`). Per-stage
+    * wall-time attribution: tools/FunnelProfile (committed table in
+    * DEPLOY.md).
     */
   def curationFunnelFull(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val bucket = SamplingOps.hashBucket(col("doc_id"), 10000)
-    val evalDocs = docs.filter(bucket < 500)
-    val train = docs.filter(bucket >= 500)
-    val toks = graft.Caching.track(docs.select(col("doc_id"),
-      TextAnalysisOps.bpeishTokenCount(col("text")).as("tk")))
-    // (docs, tokens) of a survivor id-frame — one broadcast-sized join
-    // against the cached per-doc counts per stage
-    def stat(ids: DataFrame): (Long, Long) = {
-      val r = ids.join(toks, "doc_id")
-        .agg(count(lit(1)).as("n"), sum(col("tk")).as("t")).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val flags = gopherRules(train, "text")
-    val s1 = graft.Caching.track(
-      flags.filter(col("pass_wordcount") === 1 && col("pass_meanlen") === 1 &&
-          col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
-          col("pass_repeat") === 1)
-        .select("doc_id"))
-    val s1docs = train.join(s1, Seq("doc_id"), "left_semi")
-    val s2 = graft.Caching.track(
-      s1.join(contaminated(s1docs, evalDocs, "doc_id", "text"),
-        Seq("doc_id"), "left_anti"))
-    val s3 = graft.Caching.track(
-      s2.join(graft.operators.LmOps.pplBucketed(spark, dir)
-          .select("doc_id", "bucket"),
-        Seq("doc_id"), "left")
-        .filter(col("bucket").isNull || col("bucket") =!= "tail")
-        .select("doc_id"))
-    val grp = s3.join(DedupOps.minhashLabels(spark, dir),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-    val quality = docs.select(col("doc_id"),
-      TextAnalysisOps.qualityScoreCol(col("text")).as("q"))
-    val s4 = graft.Caching.track(
-      DedupOps.keepBest(grp, quality, "doc_id", "q")
-        .select(col("keep_id").as("doc_id")))
-    val scrubbedToks = scrubPii(train.join(s4, Seq("doc_id"), "left_semi"),
-        "text")
-      .agg(count(lit(1)).as("n"), sum(
-        TextAnalysisOps.bpeishTokenCount(col("scrubbed"))).as("t"))
-      .collect()(0)
-    val (n0, t0) = stat(train.select("doc_id"))
-    val (n1, t1) = stat(s1)
-    val (n2, t2) = stat(s2)
-    val (n3, t3) = stat(s3)
-    val (n4, t4) = stat(s4)
-    val t5 = if (scrubbedToks.isNullAt(1)) 0L else scrubbedToks.getLong(1)
+    val w = funnelWork(spark, dir)
+    val byStage = w.statsAction()
+    val Seq((n0, t0), (n1, t1), (n2, t2), (n3, t3), (n4, t4)) =
+      (0 to 4).map(i => byStage(i.toString))
+    val (_, t5) = w.scrubAction()
     import spark.implicits._
     Seq(
       ("1_gopher_struct", n0, n1, t0, t1),
@@ -427,6 +423,102 @@ object CurationOps {
       .select("stage", "n_in", "n_out", "n_dropped", "drop_rate",
         "tokens_in", "tokens_out")
       .orderBy("stage")
+  }
+
+  /** The five-stage funnel's lazy plan, exposed for per-stage cost
+    * attribution (tools/FunnelProfile forces `stages` one at a time with
+    * timers; the face calls only the two actions). `stages` are the
+    * TRACKED survivor id-frames s1..s4 in funnel order; `statsAction`
+    * runs the single membership-flag aggregate returning stage-index →
+    * (docs, tokens) for stages 0-4; `scrubAction` returns stage 5's
+    * (docs, tokens) over the scrubbed text.
+    */
+  private[graft] final case class FunnelWork(
+      combined: DataFrame,
+      stages: Seq[(String, DataFrame)],
+      statsAction: () => Map[String, (Long, Long)],
+      scrubAction: () => (Long, Long))
+
+  private[graft] def funnelWork(spark: SparkSession, dir: String): FunnelWork = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = SamplingOps.hashBucket(col("doc_id"), 10000)
+    val evalDocs = docs.filter(bucket < 500)
+    val train = docs.filter(bucket >= 500)
+    // ONE full-text scan for every per-doc scalar the funnel reads: the
+    // five gopher verdicts feeding stage 1, the BPE-ish token count the
+    // stage stats sum, and the quality score keep-best ranks by. All are
+    // independent codegen kernels, so they fuse into one whole-stage span
+    // over one parquet read. (Quality was over ALL docs through r16;
+    // keep-best only ever joins train-side survivor ids, so the train
+    // restriction is value-identical.)
+    val combined = graft.Caching.track(
+      gopherRules(train, "text")
+        .withColumn("tk", TextAnalysisOps.bpeishTokenCount(col("text")))
+        .withColumn("q", TextAnalysisOps.qualityScoreCol(col("text")))
+        .select("doc_id", "pass_wordcount", "pass_meanlen", "pass_symbol",
+          "pass_alpha", "pass_repeat", "tk", "q"))
+    val s1 = graft.Caching.track(
+      combined.filter(col("pass_wordcount") === 1 && col("pass_meanlen") === 1 &&
+          col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
+          col("pass_repeat") === 1)
+        .select("doc_id"))
+    val s1docs = train.join(s1, Seq("doc_id"), "left_semi")
+    val s2 = graft.Caching.track(
+      s1.join(contaminated(s1docs, evalDocs, "doc_id", "text"),
+        Seq("doc_id"), "left_anti"))
+    val s3 = graft.Caching.track(
+      s2.join(graft.operators.LmOps.pplBucketed(spark, dir)
+          .select("doc_id", "bucket"),
+        Seq("doc_id"), "left")
+        .filter(col("bucket").isNull || col("bucket") =!= "tail")
+        .select("doc_id"))
+    val grp = s3.join(DedupOps.minhashLabels(spark, dir),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    val s4 = graft.Caching.track(
+      DedupOps.keepBest(grp, combined.select(col("doc_id"), col("q")),
+          "doc_id", "q")
+        .select(col("keep_id").as("doc_id")))
+    val stages = Seq("1" -> s1, "2" -> s2, "3" -> s3, "4" -> s4)
+    def statsAction(): Map[String, (Long, Long)] = {
+      // ONE job, ONE pass over the cached combined frame: each survivor
+      // id-set joins in as a membership flag (tiny broadcast sides), and
+      // all five (docs, tokens) pairs fall out of a single aggregate —
+      // stage 0 is combined itself (combined IS the train rows)
+      val withM = stages.foldLeft(combined.select(col("doc_id"), col("tk"))) {
+        case (d, (tag, ids)) =>
+          d.join(ids.select(col("doc_id"), lit(1).as(s"m$tag")),
+            Seq("doc_id"), "left")
+      }
+      val aggs = Seq(
+        count(lit(1)).cast("long").as("n0"), sum(col("tk")).as("t0")) ++
+        stages.flatMap { case (tag, _) => Seq(
+          sum(col(s"m$tag")).cast("long").as(s"n$tag"),
+          sum(when(col(s"m$tag") === 1, col("tk"))).as(s"t$tag"))
+        }
+      val r = withM.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (0 to 4).map { i =>
+        val (ni, ti) = (2 * i, 2 * i + 1)
+        i.toString -> (
+          (if (r.isNullAt(ni)) 0L else r.getLong(ni)),
+          (if (r.isNullAt(ti)) 0L else r.getLong(ti)))
+      }.toMap
+    }
+    def scrubAction(): (Long, Long) = {
+      // recount only docs the scrub actually REWROTE: an unchanged text's
+      // BPE-ish count is the already-computed `tk` (string equality is one
+      // linear compare vs a full re-tokenize; on the twin most survivors
+      // carry no PII span)
+      val r = scrubPii(train.join(s4, Seq("doc_id"), "left_semi"), "text")
+        .join(combined.select(col("doc_id"), col("tk")), "doc_id")
+        .agg(count(lit(1)).as("n"), sum(
+          when(col("scrubbed") === col("text"), col("tk"))
+            .otherwise(TextAnalysisOps.bpeishTokenCount(col("scrubbed"))))
+          .as("t"))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    FunnelWork(combined, stages, statsAction _, scrubAction _)
   }
 
   /** Query: cross-gate AGREEMENT diagnostic — per (lang, perplexity

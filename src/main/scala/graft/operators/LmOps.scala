@@ -319,6 +319,8 @@ object LmOps {
   def clearNllCache(): Unit = {
     nllCache.values.foreach(_.unpersist(false))
     nllCache.clear()
+    bucketedCache.values.foreach(_.unpersist(false))
+    bucketedCache.clear()
     historyModelCache.values.foreach { m =>
       m.logp.unpersist(false); m.missLogp.unpersist(false)
     }
@@ -389,7 +391,27 @@ object LmOps {
     * (every scored lang has its own thresholds).
     */
   def pplBucketed(spark: SparkSession, dir: String,
-                  thresholdFrac: Double = 1.0): DataFrame = {
+                  thresholdFrac: Double = 1.0): DataFrame =
+    if (thresholdFrac >= 1.0)
+      // the exact-cuts frame is as deterministic as the nll frame it
+      // derives from and FOUR faces consume it per corpus (ppl buckets,
+      // gate agreement, both funnels) — registry it like its parent
+      // instead of re-running the tercile windows per consumer (r17:
+      // ~0.5 s per funnel run at sf0.1)
+      graft.Caching.registryGet(bucketedCache,
+          graft.Fingerprint.dirKey(spark, dir)) {
+        val b = pplBucketedUncached(spark, dir, 1.0).persist()
+        b.count() // materialize before the building query's scope ends
+        b
+      }
+    else pplBucketedUncached(spark, dir, thresholdFrac)
+
+  private val bucketedCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  graft.Caching.nameRegistry(bucketedCache, "lm.bucketed")
+
+  private def pplBucketedUncached(spark: SparkSession, dir: String,
+                                  thresholdFrac: Double): DataFrame = {
     val nll = selfScoredNll(spark, dir)
     // Empty-sample guard: a tiny thresholdFrac on a tiny corpus can leave
     // the hash sample with zero rows, making every cut null and silently

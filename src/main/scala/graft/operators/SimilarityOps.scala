@@ -403,8 +403,16 @@ object SimilarityOps {
       }
       oversized = residual.filterNot(t => unsplittable.contains(t._1))
     }
+    lastBalanceRounds = round
     (indexed, cents, residual)
   }
+
+  /** Split-loop rounds the last `ivfIndexBalancedReport` ran — the one
+    * quantity in the balanced build that could grow with corpus SKEW
+    * rather than size (each round re-collects the driver-held oversized
+    * set); surfaced for the ScaleProbe decade record.
+    */
+  @volatile private[graft] var lastBalanceRounds: Int = 0
 
   /** IVF-probed approximate top-k: each query scores only the vectors in its
     * `nProbe` nearest lists (by centroid dot product on unit vectors), then

@@ -204,6 +204,7 @@ object Bench {
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.SemDedupOps.clearCache()
+    operators.IndexMaintOps.clearFrozenWorldCache()
     operators.LmOps.clearNllCache()
     graft.multimodal.MediaOps.clearMediaCache()
     spark.stop()

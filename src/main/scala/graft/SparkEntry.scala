@@ -795,9 +795,12 @@ object SparkEntry {
       RealisticCorpus.over(CurationOps.curationFunnelFull),
     // lexical retrieval over the twin (r17): the planted structure is
     // exactly what stresses BM25 — the ContamPhrase's 13 shared tokens
-    // (~28% df) and the per-lang qq-vocabulary create real idf tiers the
-    // base fixture's 31 uniform words lack, and the unique mega-tokens
-    // sit OUTSIDE the 2-15 token band so postings stay clean of them
+    // (df ≈ 6%), the per-lang qq-vocabulary (df ≈ 1/|langs|) and the stop
+    // plant (df ≈ 71%) create real idf tiers the base fixture's 31
+    // uniformly-saturated words lack (measured at sf0.01: base df median
+    // 389/500 across 30 terms; twin 191 terms spanning df 29→393), and
+    // the unique mega-tokens sit OUTSIDE the 2-15 token band so postings
+    // stay clean of them
     "search_bm25_real" -> RealisticCorpus.over(RetrievalOps.bm25Query),
     // standing queries against the twin's ingest sample: percolation is
     // idf-weighted too, so the planted vocabulary tiers shift which

@@ -93,6 +93,7 @@ object Verify {
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.SemDedupOps.clearCache()
+    operators.IndexMaintOps.clearFrozenWorldCache()
     operators.LmOps.clearNllCache()
     graft.multimodal.MediaOps.clearMediaCache()
     spark.stop()

@@ -418,6 +418,80 @@ object TopicMetricsOps {
       .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
   }
 
+  /** Fused u_mass + c_npmi over ONE shared hits frame (r17, the
+    * lda_topic_coherence residual): the two cores consumed the same
+    * tokenized corpus but each ran its own explode, (doc, word) groupBy,
+    * marginal aggregate and per-doc self-join — yet u_mass's presence set
+    * IS perWord's key set (a word is document-present iff it has
+    * positions), u_mass's D(wi,wj) is the self-join's row count where
+    * npmi's C(wi,wj) is its interval-intersection sum, and both marginals
+    * group the same frame. One explode, one groupBy, one self-join, one
+    * marginal agg — bit-equal outputs by construction:
+    *   - dij = count over co-present doc pairs (every joined row);
+    *   - cij = sum(x) over the same rows (the separate core's x>0 filter
+    *     only drops zero addends — intervals are non-negative);
+    *   - the wj marginal joins INNER (both measures require it), the wi
+    *     marginal LEFT: a corpus-absent wi nulls the npmi column (avg
+    *     skips nulls — matching the separate npmi core's inner join)
+    *     while u_mass keeps the pair, exactly the separate cores' n_pairs
+    *     semantics.
+    * Returns (cls, n_pairs, umass, c_npmi) ordered by cls; n_pairs is the
+    * u_mass core's count, as the combined face reports it.
+    */
+  def umassNpmiByClassOfTokens(toks: DataFrame, topicWords: DataFrame,
+                               windowSize: Int = 10): DataFrame = {
+    import graft.functions.TextExpressions.{intervalIntersectK, intervalTotalK, windowCoverK}
+    val words = topicWords.select("word").distinct()
+    val totals = toks.agg(
+      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
+    val perWord = graft.Caching.track(toks
+      .select(col("doc"), size(col("toks")).as("t"),
+        posexplode(col("toks")).as(Seq("pos0", "word")))
+      .join(broadcast(words), "word")
+      .groupBy(col("doc"), col("word"))
+      .agg(max(col("t")).as("t"),
+        sort_array(collect_list(col("pos0") + 1)).as("ps"))
+      .select(col("doc"), col("word"),
+        windowCoverK(col("ps"), col("t"), windowSize).as("iv")))
+    val marg = perWord.groupBy(col("word"))
+      .agg(count(lit(1)).as("d"), sum(intervalTotalK(col("iv"))).as("cw"))
+    val pairAgg = perWord.as("a")
+      .join(perWord.as("b"),
+        col("a.doc") === col("b.doc") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("wa"), col("b.word").as("wb"),
+        intervalIntersectK(col("a.iv"), col("b.iv")).as("x"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("dij"), sum(col("x")).as("cij"))
+    val pairs = topicWords.as("i")
+      .join(topicWords.as("j"),
+        col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
+      .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
+    val eps = 1e-12
+    pairs
+      .withColumn("wa", least(col("wi"), col("wj")))
+      .withColumn("wb", greatest(col("wi"), col("wj")))
+      .join(broadcast(pairAgg), Seq("wa", "wb"), "left")
+      .join(broadcast(marg.select(col("word").as("wi"), col("cw").as("ci"))),
+        Seq("wi"), "left")
+      .join(broadcast(marg.select(col("word").as("wj"), col("cw").as("cj"),
+        col("d").as("dj"))), "wj")
+      .crossJoin(broadcast(totals))
+      .withColumn("pair_score",
+        log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
+      .withColumn("p_ij",
+        coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
+      .withColumn("p_i", col("ci").cast("double") / col("n_windows"))
+      .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
+      .withColumn("npmi",
+        log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
+          / -log(col("p_ij") + eps))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("pair_score")), 4).as("umass"),
+        round(avg(col("npmi")), 4).as("c_npmi"))
+      .orderBy("cls")
+  }
+
   /** SO1 — pairwise Jaccard overlap of per-class keyword sets (the topic
     * overlap matrix, LDA_Analysis.py:341-348). K×K output, K tiny.
     */

@@ -374,10 +374,11 @@ object TopicModelOps {
     graft.Artifacts.save("lda_topic_words")(topicWords)
     val toks = graft.Caching.track(
       TopicMetricsOps.tokenizedDocs(Tables.documents(spark, dir), "text"))
-    TopicMetricsOps.umassByClassOfTokens(toks, topicWords)
-      .select(col("cls").as("topic"), col("n_pairs"), col("umass"))
-      .join(TopicMetricsOps.npmiByClassOfTokens(toks, topicWords)
-        .select(col("cls").as("topic"), col("c_npmi")), "topic")
+    // fused core (r17): both measures from one hits frame / one self-join —
+    // the separate cores re-derived identical presence and pair frames
+    TopicMetricsOps.umassNpmiByClassOfTokens(toks, topicWords)
+      .select(col("cls").as("topic"), col("n_pairs"), col("umass"),
+        col("c_npmi"))
       .orderBy("topic")
   }
 

@@ -381,8 +381,9 @@ object SparkEntry {
     * unit-normalize — yields `${p}u` with (doc_id, nv). Bin hash is the
     * seed-7 base-31 fold of each SignatureGram-byte window mod P, mod 256.
     */
-  private def sigCtes(p: String, textExpr: String): String =
-    s"""${p}v AS (SELECT doc_id, hex(encode($textExpr)) AS hx FROM documents),
+  private def sigCtes(p: String, textExpr: String,
+                      src: String = "documents"): String =
+    s"""${p}v AS (SELECT doc_id, hex(encode($textExpr)) AS hx FROM $src),
        |${p}b AS (SELECT doc_id, length(hx)//2 AS nbytes,
        |  list_transform(range(0, length(hx)//2), i ->
        |    CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT),1))-1)*16
@@ -807,6 +808,17 @@ object SparkEntry {
     // standing query wins each incoming doc
     "search_percolate_real" ->
       RealisticCorpus.over(RetrievalOps.percolateQuery),
+    // phrase retrieval over the twin: the positional index sees the
+    // planted phrases (stop plant, ContamPhrase) as real multi-doc
+    // n-grams where the base fixture's phrases are probe-prefix-only,
+    // and the mega-tokens stay outside the band
+    "search_phrase_real" -> RealisticCorpus.over(RetrievalOps.phraseQuery),
+    // RAG pipeline end to end: char-window chunking -> deterministic
+    // chunk embeddings (the media signature projection) -> brute top-k
+    // grounding per probe with parent-doc metadata joined back; the
+    // chunk frame is (vec_id, nv)-shaped, so the banded-LSH/IVF tiers
+    // apply unchanged at scale — this face is their recall ground truth
+    "rag_chunk_topk" -> RetrievalOps.ragChunkTopK,
     "stream_ingest_real" ->
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
     "stream_ingest_full_real" ->
@@ -1052,6 +1064,45 @@ object SparkEntry {
       RealisticCorpus.realisticize(baseOracleSql("search_bm25")),
     "search_percolate_real" ->
       RealisticCorpus.realisticize(baseOracleSql("search_percolate")),
+    "search_phrase_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("search_phrase")),
+    // RAG grounding: chunk windows re-derived with pure arithmetic, chunk
+    // ids packed as doc_id*RagMaxChunks+chunk_no so the sigCtes chain
+    // (which keys on `doc_id`) runs unchanged over the chunk CTE; the
+    // ≥ SignatureGram-chars filter keeps the codec's zero-vector edge and
+    // the gram CTE's dropped-row edge identical on both engines
+    "rag_chunk_topk" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id * ${RetrievalOps.RagMaxChunks} + k AS doc_id,
+         |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
+         |      ${RetrievalOps.RagChunkChars}) AS text
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, CAST(ceil(length(text)
+         |            / ${RetrievalOps.RagChunkChars}.0) AS INT))) AS k
+         |        FROM documents WHERE length(coalesce(text, '')) > 0)),
+         |chunksf AS (SELECT * FROM chunks
+         |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
+         |${sigCtes("rc", "text", "chunksf")},
+         |probes AS (
+         |  SELECT doc_id // ${RetrievalOps.RagMaxChunks} AS query_id, nv AS qnv
+         |  FROM rcu
+         |  WHERE doc_id // ${RetrievalOps.RagMaxChunks} < 8
+         |    AND doc_id % ${RetrievalOps.RagMaxChunks} = 0),
+         |scored AS (
+         |  SELECT query_id, rcu.doc_id AS chunk_id, ${dotSql("qnv", "nv")} AS cos
+         |  FROM probes JOIN rcu
+         |    ON rcu.doc_id // ${RetrievalOps.RagMaxChunks} <> query_id),
+         |ranked AS (
+         |  SELECT query_id, chunk_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, chunk_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, chunk_id // ${RetrievalOps.RagMaxChunks} AS doc_id,
+         |  CAST(chunk_id % ${RetrievalOps.RagMaxChunks} AS INT) AS chunk_no,
+         |  d.lang, round(cos, 4) AS cos
+         |FROM ranked
+         |JOIN documents d ON d.doc_id = chunk_id // ${RetrievalOps.RagMaxChunks}
+         |WHERE rank <= ${RetrievalOps.RagTopK}""".stripMargin,
     "stream_ingest_real" ->
       RealisticCorpus.realisticize(baseOracleSql("stream_ingest_gate")),
     "stream_ingest_full_real" ->

@@ -954,4 +954,81 @@ object RetrievalOps {
       math.min(DedupOps.MaxNgramDf.toLong, docs.count() / 500L)).toInt
     containmentPairs(docs, "doc_id", "text", maxDf = maxDf)
   }
+  // ------------------------------------------------------------ RAG tier
+
+  /** RAG chunk geometry: fixed character windows (the context-window
+    * packing a retrieval corpus actually stores), id-packed so chunk ids
+    * invert to (doc, chunk_no) with pure arithmetic any oracle replays.
+    */
+  val RagChunkChars = 200
+  val RagMaxChunks = 1024
+  val RagTopK = 5
+
+  /** Query: the RAG retrieval pipeline end to end — chunk the corpus into
+    * RagChunkChars character windows, embed every chunk with the
+    * deterministic stub codec (8-byte-gram signature → mean-center →
+    * unit-normalize: the SAME projection the media tier and the realistic
+    * embeddings use, so the oracle replays it with the sigCtes chain),
+    * retrieve the top-RagTopK chunks per probe (first chunk of the first
+    * 8 docs, self-doc excluded), and join the hit back to its parent
+    * document's metadata — the grounding step a RAG data pipeline runs.
+    *
+    * Chunks shorter than the codec's gram width are dropped on BOTH
+    * engines (the codec zero-vectors them, the SQL mirror's gram CTE
+    * drops them — the shared ≥ SignatureGram-chars filter keeps the two
+    * sides identical).
+    *
+    * Scale shape: chunking + the codec pass are one scan (mapPartitions,
+    * one codec per partition — the extractSignatures batch shape); the
+    * probe side is bounded (|Q| probes broadcast against the chunk
+    * corpus), so scoring is |Q|·|chunks| dot products map-side with a
+    * per-probe top-k — the brute baseline, same contract as
+    * sim_topk_brute. At 100 TB the chunk corpus rides the SAME banded-LSH
+    * / IVF machinery as every other (vec_id, nv) frame (SimilarityOps —
+    * the chunk frame is interchangeable with the embeddings table); the
+    * brute face is the recall ground truth those tiers are gauged
+    * against.
+    */
+  def ragChunkTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashExpressions.{centerVector, dotK, unitVector}
+    import graft.functions.VectorFunctions.asDouble
+    val C = RagChunkChars
+    val docs = Tables.documents(spark, dir)
+      .filter(length(coalesce(col("text"), lit(""))) > 0)
+    val chunks = docs.select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(length(text) / $C) as int) - 1)," +
+            s" k -> substring(text, k * $C + 1, $C))"))
+          .as(Seq("chunk_no", "chunk_text")))
+      .filter(length(col("chunk_text")) >=
+        graft.multimodal.MediaOps.SignatureGram)
+    val sigs = chunks
+      .select(col("doc_id"), col("chunk_no"), col("chunk_text"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val codec = new graft.multimodal.MediaOps.StubCodec
+        it.map { case (did, no, text) =>
+          (did, no, codec.signature(text.getBytes("UTF-8")))
+        }
+      }.toDF("doc_id", "chunk_no", "sv")
+    val corpus = graft.Caching.track(sigs.select(
+      (col("doc_id") * RagMaxChunks + col("chunk_no")).as("chunk_id"),
+      col("doc_id"), col("chunk_no"),
+      unitVector(centerVector(asDouble(col("sv")))).as("nv")))
+    val probes = corpus.filter(col("doc_id") < 8 && col("chunk_no") === 0)
+      .select(col("doc_id").as("query_id"), col("nv").as("qnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("chunk_id"))
+    probes.join(corpus, col("query_id") =!= col("doc_id"))
+      .withColumn("cos", dotK(col("qnv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RagTopK)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_no"),
+        col("lang"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
 }

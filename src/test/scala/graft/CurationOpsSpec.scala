@@ -234,4 +234,34 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.length === 2)
     assert(got.forall(r => (0 until 5).forall(i => r.getInt(i) === 0)))
   }
+  test("scrubPii substring gates are bit-identical to the ungated regexes " +
+    "(r17: '@'/'http' are NECESSARY literals, not heuristics)") {
+    import org.apache.spark.sql.functions._
+    // adversarial rows: gate fires but the regex must not; regex must fire;
+    // nested matches; long digit mega-token (the quadratic case the gate
+    // exists for); gate char inside an already-replaced span
+    val texts = Seq(
+      "plain text with no pii at all",
+      "an at sign @ alone and http without a url shape httpx",
+      "contact user1@mail.example and see https://ex.org/p?u=a@b.c",
+      "tel +82 10-1234-5678 and 12-34 567-8901",
+      "v00123456x7890123400123456x78901234 digits 99887766x55443322",
+      "trailing at a@ and bare scheme https:// nothing"
+    ).toDF("text")
+    val gated = CurationOps.scrubPii(texts, "text")
+      .select("text", "n_email", "n_url", "n_phone", "scrubbed")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // the ungated reference: the raw fold the pre-r17 implementation ran
+    val counted = CurationOps.PiiPatterns.foldLeft(texts) { case (d, (cat, pat, _)) =>
+      d.withColumn(s"n_$cat", regexp_count(col("text"), lit(pat)))
+    }
+    val raw = CurationOps.PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    val ungated = counted.withColumn("scrubbed", raw)
+      .select("text", "n_email", "n_url", "n_phone", "scrubbed")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(gated.toSeq === ungated.toSeq)
+  }
+
 }

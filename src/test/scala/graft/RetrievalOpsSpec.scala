@@ -341,4 +341,38 @@ class RetrievalOpsSpec extends SparkSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+  test("ragChunkTopK: rank contract (1..K dense per probe, cosine " +
+    "non-increasing), self-doc excluded, chunk ids invert to real chunks") {
+    import graft.operators.RetrievalOps
+    val out = RetrievalOps.ragChunkTopK(spark, SparkSpec.FixtureDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getString(4), r.getDouble(5)))
+    Caching.releaseAll()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length),
+        s"probe $q ranks must be dense from 1")
+      assert(byRank.length <= RetrievalOps.RagTopK)
+      // cosine non-increasing in rank (ties broken by chunk id)
+      byRank.map(_._6).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a >= b - 1e-9, s"probe $q cosine must be non-increasing")
+        case _ => ()
+      }
+      assert(rows.forall(_._3 != q), s"probe $q must not retrieve its own doc")
+    }
+    assert(out.forall(r => r._6 <= 1.0001 && r._6 >= -1.0001))
+    assert(out.forall(r => r._4 >= 0 && r._4 < RetrievalOps.RagMaxChunks))
+    // every hit inverts to a chunk that genuinely exists at the geometry:
+    // chunk_no * C must fall inside the parent doc's text
+    val lens = Tables.documents(spark, SparkSpec.FixtureDir)
+      .select(col("doc_id"), length(coalesce(col("text"), lit(""))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r._4 * RetrievalOps.RagChunkChars < lens(r._3),
+        s"chunk ${r._4} of doc ${r._3} must start inside the text")
+    }
+  }
+
 }

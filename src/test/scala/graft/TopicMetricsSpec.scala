@@ -102,4 +102,35 @@ class TopicMetricsSpec extends SparkSuite {
         TopicMetricsOps.topFrequentWords(df, "text", 3)).collect()(0).getDouble(1)
     assert(um(co) > um(dis))
   }
+  test("fused u_mass+c_npmi core is bit-equal to the separate cores " +
+    "(r17 fusion contract), including a corpus-absent topic word") {
+    import graft.operators.TopicMetricsOps._
+    val corpus = Seq(
+      "aa bb cc dd ee aa bb",
+      "aa cc ee ff gg",
+      "bb dd ff hh aa",
+      "cc cc dd ee aa bb cc"
+    ).toDF("text")
+    val toks = Caching.track(tokenizedDocs(corpus, "text"))
+    // two classes; class 1 includes "zz" which never occurs in the corpus
+    // (the join-parity edge: u_mass keeps the pair when only wj is needed,
+    // npmi nulls it — see the fused core's scaladoc)
+    val topicWords = Seq(
+      (0, "aa", 1), (0, "bb", 2), (0, "cc", 3),
+      (1, "dd", 1), (1, "ee", 2), (1, "zz", 3)
+    ).toDF("cls", "word", "rank")
+    val fused = umassNpmiByClassOfTokens(toks, topicWords)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val um = umassByClassOfTokens(toks, topicWords)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val np = npmiByClassOfTokens(toks, topicWords)
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toMap
+    assert(fused.map(f => (f._1, f._2, f._3)).toSeq === um.toSeq,
+      "u_mass columns (incl. n_pairs with the absent-word pair kept) must match")
+    fused.foreach { case (cls, _, _, cnpmi) =>
+      assert(cnpmi === np(cls), s"c_npmi for class $cls must match the separate core")
+    }
+    Caching.releaseAll()
+  }
+
 }

@@ -819,6 +819,11 @@ object SparkEntry {
     // chunk frame is (vec_id, nv)-shaped, so the banded-LSH/IVF tiers
     // apply unchanged at scale — this face is their recall ground truth
     "rag_chunk_topk" -> RetrievalOps.ragChunkTopK,
+    // RAG grounding on the twin: the family's shared boilerplate makes
+    // its chunks near-identical at the char level, so grounding probes
+    // retrieve REAL planted structure (and mega-tokens slice across
+    // chunk windows deterministically on both engines)
+    "rag_chunk_topk_real" -> RealisticCorpus.over(RetrievalOps.ragChunkTopK),
     "stream_ingest_real" ->
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
     "stream_ingest_full_real" ->
@@ -1066,6 +1071,26 @@ object SparkEntry {
       RealisticCorpus.realisticize(baseOracleSql("search_percolate")),
     "search_phrase_real" ->
       RealisticCorpus.realisticize(baseOracleSql("search_phrase")),
+    "rag_chunk_topk_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("rag_chunk_topk")),
+    "stream_ingest_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_gate")),
+    "stream_ingest_full_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_full")),
+    // realistic dense tier: embed clusters over the twin's hash-projected
+    // embeddings (own corpus-scaled bits), media keep-best over the twin
+    // documents — base bodies shared/verbatim
+    "dedup_embed_real" ->
+      realisticizeEmbeddings(
+        embedClustersOracleBody(SimilarityOps.dedupBits("real/"))),
+    "media_keep_best_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("media_keep_best")),
+    "dedup_minhash_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("dedup_minhash_clusters")),
+    "media_dup_clusters_real" ->
+      RealisticCorpus.realisticize(baseOracleSql("media_dup_clusters")))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     // RAG grounding: chunk windows re-derived with pure arithmetic, chunk
     // ids packed as doc_id*RagMaxChunks+chunk_no so the sigCtes chain
     // (which keys on `doc_id`) runs unchanged over the chunk CTE; the
@@ -1103,24 +1128,6 @@ object SparkEntry {
          |FROM ranked
          |JOIN documents d ON d.doc_id = chunk_id // ${RetrievalOps.RagMaxChunks}
          |WHERE rank <= ${RetrievalOps.RagTopK}""".stripMargin,
-    "stream_ingest_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_gate")),
-    "stream_ingest_full_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("stream_ingest_full")),
-    // realistic dense tier: embed clusters over the twin's hash-projected
-    // embeddings (own corpus-scaled bits), media keep-best over the twin
-    // documents — base bodies shared/verbatim
-    "dedup_embed_real" ->
-      realisticizeEmbeddings(
-        embedClustersOracleBody(SimilarityOps.dedupBits("real/"))),
-    "media_keep_best_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("media_keep_best")),
-    "dedup_minhash_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("dedup_minhash_clusters")),
-    "media_dup_clusters_real" ->
-      RealisticCorpus.realisticize(baseOracleSql("media_dup_clusters")))
-
-  private lazy val baseOracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -824,6 +824,11 @@ object SparkEntry {
     // retrieve REAL planted structure (and mega-tokens slice across
     // chunk windows deterministically on both engines)
     "rag_chunk_topk_real" -> RealisticCorpus.over(RetrievalOps.ragChunkTopK),
+    // the RAG serving path at scale: IVF-served grounding gauged against
+    // the brute chunk ground truth (recall@10 per probe, quantizer
+    // artifacts persisted for the oracle) — the committed evidence for
+    // scanning ~|chunks|·nProbe/nLists instead of |chunks|
+    "rag_chunk_recall" -> RetrievalOps.ragChunkRecall,
     "stream_ingest_real" ->
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
     "stream_ingest_full_real" ->
@@ -1128,6 +1133,58 @@ object SparkEntry {
          |FROM ranked
          |JOIN documents d ON d.doc_id = chunk_id // ${RetrievalOps.RagMaxChunks}
          |WHERE rank <= ${RetrievalOps.RagTopK}""".stripMargin,
+    // IVF-served RAG recall gauge: brute chunk top-10 is SQL-exact over
+    // the same chunk signature chain; the IVF side re-derives probe
+    // ranking + in-list re-rank from the persisted rag_ivf_* artifacts
+    // (sim_ivf_recall's contract, on the chunk corpus)
+    "rag_chunk_recall" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id * ${RetrievalOps.RagMaxChunks} + k AS doc_id,
+         |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
+         |      ${RetrievalOps.RagChunkChars}) AS text
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, CAST(ceil(length(text)
+         |            / ${RetrievalOps.RagChunkChars}.0) AS INT))) AS k
+         |        FROM documents WHERE length(coalesce(text, '')) > 0)),
+         |chunksf AS (SELECT * FROM chunks
+         |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
+         |${sigCtes("rc", "text", "chunksf")},
+         |q AS (
+         |  SELECT doc_id AS query_id, nv AS qv FROM rcu
+         |  WHERE doc_id // ${RetrievalOps.RagMaxChunks} < 8
+         |    AND doc_id % ${RetrievalOps.RagMaxChunks} = 0),
+         |s AS (
+         |  SELECT query_id, c.doc_id AS vec_id, ${dotSql("qv", "c.nv")} AS cos
+         |  FROM q JOIN rcu c ON c.doc_id <> query_id),
+         |br AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s)
+         |  WHERE rk <= 10),
+         |pr AS (
+         |  SELECT query_id, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("rag_ivf_centroids")} c)),
+         |s2 AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("rag_ivf_assign")} ix USING (list)
+         |  JOIN rcu cu ON cu.doc_id = ix.vec_id
+         |  WHERE prk <= ${SimilarityOps.IvfProbe} AND query_id <> ix.vec_id),
+         |an AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM s2)
+         |  WHERE rk <= 10)
+         |SELECT br.query_id, count(*) AS n_brute,
+         |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
+         |  '${SimilarityOps.IvfLists}/${SimilarityOps.IvfProbe}' AS index_cfg
+         |FROM br LEFT JOIN an
+         |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+         |GROUP BY 1""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

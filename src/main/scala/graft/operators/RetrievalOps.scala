@@ -989,14 +989,19 @@ object RetrievalOps {
     * brute face is the recall ground truth those tiers are gauged
     * against.
     */
-  def ragChunkTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The chunk corpus in the (vec_id, nv) shape the whole similarity tier
+    * consumes — vec_id packs (doc, chunk_no), nv is the codec signature
+    * centered + unit-normalized. One codec pass, extractSignatures batch
+    * shape.
+    */
+  private def chunkCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.HashExpressions.{centerVector, dotK, unitVector}
+    import graft.functions.HashExpressions.{centerVector, unitVector}
     import graft.functions.VectorFunctions.asDouble
     val C = RagChunkChars
     val docs = Tables.documents(spark, dir)
       .filter(length(coalesce(col("text"), lit(""))) > 0)
-    val chunks = docs.select(col("doc_id"), col("lang"),
+    val chunks = docs.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, cast(ceil(length(text) / $C) as int) - 1)," +
             s" k -> substring(text, k * $C + 1, $C))"))
@@ -1012,14 +1017,19 @@ object RetrievalOps {
           (did, no, codec.signature(text.getBytes("UTF-8")))
         }
       }.toDF("doc_id", "chunk_no", "sv")
-    val corpus = graft.Caching.track(sigs.select(
-      (col("doc_id") * RagMaxChunks + col("chunk_no")).as("chunk_id"),
+    sigs.select(
+      (col("doc_id") * RagMaxChunks + col("chunk_no")).as("vec_id"),
       col("doc_id"), col("chunk_no"),
-      unitVector(centerVector(asDouble(col("sv")))).as("nv")))
+      unitVector(centerVector(asDouble(col("sv")))).as("nv"))
+  }
+
+  def ragChunkTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.dotK
+    val corpus = graft.Caching.track(chunkCorpus(spark, dir))
     val probes = corpus.filter(col("doc_id") < 8 && col("chunk_no") === 0)
       .select(col("doc_id").as("query_id"), col("nv").as("qnv"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("chunk_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
     probes.join(corpus, col("query_id") =!= col("doc_id"))
       .withColumn("cos", dotK(col("qnv"), col("nv")))
       .withColumn("rank", row_number().over(w))
@@ -1029,6 +1039,38 @@ object RetrievalOps {
       .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_no"),
         col("lang"), round(col("cos"), 4).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Query: recall@10 of IVF-SERVED RAG grounding vs the brute chunk
+    * ground truth — the serving path `rag_chunk_topk` scales on, gauged
+    * honestly (the sim tier's ivfRecall contract, on the chunk corpus):
+    * the chunk frame rides the stock quantizer (artifacts persisted so
+    * the oracle re-derives probe ranking + in-list re-rank from identical
+    * doubles), probes are the same first-chunk set, and recall is an
+    * exact integer ratio per probe. At 100 TB the grounding query scans
+    * ~|chunks|·nProbe/nLists instead of |chunks| — this face is the
+    * committed evidence for what that buys and what it costs.
+    */
+  def ragChunkRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.Caching.track(chunkCorpus(spark, dir))
+    val probes = corpus.filter(col("doc_id") < 8 && col("chunk_no") === 0)
+      .select(col("vec_id"), col("nv"))
+    val brute = SimilarityOps.bruteForceTopK(corpus, probes, 10)
+      .select(col("query_id"), col("vec_id"))
+    val (indexed, cents) =
+      SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+    graft.Artifacts.save("rag_ivf_assign")(indexed.select("vec_id", "list"))
+    graft.Artifacts.save("rag_ivf_centroids")(cents)
+    val ann = SimilarityOps.ivfProbe(indexed, cents, probes, k = 10,
+        nProbe = SimilarityOps.IvfProbe)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    brute.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
+      .withColumn("index_cfg", concat_ws("/",
+        lit(SimilarityOps.IvfLists), lit(SimilarityOps.IvfProbe)))
   }
 
 }

@@ -375,4 +375,22 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("ragChunkRecall: exact integer recall ratios per probe, bounded " +
+    "[0,1], brute side complete at k=10") {
+    import graft.operators.RetrievalOps
+    val out = RetrievalOps.ragChunkRecall(spark, SparkSpec.FixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    Caching.releaseAll()
+    assert(out.nonEmpty)
+    out.foreach { case (q, nBrute, nHits, recall, cfg) =>
+      assert(nBrute === 10L, s"probe $q brute side must be complete")
+      assert(nHits >= 0L && nHits <= nBrute)
+      assert(math.abs(recall - nHits.toDouble / nBrute) < 1e-9,
+        s"probe $q recall must be the exact integer ratio")
+      assert(cfg === s"${graft.operators.SimilarityOps.IvfLists}/" +
+        s"${graft.operators.SimilarityOps.IvfProbe}")
+    }
+  }
+
 }

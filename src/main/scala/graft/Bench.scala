@@ -203,6 +203,7 @@ object Bench {
     operators.DedupOps.clearIndexCache()
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
+    operators.RetrievalOps.clearRagCache()
     operators.SemDedupOps.clearCache()
     operators.IndexMaintOps.clearFrozenWorldCache()
     operators.LmOps.clearNllCache()

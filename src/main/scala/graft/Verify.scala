@@ -92,6 +92,7 @@ object Verify {
     operators.DedupOps.clearIndexCache()
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
+    operators.RetrievalOps.clearRagCache()
     operators.SemDedupOps.clearCache()
     operators.IndexMaintOps.clearFrozenWorldCache()
     operators.LmOps.clearNllCache()

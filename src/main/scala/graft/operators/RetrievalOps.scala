@@ -1023,9 +1023,47 @@ object RetrievalOps {
       unitVector(centerVector(asDouble(col("sv")))).as("nv"))
   }
 
+  /** Registry for the RAG tier's stored shapes — (chunk corpus, IVF
+    * postings, centroids), all persisted. In a RAG deployment these ARE
+    * stored tables (chunks embedded once at ingest, the index built once
+    * per corpus version, never per query), so the three faces share one
+    * codec pass + one quantizer fit per corpus per session — the
+    * storedIndex / driftWorlds contract, keyed the same way (corpus
+    * fingerprint × artifact context; the realistic twin's namespaced
+    * context gets its own entry AND its own `real/` artifacts).
+    */
+  private val ragCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+  graft.Caching.nameRegistry(ragCache, "retrieval.ragindex")
+
+  def clearRagCache(): Unit = {
+    ragCache.values.foreach { case (c, i, ce) =>
+      c.unpersist(false); i.unpersist(false); ce.unpersist(false)
+    }
+    ragCache.clear()
+  }
+
+  private def ragWorlds(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    graft.Caching.registryGet(ragCache,
+        s"${graft.Fingerprint.dirKey(spark, dir)}|${graft.Artifacts.contextTag}") {
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist()
+        p.count() // materialize before the building query's scope ends
+        p
+      }
+      val corpus = mat(chunkCorpus(spark, dir))
+      val (indexed, cents) =
+        SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+      val (i, c) = (mat(indexed), mat(cents))
+      graft.Artifacts.save("rag_ivf_assign")(i.select("vec_id", "list"))
+      graft.Artifacts.save("rag_ivf_centroids")(c)
+      (corpus, i, c)
+    }
+
   def ragChunkTopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashExpressions.dotK
-    val corpus = graft.Caching.track(chunkCorpus(spark, dir))
+    val (corpus, _, _) = ragWorlds(spark, dir)
     val probes = corpus.filter(col("doc_id") < 8 && col("chunk_no") === 0)
       .select(col("doc_id").as("query_id"), col("nv").as("qnv"))
     val w = Window.partitionBy(col("query_id"))
@@ -1052,15 +1090,11 @@ object RetrievalOps {
     * committed evidence for what that buys and what it costs.
     */
   def ragChunkRecall(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(chunkCorpus(spark, dir))
+    val (corpus, indexed, cents) = ragWorlds(spark, dir)
     val probes = corpus.filter(col("doc_id") < 8 && col("chunk_no") === 0)
       .select(col("vec_id"), col("nv"))
     val brute = SimilarityOps.bruteForceTopK(corpus, probes, 10)
       .select(col("query_id"), col("vec_id"))
-    val (indexed, cents) =
-      SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
-    graft.Artifacts.save("rag_ivf_assign")(indexed.select("vec_id", "list"))
-    graft.Artifacts.save("rag_ivf_centroids")(cents)
     val ann = SimilarityOps.ivfProbe(indexed, cents, probes, k = 10,
         nProbe = SimilarityOps.IvfProbe)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))

@@ -169,6 +169,18 @@ object Bench {
     val spreadQs = spread.sortBy(_._1)
       .map { case (k, (mn, md, mx)) => s"""  "$k": [${r1(mn)}, ${r1(md)}, ${r1(mx)}]""" }
       .mkString("{\n", ",\n", "\n}")
+    // HEAD fingerprint: tools/bench_bands.py refuses to fence boards from
+    // different commits (a cross-HEAD merge would record a "noise band"
+    // that silently includes real code deltas — ADVICE r17)
+    val headCommit =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+      catch { case _: Exception => "unknown" }
+    // committed per-registry account (VERDICT r17 #6): the cap-thrash
+    // adjudicator must live in the record, not in stderr-log survival
+    val regStats = Caching.registryStatsSnapshot()
+      .map { case (n, h, m, e) =>
+        s"""  "$n": {"hits": $h, "misses": $m, "evictions": $e}""" }
+      .mkString("{\n", ",\n", "\n}")
     val soloQs = solo.toSeq.sortBy(_._1)
       .map { case (k, s) =>
         s"""  "$k": {"sweep": ${r1(results(k))}, "solo": ${r1(s)}}""" }
@@ -178,7 +190,9 @@ object Bench {
          |"sf": "$sfDir",
          |"runs": $timedRuns,
          |"order": "seeded shuffle per timed run (seed = run index); medians cannot inherit a fixed neighbor",
+         |"head_commit": "$headCommit",
          |"env": $env,
+         |"registry_stats": $regStats,
          |"n_queries": ${results.size},
          |"total_sec": $total,
          |"slowest": {"query": "${slowest.fold("")(_._1)}", "sec": ${slowest.fold(0.0)(_._2)}},

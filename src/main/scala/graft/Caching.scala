@@ -24,6 +24,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Caching {
 
+  /** Thrown to a JOINER whose creator died with a fatal VM error or an
+    * interrupt: the creator's exception belongs to the creator's thread
+    * (its interrupt flag, its OOM), and rethrowing it verbatim in a
+    * joiner whose own flag is clear misleads upstream interrupt/fatal
+    * handlers. NonFatal creator errors still propagate unwrapped (after
+    * the joiner's own retry) — only the fatal taxonomy wraps.
+    */
+  final class RegistryBuildFailed(key: String, cause: Throwable)
+    extends RuntimeException(
+      s"registry build for key '$key' failed fatally in its creator thread",
+      cause)
+
   private final class Scope {
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     def add(r: () => Unit): Unit = synchronized { releases += r }
@@ -334,7 +346,15 @@ object Caching {
                 case Left(e) if retriesLeft > 0 &&
                     scala.util.control.NonFatal(e) =>
                   registryGetAttempt(map, key, cap, retriesLeft - 1)(build)
-                case Left(e) => throw e
+                case Left(e) if scala.util.control.NonFatal(e) => throw e
+                case Left(e) =>
+                  // the CREATOR died fatally or was interrupted — this
+                  // joiner thread was neither, so rethrowing the creator's
+                  // exception verbatim here would misread upstream (an
+                  // InterruptedException surfacing in a thread whose
+                  // interrupt flag is clear; ADVICE r17). Wrap it so the
+                  // joiner's stack says what actually happened.
+                  throw new RegistryBuildFailed(key, e)
               }
             }
         }
@@ -350,40 +370,72 @@ object Caching {
     val misses = new java.util.concurrent.atomic.AtomicLong
     val evictions = new java.util.concurrent.atomic.AtomicLong
   }
-  private val stats = new java.util.IdentityHashMap[AnyRef, Stats]
+
+  /** Identity-keyed CHM entry: registries are compared by REFERENCE, never
+    * by content — two empty TrieMaps are `equals` but are distinct
+    * registries, so a plain CHM[AnyRef, _] would conflate them.
+    */
+  private final class IdKey(val ref: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(ref)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.ref eq ref
+      case _ => false
+    }
+  }
+
+  // ConcurrentHashMap, NOT a synchronized IdentityHashMap (ADVICE r17):
+  // statsFor sits on registryGet's HIT path, and one global monitor there
+  // serializes hits across ALL registries — the cross-registry contention
+  // the parallel-Verify hardening elsewhere exists to avoid. CHM.get is
+  // lock-free; after the first touch a hit costs one get + one AtomicLong
+  // increment.
+  private val stats =
+    new java.util.concurrent.ConcurrentHashMap[IdKey, Stats]
   private val registryNames = new java.util.IdentityHashMap[AnyRef, String]
 
-  private def statsFor(map: AnyRef): Stats = stats.synchronized {
-    var s = stats.get(map)
-    if (s == null) { s = new Stats; stats.put(map, s) }
-    s
+  private def statsFor(map: AnyRef): Stats = {
+    val k = new IdKey(map)
+    val s = stats.get(k)
+    if (s != null) s
+    else stats.computeIfAbsent(k, _ => new Stats)
   }
 
   /** Label `map` in the stats report (idempotent; call once at the
     * registry definition site).
     */
   def nameRegistry(map: AnyRef, name: String): Unit =
-    stats.synchronized { registryNames.put(map, name); () }
+    registryNames.synchronized { registryNames.put(map, name); () }
+
+  /** Structured per-registry counters, sorted by name — the committed-
+    * record surface (Bench embeds this in BENCH_SELF as `registry_stats`,
+    * VERDICT r17 #6: adjudicating "did a cap thrash" must not depend on
+    * stderr-log survival).
+    */
+  def registryStatsSnapshot(): Seq[(String, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    stats.entrySet().asScala.toSeq
+      .map { e =>
+        val name = registryNames.synchronized {
+          Option(registryNames.get(e.getKey.ref))
+        }.getOrElse(s"anon@${System.identityHashCode(e.getKey.ref)}")
+        val s = e.getValue
+        (name, s.hits.get, s.misses.get, s.evictions.get)
+      }
+      .sortBy(_._1)
+  }
 
   /** One line per registry that saw traffic: name hits/misses/evictions.
     * Misses = builds run; evictions = LRU victims released. A hot face
     * whose registry shows evictions > 0 mid-sweep is thrashing its cap.
     */
-  def registryStatsReport(): String = stats.synchronized {
-    import scala.jdk.CollectionConverters._
-    stats.entrySet().asScala.toSeq
-      .map { e =>
-        val name = Option(registryNames.get(e.getKey))
-          .getOrElse(s"anon@${System.identityHashCode(e.getKey)}")
-        val s = e.getValue
-        (name, s"$name hits=${s.hits.get} misses=${s.misses.get} " +
-          s"evictions=${s.evictions.get}")
-      }
-      .sortBy(_._1).map(_._2).mkString("\n")
-  }
+  def registryStatsReport(): String =
+    registryStatsSnapshot()
+      .map { case (name, h, m, e) =>
+        s"$name hits=$h misses=$m evictions=$e" }
+      .mkString("\n")
 
   /** Zero every counter (tool runs that want per-phase deltas). */
-  def resetRegistryStats(): Unit = stats.synchronized {
+  def resetRegistryStats(): Unit = {
     import scala.jdk.CollectionConverters._
     stats.values().asScala.foreach { s =>
       s.hits.set(0); s.misses.set(0); s.evictions.set(0)

@@ -251,9 +251,15 @@ class CachingSpec extends SparkSuite {
     creator.join(60000); joiner.join(60000)
     assert(creatorGot.isInstanceOf[NoClassDefFoundError],
       "the creator must rethrow the fatal")
-    assert(joinerGot.isInstanceOf[NoClassDefFoundError],
-      "a fatal Left must propagate to joiners — retrying an expensive " +
-        "build after a VM error is how a sick JVM dies slower")
+    // the joiner gets the fatal WRAPPED (ADVICE r17): the joiner's own
+    // thread was neither interrupted nor OOM'd, so the creator's exact
+    // exception surfacing there would misread upstream — the wrapper names
+    // the condition and carries the creator's fatal as its cause
+    assert(joinerGot.isInstanceOf[Caching.RegistryBuildFailed],
+      "a fatal Left must reach joiners as RegistryBuildFailed — retrying " +
+        "an expensive build after a VM error is how a sick JVM dies slower")
+    assert(joinerGot.getCause.isInstanceOf[NoClassDefFoundError],
+      "the wrapper must carry the creator's fatal as its cause")
     assert(joinerBuilt.get === 0, "the joiner's builder must NOT run")
     // the holder was retired on the fatal path: a fresh caller rebuilds
     val v = Caching.registryGet(reg, "fatal1")("recovered")
@@ -278,6 +284,41 @@ class CachingSpec extends SparkSuite {
     assert(thrown.isInstanceOf[InterruptedException])
     assert(flagRestored, "the interrupt status must survive registryGet")
     assert(!reg.contains("intr1"))
+    reg.clear()
+  }
+
+  test("registryGet: a creator's interrupt reaches a JOINER wrapped, with " +
+    "the joiner's own interrupt flag left clear") {
+    val reg = scala.collection.concurrent.TrieMap.empty[String, String]
+    val creatorIn = new java.util.concurrent.CountDownLatch(1)
+    val joinerJoined = new java.util.concurrent.CountDownLatch(1)
+    @volatile var joinerGot: Throwable = null
+    @volatile var joinerFlag = true
+    val creator = new Thread(() => {
+      try Caching.registryGet(reg, "intr2") {
+        creatorIn.countDown()
+        joinerJoined.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Thread.sleep(50)
+        throw new InterruptedException("synthetic creator interrupt")
+      } catch { case _: Throwable => () }
+    })
+    val joiner = new Thread(() => {
+      creatorIn.await()
+      joinerJoined.countDown()
+      try Caching.registryGet(reg, "intr2")("joiner value")
+      catch { case t: Throwable =>
+        joinerGot = t
+        joinerFlag = Thread.currentThread().isInterrupted
+      }
+    })
+    creator.start(); joiner.start()
+    creator.join(60000); joiner.join(60000)
+    assert(joinerGot.isInstanceOf[Caching.RegistryBuildFailed],
+      "the joiner must see the creator's interrupt as RegistryBuildFailed, " +
+        "not as its own InterruptedException")
+    assert(joinerGot.getCause.isInstanceOf[InterruptedException])
+    assert(!joinerFlag,
+      "the joiner's interrupt flag must stay clear — it was never interrupted")
     reg.clear()
   }
 

@@ -25,12 +25,40 @@ import sys
 
 
 def main(paths):
+    force = "--force" in paths
+    paths = [p for p in paths if p != "--force"]
     if len(paths) < 2:
         sys.exit("need >= 2 same-HEAD boards (3 is the canonical fence)")
     boards = []
     for p in paths:
         with open(p) as f:
             boards.append(json.load(f))
+    # The fence's validity rests on same-HEAD/same-env boards (ADVICE r17):
+    # merging boards across commits or machines produces a "noise band"
+    # that silently includes real code/environment deltas, which the
+    # adjudication rule would then treat as authoritative. Refuse unless
+    # --force explicitly overrides (and even then the mismatch is printed).
+    def fingerprint(b, path):
+        head = b.get("head_commit", "missing")
+        env = b.get("env") or {}
+        env_key = {k: env.get(k) for k in
+                   ("host_cpus", "spark_master", "heap_gb", "jvm", "spark",
+                    "os", "gc_settle_ms")}
+        return path, head, json.dumps(env_key, sort_keys=True)
+    fps = [fingerprint(b, p) for b, p in zip(boards, paths)]
+    heads = {h for _, h, _ in fps}
+    envs = {e for _, _, e in fps}
+    if len(heads) > 1 or len(envs) > 1:
+        for path, head, env_key in fps:
+            print(f"  {path}: head={head} env={env_key}", file=sys.stderr)
+        msg = ("boards disagree on " +
+               " and ".join((["HEAD"] if len(heads) > 1 else []) +
+                            (["env"] if len(envs) > 1 else [])))
+        if not force:
+            sys.exit(f"{msg} — a cross-HEAD/cross-env fence is not a noise "
+                     "band; re-run the boards at one commit or pass --force")
+        print(f"[bands] WARNING: {msg} (merged under --force)",
+              file=sys.stderr)
     faces = sorted(set().union(*(b["queries"].keys() for b in boards)))
     bands = {}
     for q in faces:
@@ -49,6 +77,7 @@ def main(paths):
         "boards": len(boards),
         "board_files": paths,
         "sf": boards[0].get("sf"),
+        "head_commit": boards[0].get("head_commit", "missing"),
         "env": boards[0].get("env"),
         "total_sec_per_board": [round(t, 1) for t in totals],
         "total_band": [round(min(totals), 1), round(max(totals), 1)],

@@ -457,6 +457,63 @@ object SparkEntry {
        |  max(doc_id) AS max_vec_id
        |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** The sim_ivf_balanced oracle body, parameterized by the Artifacts
+    * namespace ("" = base corpus, "real/" = the realistic twin): each
+    * flavor renders ITS OWN late-bound operating point
+    * (SimilarityOps.balancedCfg — the split count is data-dependent) and
+    * reads ITS OWN persisted ivf_bal_* artifacts (namespaced saves land
+    * under `real/...`, and Artifacts.ref resolves the prefixed name at
+    * dump time). Everything else is shared verbatim so the two faces can
+    * never drift semantically.
+    */
+  private def ivfBalancedOracleBody(ns: String): String = {
+    def cfg = SimilarityOps.balancedCfg(ns)
+    s"""WITH $UNIT_CTE,
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${dotSql("q.nv", "c.nv")} AS cos
+       |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |br AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM s)
+       |  WHERE rk <= 10),
+       |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, qv, list,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+       |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+       |        FROM q, ${Artifacts.ref(s"${ns}ivf_bal_centroids")} c)),
+       |s2 AS (
+       |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+       |  FROM pr JOIN ${Artifacts.ref(s"${ns}ivf_bal_assign")} ix USING (list)
+       |  JOIN u cu ON cu.vec_id = ix.vec_id
+       |  WHERE prk <= ${cfg._2} AND query_id <> ix.vec_id),
+       |an AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM s2)
+       |  WHERE rk <= 10),
+       |res AS (
+       |  SELECT count(*) AS n_residual FROM (
+       |    SELECT list, count(*) AS sz
+       |    FROM ${Artifacts.ref(s"${ns}ivf_bal_assign")} GROUP BY 1)
+       |  WHERE sz > CAST(ceil(2.0 * greatest(1.0,
+       |    (SELECT count(*) FROM u) / ${SimilarityOps.IvfLists}.0)) AS BIGINT))
+       |SELECT br.query_id, count(*) AS n_brute,
+       |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
+       |  '${cfg._1}/${cfg._2}' AS index_cfg,
+       |  res.n_residual
+       |FROM br LEFT JOIN an
+       |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
+       |CROSS JOIN res
+       |GROUP BY 1, res.n_residual""".stripMargin
+  }
+
   /** RealisticCorpus.realisticize plus a realistic `embeddings` CTE: the
     * sigCtes chain over the realistic documents up to its centered
     * (pre-normalize) stage — the exact SQL mirror of the hash-projected
@@ -993,6 +1050,13 @@ object SparkEntry {
     // hot-list guard at its nProbe-scaled operating point (the sf0.01
     // embeddings naturally hold a >2x-fair-share list, so a REAL split)
     "sim_ivf_balanced" -> SimilarityOps.ivfRecallBalanced,
+    // the balanced index under ADVERSARIAL mass (VERDICT r17 #2): the
+    // twin's planted dup family hash-projects to near-identical vectors,
+    // concentrating one list far past fair share — exactly the skew the
+    // fair-share splitter exists for; the face records the split the twin
+    // actually forced (its own namespaced operating point + artifacts)
+    "sim_ivf_balanced_real" ->
+      RealisticCorpus.over(SimilarityOps.ivfRecallBalanced),
     "sim_ivfpq_ann" -> PqOps.ivfPqAnn,
     "sim_ivfpq_recall" -> PqOps.ivfPqRecall,
     "dedup_exact_fp" -> ((s, d) => {
@@ -1088,6 +1152,8 @@ object SparkEntry {
     "dedup_embed_real" ->
       realisticizeEmbeddings(
         embedClustersOracleBody(SimilarityOps.dedupBits("real/"))),
+    "sim_ivf_balanced_real" ->
+      realisticizeEmbeddings(ivfBalancedOracleBody("real/")),
     "media_keep_best_real" ->
       RealisticCorpus.realisticize(baseOracleSql("media_keep_best")),
     "dedup_minhash_real" ->
@@ -1107,8 +1173,9 @@ object SparkEntry {
          |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
          |      ${RetrievalOps.RagChunkChars}) AS text
          |  FROM (SELECT doc_id, text,
-         |          unnest(range(0, CAST(ceil(length(text)
-         |            / ${RetrievalOps.RagChunkChars}.0) AS INT))) AS k
+         |          unnest(range(0, least(CAST(ceil(length(text)
+         |            / ${RetrievalOps.RagChunkChars}.0) AS INT),
+         |            ${RetrievalOps.RagMaxChunks}))) AS k
          |        FROM documents WHERE length(coalesce(text, '')) > 0)),
          |chunksf AS (SELECT * FROM chunks
          |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
@@ -1143,8 +1210,9 @@ object SparkEntry {
          |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
          |      ${RetrievalOps.RagChunkChars}) AS text
          |  FROM (SELECT doc_id, text,
-         |          unnest(range(0, CAST(ceil(length(text)
-         |            / ${RetrievalOps.RagChunkChars}.0) AS INT))) AS k
+         |          unnest(range(0, least(CAST(ceil(length(text)
+         |            / ${RetrievalOps.RagChunkChars}.0) AS INT),
+         |            ${RetrievalOps.RagMaxChunks}))) AS k
          |        FROM documents WHERE length(coalesce(text, '')) > 0)),
          |chunksf AS (SELECT * FROM chunks
          |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
@@ -4532,55 +4600,12 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     // Balanced-IVF recall gauge: same shape as sim_ivf_recall over the
     // ivf_bal_* artifacts at the nProbe-scaled operating point (knobs are
-    // data-dependent, late-bound from lastBalancedCfg at dump time — the
-    // lastMediaBits pattern); n_residual re-derives the guard's give-up
-    // indicator from the persisted assignment (lists still over the
-    // 2x-fair-share cap)
-    "sim_ivf_balanced" ->
-      s"""WITH $UNIT_CTE,
-         |s AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |    ${dotSql("q.nv", "c.nv")} AS cos
-         |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 5),
-         |br AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
-         |    FROM s)
-         |  WHERE rk <= 10),
-         |q AS (SELECT vec_id AS query_id, nv AS qv FROM u WHERE vec_id < 5),
-         |pr AS (
-         |  SELECT query_id, qv, list,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
-         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
-         |        FROM q, ${Artifacts.ref("ivf_bal_centroids")} c)),
-         |s2 AS (
-         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
-         |  FROM pr JOIN ${Artifacts.ref("ivf_bal_assign")} ix USING (list)
-         |  JOIN u cu ON cu.vec_id = ix.vec_id
-         |  WHERE prk <= ${SimilarityOps.lastBalancedCfg._2} AND query_id <> ix.vec_id),
-         |an AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
-         |    FROM s2)
-         |  WHERE rk <= 10),
-         |res AS (
-         |  SELECT count(*) AS n_residual FROM (
-         |    SELECT list, count(*) AS sz
-         |    FROM ${Artifacts.ref("ivf_bal_assign")} GROUP BY 1)
-         |  WHERE sz > CAST(ceil(2.0 * greatest(1.0,
-         |    (SELECT count(*) FROM u) / ${SimilarityOps.IvfLists}.0)) AS BIGINT))
-         |SELECT br.query_id, count(*) AS n_brute,
-         |  CAST(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  round(sum(CASE WHEN an.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall,
-         |  '${SimilarityOps.lastBalancedCfg._1}/${SimilarityOps.lastBalancedCfg._2}' AS index_cfg,
-         |  res.n_residual
-         |FROM br LEFT JOIN an
-         |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
-         |CROSS JOIN res
-         |GROUP BY 1, res.n_residual""".stripMargin,
+    // data-dependent, late-bound per-namespace from balancedCfg at dump
+    // time — the dedupBitsByNs pattern); n_residual re-derives the
+    // guard's give-up indicator from the persisted assignment (lists
+    // still over the 2x-fair-share cap). Body shared verbatim with the
+    // realistic twin via ivfBalancedOracleBody.
+    "sim_ivf_balanced" -> ivfBalancedOracleBody(""),
     // IVF-PQ: coarse probe + ADC over the exported codes (fixed-order sum
     // fold) + shortlist + exact re-rank — all re-derived from the pq_*
     // artifacts (same seeded fits as the Spark side => identical tables)

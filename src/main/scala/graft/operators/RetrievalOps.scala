@@ -993,17 +993,30 @@ object RetrievalOps {
     * consumes — vec_id packs (doc, chunk_no), nv is the codec signature
     * centered + unit-normalized. One codec pass, extractSignatures batch
     * shape.
+    *
+    * ID-SPACE GUARD (ADVICE r17): the packing vec_id = doc_id·RagMaxChunks
+    * + chunk_no is collision-free ONLY while chunk_no < RagMaxChunks, so
+    * the window sequence is capped with `least` BEFORE generation — a doc
+    * longer than RagMaxChunks·RagChunkChars chars (204,800) is truncated
+    * at the id-space boundary instead of silently bleeding its tail
+    * chunks into the next doc's vec_id range (where the Scala face's
+    * carried doc_id and the oracle's chunk_id // RagMaxChunks arithmetic
+    * would diverge). The oracle chunk CTEs cap with the identical
+    * least(..) bound, keeping the two engines bit-equal; capping the
+    * sequence (rather than filtering after posexplode) also keeps a
+    * pathological mega-doc from materializing an unbounded window array.
+    * Spec-pinned in RetrievalOpsSpec.
     */
-  private def chunkCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.HashExpressions.{centerVector, unitVector}
     import graft.functions.VectorFunctions.asDouble
     val C = RagChunkChars
-    val docs = Tables.documents(spark, dir)
-      .filter(length(coalesce(col("text"), lit(""))) > 0)
     val chunks = docs.select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, cast(ceil(length(text) / $C) as int) - 1)," +
+          s"transform(sequence(0, least(cast(ceil(length(text) / $C) as int)," +
+            s" $RagMaxChunks) - 1)," +
             s" k -> substring(text, k * $C + 1, $C))"))
           .as(Seq("chunk_no", "chunk_text")))
       .filter(length(col("chunk_text")) >=
@@ -1022,6 +1035,10 @@ object RetrievalOps {
       col("doc_id"), col("chunk_no"),
       unitVector(centerVector(asDouble(col("sv")))).as("nv"))
   }
+
+  private def chunkCorpus(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(Tables.documents(spark, dir)
+      .filter(length(coalesce(col("text"), lit(""))) > 0))
 
   /** Registry for the RAG tier's stored shapes — (chunk corpus, IVF
     * postings, centroids), all persisted. In a RAG deployment these ARE

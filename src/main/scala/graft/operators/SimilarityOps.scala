@@ -246,13 +246,24 @@ object SimilarityOps {
       .withColumn("index_cfg", concat_ws("/", lit(IvfLists), lit(IvfProbe)))
   }
 
-  /** Operating point the last `ivfRecallBalanced` run actually used —
-    * (nLists after splitting, nProbe scaled to it). The oracle SQL is
-    * assembled AFTER the query loop (Verify dumps last), so embedding
-    * these data-dependent knobs into the oracle is exact, the same
-    * late-binding pattern as MediaOps.lastMediaBits.
+  /** Per-corpus-flavor balanced operating points — (nLists after
+    * splitting, nProbe scaled to it) — keyed by the Artifacts namespace
+    * the query ran under ("" = base, "real/" = the realistic twin). The
+    * oracle SQL is assembled AFTER the query loop (Verify dumps last), so
+    * embedding these data-dependent knobs into the oracle is exact, the
+    * same late-binding pattern as MediaOps.lastMediaBits. Namespace-keyed
+    * like `dedupBitsByNs` (VERDICT r17 #2): the split count is
+    * data-DEPENDENT (the twin's planted dup family concentrates mass into
+    * hot lists the fair-share splitter must break), so a single global
+    * would let whichever corpus ran last clobber the other's oracle
+    * rendering. Spec-pinned in KnobNamespaceSpec.
     */
-  @volatile private[graft] var lastBalancedCfg: (Int, Int) = (IvfLists, IvfProbe)
+  private val balancedCfgByNs =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  /** Operating point the last balanced face under namespace `ns` used. */
+  def balancedCfg(ns: String): (Int, Int) =
+    balancedCfgByNs.getOrElse(ns, (IvfLists, IvfProbe))
 
   /** Query: recall@10 of the BALANCED IVF tier at the nProbe-scaled
     * operating point. `ivfRecall`'s twin with the hot-list guard applied:
@@ -276,7 +287,8 @@ object SimilarityOps {
     val nListsAfter = cents.count().toInt
     val nProbeScaled = math.max(1,
       math.round(IvfProbe.toDouble * nListsAfter / IvfLists).toInt)
-    lastBalancedCfg = (nListsAfter, nProbeScaled)
+    balancedCfgByNs(graft.Artifacts.currentNamespace) =
+      (nListsAfter, nProbeScaled)
     graft.Artifacts.save("ivf_bal_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_bal_centroids")(cents)
     val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = nProbeScaled)

@@ -8,8 +8,9 @@ package graft
   * corpus can never clobber the first's late-bound rendering.
   *
   * The knob inventory this pins lives in COVERAGE.md ("Late-bound oracle
-  * knobs"); any new corpus-derived knob must either key by namespace like
-  * `dedupBitsByNs` or prove single-corpus use like `lastBalancedCfg`.
+  * knobs"); any new corpus-derived knob must key by namespace like
+  * `dedupBitsByNs` and `balancedCfgByNs` (the last single-corpus-proof
+  * holdout, namespace-keyed in r18 when `sim_ivf_balanced_real` landed).
   */
 class KnobNamespaceSpec extends SparkSuite {
 
@@ -51,6 +52,42 @@ class KnobNamespaceSpec extends SparkSuite {
     assert(SimilarityOps.dedupBits("real/") === bitsTwin,
       "a later base face must not clobber the twin namespace's recorded bits")
     assert(SimilarityOps.dedupBits("") === bitsBase)
+  }
+
+  test("balanced-IVF operating point: the realistic twin's post-split " +
+    "config records under its own namespace without clobbering the base") {
+    val baseDir = SparkSpec.FixtureDir
+    // base face in the root namespace
+    Caching.scoped {
+      SimilarityOps.ivfRecallBalanced(spark, baseDir).count()
+    }
+    Caching.releaseAll()
+    val baseCfg = SimilarityOps.balancedCfg("")
+    assert(baseCfg._1 >= SimilarityOps.IvfLists,
+      "splitting can only grow the list count")
+    // twin face under "real/" (the RealisticCorpus.over shape): the
+    // planted dup family concentrates vector mass, so the fair-share
+    // splitter is forced into MORE rounds than the base corpus — the
+    // data-dependence that makes a global knob unsound (measured r18:
+    // base/twin (43,22)/(69,35) at sf0.001, (46,23)/(54,27) at sf0.01,
+    // (32,16)/(62,31) at sf0.1)
+    Artifacts.namespaced("real") {
+      Caching.scoped {
+        SimilarityOps.ivfRecallBalanced(
+          spark, RealisticCorpus.ensure(spark, baseDir)).count()
+      }
+    }
+    Caching.releaseAll()
+    val twinCfg = SimilarityOps.balancedCfg("real/")
+    assert(twinCfg !== baseCfg,
+      "the corpora must force distinct operating points for the contract " +
+        "to be observable — if a fixture regen equalizes them, replant " +
+        "the twin's family mass rather than pass vacuously")
+    assert(SimilarityOps.balancedCfg("") === baseCfg,
+      "the twin face must not clobber the base namespace's recorded config")
+    assert(twinCfg._2 === math.max(1, math.round(
+      SimilarityOps.IvfProbe.toDouble * twinCfg._1 / SimilarityOps.IvfLists).toInt),
+      "nProbe must scale with the post-split list count (same corpus fraction)")
   }
 
   test("an unrecorded namespace falls back to the last globally recorded " +

@@ -375,6 +375,34 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("chunkFrame: id-space guard — a doc past RagMaxChunks windows is " +
+    "truncated at the packing boundary, never bled into the next doc's ids") {
+    import graft.operators.RetrievalOps
+    val C = RetrievalOps.RagChunkChars
+    val M = RetrievalOps.RagMaxChunks
+    // doc 0 would yield M + 3 windows uncapped; doc 1 is its id-space
+    // neighbor — uncapped, doc 0's overflow chunks would collide with
+    // doc 1's vec_ids (ADVICE r17)
+    val mega = ("abcdefgh " * ((M * C + 3 * C) / 9 + 1)).take(M * C + 3 * C)
+    val d = Seq((0L, mega), (1L, "short neighbor text for chunking"))
+      .toDF("doc_id", "text")
+    val out = RetrievalOps.chunkFrame(d)
+      .select("vec_id", "doc_id", "chunk_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val doc0 = out.filter(_._2 == 0L)
+    assert(doc0.length === M, s"doc 0 must cap at $M chunks, got ${doc0.length}")
+    assert(doc0.map(_._3).max === M - 1)
+    assert(doc0.map(_._1).max === (M - 1).toLong,
+      "doc 0's largest vec_id must stay inside its own packing range")
+    val doc1 = out.filter(_._2 == 1L)
+    assert(doc1.nonEmpty && doc1.forall(r => r._1 >= M && r._1 < 2L * M),
+      "doc 1's vec_ids must be un-collided with doc 0's overflow")
+    // the packing inverts exactly for every emitted chunk
+    out.foreach { case (vid, did, no) =>
+      assert(vid === did * M + no)
+    }
+  }
+
   test("ragChunkRecall: exact integer recall ratios per probe, bounded " +
     "[0,1], brute side complete at k=10") {
     import graft.operators.RetrievalOps

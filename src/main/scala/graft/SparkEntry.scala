@@ -457,6 +457,30 @@ object SparkEntry {
        |  max(doc_id) AS max_vec_id
        |FROM l${DedupOps.ClusterRounds} GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** Shared RAG chunk-corpus CTE preamble (chunks → chunksf → the rc
+    * signature chain ending in `rcu` = (doc_id packed as chunk id, nv)):
+    * char windows re-derived with pure arithmetic, ids packed as
+    * doc_id·RagMaxChunks + chunk_no, window count capped with least() so
+    * the packing can never collide (the id-space guard — matches
+    * chunkFrame exactly), and the ≥ SignatureGram-chars filter keeps the
+    * codec's zero-vector edge and the gram CTE's dropped-row edge
+    * identical on both engines. One definition for all four RAG faces so
+    * the chunk geometry cannot drift between them.
+    */
+  private def ragChunkCtes: String =
+    s"""chunks AS (
+       |  SELECT doc_id * ${RetrievalOps.RagMaxChunks} + k AS doc_id,
+       |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
+       |      ${RetrievalOps.RagChunkChars}) AS text
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, least(CAST(ceil(length(text)
+       |            / ${RetrievalOps.RagChunkChars}.0) AS INT),
+       |            ${RetrievalOps.RagMaxChunks}))) AS k
+       |        FROM documents WHERE length(coalesce(text, '')) > 0)),
+       |chunksf AS (SELECT * FROM chunks
+       |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
+       |${sigCtes("rc", "text", "chunksf")}""".stripMargin
+
   /** The sim_ivf_balanced oracle body, parameterized by the Artifacts
     * namespace ("" = base corpus, "real/" = the realistic twin): each
     * flavor renders ITS OWN late-bound operating point
@@ -886,6 +910,14 @@ object SparkEntry {
     // artifacts persisted for the oracle) — the committed evidence for
     // scanning ~|chunks|·nProbe/nLists instead of |chunks|
     "rag_chunk_recall" -> RetrievalOps.ragChunkRecall,
+    // RAG grounding with EXTERNAL probes: eval-slice first-window chunks
+    // (same codec) retrieved against the TRAIN side only — production
+    // queries are not corpus members, and self-retrieval inflates cosine;
+    // this face is the leakage-safe counterpart to rag_chunk_topk
+    "rag_chunk_heldout" -> RetrievalOps.ragChunkHeldout,
+    // the SERVED grounding output on the indexed path: brute/served/recall
+    // now mirror the sim tier's brute/ann/recall triple on the chunk frame
+    "rag_chunk_topk_ivf" -> RetrievalOps.ragChunkTopKIvf,
     "stream_ingest_real" ->
       RealisticCorpus.over(graft.streaming.StreamOps.ingestGateQuery),
     "stream_ingest_full_real" ->
@@ -1168,18 +1200,7 @@ object SparkEntry {
     // ≥ SignatureGram-chars filter keeps the codec's zero-vector edge and
     // the gram CTE's dropped-row edge identical on both engines
     "rag_chunk_topk" ->
-      s"""WITH chunks AS (
-         |  SELECT doc_id * ${RetrievalOps.RagMaxChunks} + k AS doc_id,
-         |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
-         |      ${RetrievalOps.RagChunkChars}) AS text
-         |  FROM (SELECT doc_id, text,
-         |          unnest(range(0, least(CAST(ceil(length(text)
-         |            / ${RetrievalOps.RagChunkChars}.0) AS INT),
-         |            ${RetrievalOps.RagMaxChunks}))) AS k
-         |        FROM documents WHERE length(coalesce(text, '')) > 0)),
-         |chunksf AS (SELECT * FROM chunks
-         |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
-         |${sigCtes("rc", "text", "chunksf")},
+      s"""WITH $ragChunkCtes,
          |probes AS (
          |  SELECT doc_id // ${RetrievalOps.RagMaxChunks} AS query_id, nv AS qnv
          |  FROM rcu
@@ -1205,18 +1226,7 @@ object SparkEntry {
     // ranking + in-list re-rank from the persisted rag_ivf_* artifacts
     // (sim_ivf_recall's contract, on the chunk corpus)
     "rag_chunk_recall" ->
-      s"""WITH chunks AS (
-         |  SELECT doc_id * ${RetrievalOps.RagMaxChunks} + k AS doc_id,
-         |    substring(text, CAST(k * ${RetrievalOps.RagChunkChars} + 1 AS INT),
-         |      ${RetrievalOps.RagChunkChars}) AS text
-         |  FROM (SELECT doc_id, text,
-         |          unnest(range(0, least(CAST(ceil(length(text)
-         |            / ${RetrievalOps.RagChunkChars}.0) AS INT),
-         |            ${RetrievalOps.RagMaxChunks}))) AS k
-         |        FROM documents WHERE length(coalesce(text, '')) > 0)),
-         |chunksf AS (SELECT * FROM chunks
-         |  WHERE length(text) >= ${graft.multimodal.MediaOps.SignatureGram}),
-         |${sigCtes("rc", "text", "chunksf")},
+      s"""WITH $ragChunkCtes,
          |q AS (
          |  SELECT doc_id AS query_id, nv AS qv FROM rcu
          |  WHERE doc_id // ${RetrievalOps.RagMaxChunks} < 8
@@ -1253,6 +1263,70 @@ object SparkEntry {
          |FROM br LEFT JOIN an
          |  ON br.query_id = an.query_id AND br.vec_id = an.vec_id
          |GROUP BY 1""".stripMargin,
+    // Held-out RAG grounding: probes are the eval slice's first-window
+    // chunks (hashBucket < RagHeldoutBuckets — the SAME basis-point carve
+    // the decontam/split faces use), searched set is the TRAIN side only;
+    // same chunk/codec chain, so "held-out" is purely the two bucket
+    // predicates below
+    "rag_chunk_heldout" ->
+      s"""WITH $ragChunkCtes,
+         |probes AS (
+         |  SELECT doc_id // ${RetrievalOps.RagMaxChunks} AS query_id, nv AS qnv
+         |  FROM rcu
+         |  WHERE doc_id % ${RetrievalOps.RagMaxChunks} = 0
+         |    AND ${sampleBucket(s"(doc_id // ${RetrievalOps.RagMaxChunks})")}
+         |      < ${RetrievalOps.RagHeldoutBuckets}
+         |  ORDER BY 1 LIMIT ${RetrievalOps.RagHeldoutProbes}),
+         |scored AS (
+         |  SELECT query_id, rcu.doc_id AS chunk_id, ${dotSql("qnv", "nv")} AS cos
+         |  FROM probes JOIN rcu
+         |    ON ${sampleBucket(s"(rcu.doc_id // ${RetrievalOps.RagMaxChunks})")}
+         |      >= ${RetrievalOps.RagHeldoutBuckets}),
+         |ranked AS (
+         |  SELECT query_id, chunk_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, chunk_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, chunk_id // ${RetrievalOps.RagMaxChunks} AS doc_id,
+         |  CAST(chunk_id % ${RetrievalOps.RagMaxChunks} AS INT) AS chunk_no,
+         |  d.lang, round(cos, 4) AS cos
+         |FROM ranked
+         |JOIN documents d ON d.doc_id = chunk_id // ${RetrievalOps.RagMaxChunks}
+         |WHERE rank <= ${RetrievalOps.RagTopK}""".stripMargin,
+    // IVF-SERVED RAG grounding output: probe ranking + in-list re-rank
+    // re-derived from the persisted rag_ivf_* artifacts (the
+    // rag_chunk_recall contract), whole-document self-exclusion applied
+    // BEFORE the top-K cut to match the brute face's contract
+    "rag_chunk_topk_ivf" ->
+      s"""WITH $ragChunkCtes,
+         |q AS (
+         |  SELECT doc_id AS query_id, nv AS qv FROM rcu
+         |  WHERE doc_id // ${RetrievalOps.RagMaxChunks} < 8
+         |    AND doc_id % ${RetrievalOps.RagMaxChunks} = 0),
+         |pr AS (
+         |  SELECT query_id, qv, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, list) AS prk
+         |  FROM (SELECT query_id, qv, list, ${dotSql("qv", "centroid")} AS cdot
+         |        FROM q, ${Artifacts.ref("rag_ivf_centroids")} c)),
+         |s2 AS (
+         |  SELECT query_id, ix.vec_id AS vec_id, ${dotSql("qv", "cu.nv")} AS cos
+         |  FROM pr JOIN ${Artifacts.ref("rag_ivf_assign")} ix USING (list)
+         |  JOIN rcu cu ON cu.doc_id = ix.vec_id
+         |  WHERE prk <= ${SimilarityOps.IvfProbe}
+         |    AND ix.vec_id // ${RetrievalOps.RagMaxChunks}
+         |      <> query_id // ${RetrievalOps.RagMaxChunks}),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM s2)
+         |SELECT query_id // ${RetrievalOps.RagMaxChunks} AS query_id, rank,
+         |  vec_id // ${RetrievalOps.RagMaxChunks} AS doc_id,
+         |  CAST(vec_id % ${RetrievalOps.RagMaxChunks} AS INT) AS chunk_no,
+         |  d.lang, round(cos, 4) AS cos
+         |FROM ranked
+         |JOIN documents d ON d.doc_id = vec_id // ${RetrievalOps.RagMaxChunks}
+         |WHERE rank <= ${RetrievalOps.RagTopK}""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1096,6 +1096,96 @@ object RetrievalOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Eval-slice width (basis points) and probe count for the held-out
+    * grounding face — the SAME `hashBucket(doc_id, 10000) < 500` carve
+    * the decontam/funnel stages and `sample_split_safe` already use, so
+    * "held-out" here means held out of EVERYTHING train-side, not a
+    * face-private split.
+    */
+  val RagHeldoutBuckets = 500
+  val RagHeldoutProbes = 8
+
+  /** Query: RAG grounding with EXTERNAL probes (VERDICT r17 #4). The base
+    * `rag_chunk_topk` probes with corpus self-chunks — a deterministic
+    * fixture, but a production RAG query is NOT a member of the corpus it
+    * grounds against, and self-retrieval structurally inflates cosine
+    * (the probe's sibling chunks share its vocabulary). Here the probes
+    * are the eval slice's first-window chunks (embedded through the SAME
+    * codec pass the corpus rode) and the SEARCHED set is the train side
+    * only — the leakage-safe shape `sample_split_safe` pins for splits:
+    * no probe's own document (nor any eval document) can be retrieved,
+    * so every hit is genuine cross-document grounding.
+    *
+    * Scale shape: identical to ragChunkTopK — bounded probe set (top-8
+    * eval docs via TakeOrderedAndProject, never a full sort) broadcast
+    * against the chunk corpus, map-side dot products, per-probe top-k.
+    * The train-side filter is a basis-point hash predicate pushed into
+    * the chunk frame's scan.
+    */
+  def ragChunkHeldout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.dotK
+    val (corpus, _, _) = ragWorlds(spark, dir)
+    val bkt = SamplingOps.hashBucket(col("doc_id"), 10000)
+    val probes = corpus
+      .filter(bkt < RagHeldoutBuckets && col("chunk_no") === 0)
+      .select(col("doc_id").as("query_id"), col("nv").as("qnv"))
+      .orderBy(col("query_id")).limit(RagHeldoutProbes)
+    val train = corpus.filter(bkt >= RagHeldoutBuckets)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(train)
+      .withColumn("cos", dotK(col("qnv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RagTopK)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_no"),
+        col("lang"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Query: the SERVED RAG grounding output on the indexed path (VERDICT
+    * r17 #8) — the same top-K the brute face pins, retrieved through the
+    * stored IVF index (probe the IvfProbe nearest lists, re-rank exactly
+    * in-list), with the hit joined back to parent-document metadata. The
+    * triple (rag_chunk_topk brute, THIS served face, rag_chunk_recall
+    * gauge) now mirrors the sim tier's brute/ann/recall contract exactly:
+    * the grounding output itself is oracle-pinned on the path that scales
+    * (~|chunks|·nProbe/nLists scanned per query instead of |chunks|).
+    * The oracle re-derives probe ranking + in-list re-rank from the
+    * persisted rag_ivf_* artifacts — identical doubles on both engines.
+    */
+  def ragChunkTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.dotK
+    val (corpus, indexed, cents) = ragWorlds(spark, dir)
+    val probes = corpus.filter(col("doc_id") < 8 && col("chunk_no") === 0)
+      .select(col("vec_id"), col("nv"))
+    // candidate generation = probed lists only; the brute face's
+    // whole-DOCUMENT self-exclusion applies BEFORE the top-K cut (a
+    // sibling chunk must not consume a result slot), so the shortlist is
+    // built here from probeAssignments rather than through ivfProbe's
+    // chunk-level exclusion + early k-cut
+    val probed = SimilarityOps.probeAssignments(cents, probes,
+      SimilarityOps.IvfProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probed
+      .join(indexed.select(col("vec_id"), col("nv"), col("list")), "list")
+      .filter(expr(s"vec_id div $RagMaxChunks") =!=
+        expr(s"query_id div $RagMaxChunks"))
+      .withColumn("cos", dotK(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RagTopK)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")),
+        expr(s"vec_id div $RagMaxChunks") === col("doc_id"))
+      .select(expr(s"query_id div $RagMaxChunks").as("query_id"),
+        col("rank"), col("doc_id"),
+        (col("vec_id") % RagMaxChunks).cast("int").as("chunk_no"),
+        col("lang"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Query: recall@10 of IVF-SERVED RAG grounding vs the brute chunk
     * ground truth — the serving path `rag_chunk_topk` scales on, gauged
     * honestly (the sim tier's ivfRecall contract, on the chunk corpus):

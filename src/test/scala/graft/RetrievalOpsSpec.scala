@@ -403,6 +403,68 @@ class RetrievalOpsSpec extends SparkSuite {
     }
   }
 
+  test("ragChunkHeldout: probes are eval-slice docs, every hit is " +
+    "train-side — no eval doc (probe's own included) can be retrieved") {
+    import graft.operators.{RetrievalOps, SamplingOps}
+    val out = RetrievalOps.ragChunkHeldout(spark, SparkSpec.FixtureDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(5)))
+    Caching.releaseAll()
+    assert(out.nonEmpty)
+    val buckets = Tables.documents(spark, SparkSpec.FixtureDir)
+      .select(col("doc_id"),
+        SamplingOps.hashBucket(col("doc_id"), 10000).as("bkt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeIds = out.map(_._1).distinct
+    assert(probeIds.length <= RetrievalOps.RagHeldoutProbes)
+    probeIds.foreach { q =>
+      assert(buckets(q) < RetrievalOps.RagHeldoutBuckets,
+        s"probe $q must come from the eval slice")
+    }
+    out.foreach { case (q, _, doc, _, _) =>
+      assert(buckets(doc) >= RetrievalOps.RagHeldoutBuckets,
+        s"hit doc $doc for probe $q must be train-side (leakage-safe)")
+      assert(doc != q)
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length),
+        s"probe $q ranks must be dense from 1")
+      byRank.map(_._5).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b - 1e-9)
+        case _ => ()
+      }
+    }
+  }
+
+  test("ragChunkTopKIvf: served grounding never beats brute at the same " +
+    "rank, excludes the probe's whole document, ranks dense") {
+    import graft.operators.RetrievalOps
+    val served = RetrievalOps.ragChunkTopKIvf(spark, SparkSpec.FixtureDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(5)))
+    val brute = RetrievalOps.ragChunkTopK(spark, SparkSpec.FixtureDir)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(5))).toMap
+    Caching.releaseAll()
+    assert(served.nonEmpty)
+    served.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length),
+        s"probe $q served ranks must be dense from 1")
+      assert(rows.forall(_._3 != q),
+        s"probe $q must not retrieve its own doc on the served path")
+    }
+    // dominance: an index can only MISS candidates, so at every rank the
+    // served cosine is <= the brute cosine (equality when the lists held
+    // the true top)
+    served.foreach { case (q, rank, _, _, cos) =>
+      brute.get((q, rank)).foreach { b =>
+        assert(cos <= b + 1e-9,
+          s"served cos at ($q, $rank) must not exceed brute")
+      }
+    }
+  }
+
   test("ragChunkRecall: exact integer recall ratios per probe, bounded " +
     "[0,1], brute side complete at k=10") {
     import graft.operators.RetrievalOps

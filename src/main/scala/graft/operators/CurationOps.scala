@@ -157,6 +157,12 @@ object CurationOps {
   private def piiGate(cat: String, c: Column): Option[Column] = cat match {
     case "email" => Some(instr(c, "@") > 0)
     case "url" => Some(instr(c, "http") > 0)
+    // phone stays UNGATED — by measurement, not just argument (r18 A/B in
+    // DEPLOY): its necessary digit-separator-digit pattern has no fixed
+    // literal, so the cheapest gate is itself a linear rlike scan, and
+    // that scan costs exactly what the full pattern's digit-fail-fast
+    // per-position attempts already cost (face 6.20 -> 6.16 s, s5 warm
+    // 1.62 -> 1.74 s — a wash inside the noise band).
     case _ => None
   }
 

@@ -173,34 +173,9 @@ object TopicMetricsOps {
     * list selects. K topics sharing words (LDA top words are the corpus's
     * frequent words) never multiply the presence or pair-join size by K.
     */
-  def umassByClassOfTokens(toks: DataFrame, topicWords: DataFrame): DataFrame = {
-    val words = topicWords.select("word").distinct()
-    val presence = graft.Caching.track(toks
-      .select(col("doc"), explode(array_distinct(col("toks"))).as("word"))
-      .join(broadcast(words), "word")) // (doc, word) hits only, each once
-    val dj = presence.groupBy(col("word")).agg(count(lit(1)).as("d"))
-    // canonical unordered pair counts (wa < wb); D is symmetric
-    val dij = presence.as("a")
-      .join(presence.as("b"), col("a.doc") === col("b.doc") &&
-        col("a.word") < col("b.word"))
-      .groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
-      .agg(count(lit(1)).as("dij"))
-    val pairs = topicWords.as("i")
-      .join(topicWords.as("j"),
-        col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
-      .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
-    pairs
-      .withColumn("wa", least(col("wi"), col("wj")))
-      .withColumn("wb", greatest(col("wi"), col("wj")))
-      .join(broadcast(dij), Seq("wa", "wb"), "left")
-      .join(broadcast(dj.select(col("word").as("wj"), col("d").as("dj"))), "wj")
-      .withColumn("pair_score",
-        log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
-      .groupBy(col("cls"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("pair_score")), 4).as("umass"))
-      .orderBy("cls")
-  }
+  def umassByClassOfTokens(toks: DataFrame, topicWords: DataFrame): DataFrame =
+    coherenceCore(toks, topicWords, windowSize = 10, withNpmi = false)
+      .select(col("cls"), col("n_pairs"), col("umass"))
 
   /** Query: per-language u_mass of each class's top-10 c-TF-IDF keywords —
     * the grouped-coherence path under an exact SQL oracle.
@@ -439,35 +414,74 @@ object TopicMetricsOps {
     * u_mass core's count, as the combined face reports it.
     */
   def umassNpmiByClassOfTokens(toks: DataFrame, topicWords: DataFrame,
-                               windowSize: Int = 10): DataFrame = {
+                               windowSize: Int = 10): DataFrame =
+    coherenceCore(toks, topicWords, windowSize, withNpmi = true)
+
+  /** THE document-coherence core (r18, VERDICT r17 #7 — one core instead
+    * of two): every u_mass / fused-u_mass+npmi face shares this one
+    * implementation; `withNpmi` gates the positional MACHINERY, never the
+    * shared scaffolding, so the two modes cannot drift semantically:
+    *   - withNpmi = false: perWord is the cheap distinct-token presence
+    *     frame (one explode, no positional collect, no interval kernels)
+    *     — the exact plan the separate u_mass core ran, because u_mass
+    *     only needs EXISTENCE per (doc, word);
+    *   - withNpmi = true: perWord carries window-cover intervals; dij is
+    *     the same self-join's row count, cij its interval-intersection
+    *     sum, and the window totals + npmi columns append to the shared
+    *     tail.
+    * Shared either way: the topic-word distinct, the rank-ordered pair
+    * list, wa/wb canonicalization, the dij left-join + wj marginal
+    * inner-join (both modes require wj corpus presence), the u_mass
+    * pair_score, and the per-class aggregate. Join parity notes of the
+    * r17 fused core hold verbatim: the wi marginal joins LEFT (a
+    * corpus-absent wi nulls the npmi column — avg skips nulls — while
+    * u_mass keeps the pair); the umass-only mode's extra (constant-zero)
+    * cij/ci columns are never read by its projection.
+    */
+  private def coherenceCore(toks: DataFrame, topicWords: DataFrame,
+                            windowSize: Int, withNpmi: Boolean): DataFrame = {
     import graft.functions.TextExpressions.{intervalIntersectK, intervalTotalK, windowCoverK}
     val words = topicWords.select("word").distinct()
-    val totals = toks.agg(
-      sum(greatest(size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
-    val perWord = graft.Caching.track(toks
-      .select(col("doc"), size(col("toks")).as("t"),
-        posexplode(col("toks")).as(Seq("pos0", "word")))
-      .join(broadcast(words), "word")
-      .groupBy(col("doc"), col("word"))
-      .agg(max(col("t")).as("t"),
-        sort_array(collect_list(col("pos0") + 1)).as("ps"))
-      .select(col("doc"), col("word"),
-        windowCoverK(col("ps"), col("t"), windowSize).as("iv")))
-    val marg = perWord.groupBy(col("word"))
-      .agg(count(lit(1)).as("d"), sum(intervalTotalK(col("iv"))).as("cw"))
-    val pairAgg = perWord.as("a")
-      .join(perWord.as("b"),
-        col("a.doc") === col("b.doc") && col("a.word") < col("b.word"))
-      .select(col("a.word").as("wa"), col("b.word").as("wb"),
-        intervalIntersectK(col("a.iv"), col("b.iv")).as("x"))
-      .groupBy(col("wa"), col("wb"))
-      .agg(count(lit(1)).as("dij"), sum(col("x")).as("cij"))
+    val perWord = graft.Caching.track(
+      if (withNpmi)
+        toks.select(col("doc"), size(col("toks")).as("t"),
+            posexplode(col("toks")).as(Seq("pos0", "word")))
+          .join(broadcast(words), "word")
+          .groupBy(col("doc"), col("word"))
+          .agg(max(col("t")).as("t"),
+            sort_array(collect_list(col("pos0") + 1)).as("ps"))
+          .select(col("doc"), col("word"),
+            windowCoverK(col("ps"), col("t"), windowSize).as("iv"))
+      else
+        toks.select(col("doc"), explode(array_distinct(col("toks"))).as("word"))
+          .join(broadcast(words), "word")) // (doc, word) hits only, each once
+    val marg =
+      if (withNpmi)
+        perWord.groupBy(col("word"))
+          .agg(count(lit(1)).as("d"), sum(intervalTotalK(col("iv"))).as("cw"))
+      else
+        perWord.groupBy(col("word")).agg(count(lit(1)).as("d"))
+          .withColumn("cw", lit(0L))
+    // canonical unordered pair frame (wa < wb); D and C are symmetric
+    val joined = perWord.as("a")
+      .join(perWord.as("b"), col("a.doc") === col("b.doc") &&
+        col("a.word") < col("b.word"))
+    val pairAgg =
+      if (withNpmi)
+        joined.select(col("a.word").as("wa"), col("b.word").as("wb"),
+            intervalIntersectK(col("a.iv"), col("b.iv")).as("x"))
+          .groupBy(col("wa"), col("wb"))
+          .agg(count(lit(1)).as("dij"), sum(col("x")).as("cij"))
+      else
+        joined.groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
+          .agg(count(lit(1)).as("dij"))
+          .withColumn("cij", lit(0L))
     val pairs = topicWords.as("i")
       .join(topicWords.as("j"),
         col("i.cls") === col("j.cls") && col("i.rank") > col("j.rank"))
       .select(col("i.cls").as("cls"), col("i.word").as("wi"), col("j.word").as("wj"))
     val eps = 1e-12
-    pairs
+    val base = pairs
       .withColumn("wa", least(col("wi"), col("wj")))
       .withColumn("wb", greatest(col("wi"), col("wj")))
       .join(broadcast(pairAgg), Seq("wa", "wb"), "left")
@@ -475,20 +489,26 @@ object TopicMetricsOps {
         Seq("wi"), "left")
       .join(broadcast(marg.select(col("word").as("wj"), col("cw").as("cj"),
         col("d").as("dj"))), "wj")
-      .crossJoin(broadcast(totals))
       .withColumn("pair_score",
         log((coalesce(col("dij"), lit(0L)) + lit(1.0)) / col("dj")))
-      .withColumn("p_ij",
-        coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
-      .withColumn("p_i", col("ci").cast("double") / col("n_windows"))
-      .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
-      .withColumn("npmi",
-        log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
-          / -log(col("p_ij") + eps))
-      .groupBy(col("cls"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("pair_score")), 4).as("umass"),
-        round(avg(col("npmi")), 4).as("c_npmi"))
+    val scored =
+      if (withNpmi) {
+        val totals = toks.agg(sum(greatest(
+          size(col("toks")) - (windowSize - 1), lit(1))).as("n_windows"))
+        base.crossJoin(broadcast(totals))
+          .withColumn("p_ij",
+            coalesce(col("cij"), lit(0L)).cast("double") / col("n_windows"))
+          .withColumn("p_i", col("ci").cast("double") / col("n_windows"))
+          .withColumn("p_j", col("cj").cast("double") / col("n_windows"))
+          .withColumn("npmi",
+            log((col("p_ij") + eps) / (col("p_i") * col("p_j")))
+              / -log(col("p_ij") + eps))
+      } else base
+    val aggs = Seq(count(lit(1)).as("n_pairs"),
+        round(avg(col("pair_score")), 4).as("umass")) ++
+      (if (withNpmi) Seq(round(avg(col("npmi")), 4).as("c_npmi")) else Nil)
+    scored.groupBy(col("cls"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("cls")
   }
 

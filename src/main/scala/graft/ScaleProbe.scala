@@ -297,6 +297,34 @@ object ScaleProbe {
         s"residual=${residual.length}")
       r
     }
+    // r18 decade tier (VERDICT r17 #3): the RAG chunk frame multiplies
+    // corpus cardinality (~|docs|·len/200), making it the largest
+    // (vec_id, nv) frame in the engine — its builder (chunk explode + one
+    // codec pass + quantizer fit) and the recall gauge get their own
+    // slope rows. The recall probe prints per-probe recall@10 so the
+    // committed record shows whether the per-probe floor holds as list
+    // occupancy grows with scale.
+    time("rag_chunk_build") {
+      val corpus = Caching.track(RetrievalOps.chunkFrame(
+        Tables.documents(spark, tmp)
+          .filter(length(coalesce(col("text"), lit(""))) > 0)))
+      val (indexed, cents) =
+        SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
+      val r = indexed.count()
+      println(s"[scale] rag_chunk shape: chunks=$r lists=${cents.count()}")
+      r
+    }
+    time("rag_chunk_recall") {
+      val rows = RetrievalOps.ragChunkRecall(spark, tmp).collect()
+      println("[scale] rag recall per probe: " +
+        rows.sortBy(_.getLong(0))
+          .map(r => f"${r.getDouble(3)}%.2f").mkString(" "))
+      rows.length.toLong
+    }
+    // measure-only re-run: the registry holds the corpus + index, so the
+    // delta isolates the gauge's live work (brute truth + probe + compare)
+    time("rag_chunk_recall_warm")(
+      RetrievalOps.ragChunkRecall(spark, tmp).count())
     time("split_safe")(SamplingOps.leakageSafeSplitProfile(spark, tmp).count())
     // BPE: wall time should track the ONE word-count scan, not the rounds —
     // the dictionary (and so every training round) is corpus-size-invariant

@@ -218,6 +218,7 @@ object Bench {
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.RetrievalOps.clearRagCache()
+    operators.SimilarityOps.clearBalancedCache()
     operators.SemDedupOps.clearCache()
     operators.IndexMaintOps.clearFrozenWorldCache()
     operators.LmOps.clearNllCache()

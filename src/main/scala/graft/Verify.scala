@@ -93,6 +93,7 @@ object Verify {
     operators.ClassifierOps.clearNbCache()
     operators.RetrievalOps.clearPostingsCache()
     operators.RetrievalOps.clearRagCache()
+    operators.SimilarityOps.clearBalancedCache()
     operators.SemDedupOps.clearCache()
     operators.IndexMaintOps.clearFrozenWorldCache()
     operators.LmOps.clearNllCache()

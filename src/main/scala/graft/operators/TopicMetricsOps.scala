@@ -229,8 +229,7 @@ object TopicMetricsOps {
     * shared tokenization feeds the top-word count and the window presence.
     */
   def npmiTop10(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.Caching.track(
-      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    val toks = tokenizedDocs(Tables.documents(spark, dir), "text")
     npmiByClassOfTokens(toks,
       topWordsOfTokens(toks, 10).withColumn("cls", lit(0)))
       .select(col("n_pairs"), col("c_npmi"))
@@ -258,8 +257,7 @@ object TopicMetricsOps {
     * tokenized ONCE and feeds both the top-word count and the presence scan.
     */
   def uciTop10(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.Caching.track(
-      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    val toks = tokenizedDocs(Tables.documents(spark, dir), "text")
     uciCoherenceOfTokens(toks, topWordsOfTokens(toks, 10))
   }
 
@@ -307,8 +305,7 @@ object TopicMetricsOps {
     * shared tokenization feeds the top-word count and the window presence.
     */
   def cvTop10(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.Caching.track(
-      tokenizedDocs(Tables.documents(spark, dir), "text"))
+    val toks = tokenizedDocs(Tables.documents(spark, dir), "text")
     cvCoherenceOfTokens(toks, topWordsOfTokens(toks, 10))
   }
 

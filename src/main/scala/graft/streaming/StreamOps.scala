@@ -442,10 +442,10 @@ object StreamOps {
   def ingestGateQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{DedupOps, LmOps}
     val docs = graft.Tables.documents(spark, dir)
-    val (stored, cut) = DedupOps.storedIndex(spark, dir)
-    val idxBuckets = stored
-      .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
-      .distinct()
+    val (_, cut) = DedupOps.storedIndex(spark, dir)
+    // registry-shared distinct bucket table (the stored index's physical
+    // layout) instead of a per-run posexplode + distinct exchange
+    val idxBuckets = DedupOps.storedIndexBuckets(spark, dir)
     val arrivals = docs.filter(col("doc_id") > cut)
     val model = LmOps.frozenHistoryModel(spark, dir, cut, "text", "lang")
     ingestGateBatch(arrivals, model, idxBuckets, "text", "lang", "doc_id")
@@ -624,10 +624,9 @@ object StreamOps {
     import graft.operators.{CurationOps, DedupOps, LmOps, SamplingOps,
       TextAnalysisOps}
     val docs = graft.Tables.documents(spark, dir)
-    val (stored, cut) = DedupOps.storedIndex(spark, dir)
-    val idxBuckets = stored
-      .select(posexplode(col("bands")).as(Seq("band", "band_hash")))
-      .distinct()
+    val (_, cut) = DedupOps.storedIndex(spark, dir)
+    // registry-shared distinct bucket table (see ingestGateQuery)
+    val idxBuckets = DedupOps.storedIndexBuckets(spark, dir)
     val arrivals = docs.filter(col("doc_id") > cut)
     val model = LmOps.frozenHistoryModel(spark, dir, cut, "text", "lang")
     val evalGrams = docs

@@ -45,20 +45,49 @@ object HashKernels {
   def shingleHashSet(s: UTF8String, n: Int): ArrayData = {
     val cps = codepoints(s)
     if (cps.length < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val nWin = cps.length - n + 1
+    // primitive open-addressed dedup + order-preserving append (r18):
+    // the LinkedHashSet form boxed every window hash of every doc —
+    // this kernel runs once per doc per signature/gram build, so the
+    // boxing was a fixed tax on ALL minhash/decontam scans. Output order
+    // (first occurrence) is unchanged.
+    val dd = new LongDedup(nWin)
     var i = 0
-    while (i + n <= cps.length) {
+    while (i < nWin) {
       var acc = 7L
       var j = i
       while (j < i + n) { acc = (acc * 31L + cps(j)) % P; j += 1 }
-      seen.add(acc)
+      dd.addIfAbsent(acc)
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(dd.result())
+  }
+
+  /** Order-preserving primitive long dedup (open addressing, no boxing) —
+    * shared by the per-doc hash-set kernels. `expected` sizes the probe
+    * table; `result()` returns first-occurrence order exactly like the
+    * LinkedHashSet it replaced.
+    */
+  private final class LongDedup(expected: Int) {
+    private var cap = 4
+    while (cap < expected * 2) cap <<= 1
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+    private val order = new Array[Long](expected max 1)
+    private var n = 0
+    def addIfAbsent(v: Long): Unit = {
+      var h = v * -7046029254386353131L
+      h ^= (h >>> 32)
+      var idx = (h & mask).toInt
+      while (used(idx) && keys(idx) != v) idx = (idx + 1) & mask
+      if (!used(idx)) {
+        used(idx) = true; keys(idx) = v
+        order(n) = v; n += 1
+      }
+    }
+    def result(): Array[Long] =
+      if (n == order.length) order else java.util.Arrays.copyOf(order, n)
   }
 
   /** MinHash signature: sig(i) = min over h of (8191·i·h + 524287·i) mod P
@@ -167,20 +196,19 @@ object HashKernels {
   def windowHashSet(hashes: ArrayData, n: Int): ArrayData = {
     val m = hashes.numElements()
     if (m < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // same primitive dedup as shingleHashSet (r18) — this kernel is the
+    // 13-gram hash stream of every decontam scan
+    val nWin = m - n + 1
+    val dd = new LongDedup(nWin)
     var i = 0
-    while (i + n <= m) {
+    while (i < nWin) {
       var acc = 7L
       var j = i
       while (j < i + n) { acc = (acc * 31L + hashes.getLong(j)) % P; j += 1 }
-      seen.add(acc)
+      dd.addIfAbsent(acc)
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(dd.result())
   }
 
   /** POSITIONAL polynomial hashes of all length-n windows of a BIGINT array —
@@ -204,26 +232,64 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Jaccard similarity of two BIGINT arrays treated as sets (hash-set
-    * membership count; same value as size(intersect)/size(union) of the
-    * distinct inputs).
+  /** Open-addressed primitive long set shared by the per-pair set kernels
+    * below (r18): the boxed java.util.HashSet[java.lang.Long] form
+    * allocated + boxed every element of BOTH arrays once per candidate
+    * PAIR — for the banded dedup faces that is (pairs × set sizes) boxed
+    * inserts, the dominant per-task cost of the exact-Jaccard re-rank
+    * (guide §1.2 step 2). Linear-probe table with tags: 1 = in A,
+    * 2 = in B only, 3 = both. Returns are value-identical to the boxed
+    * form — the counts are set-algebra, not iteration-order-dependent.
+    * Sentinel-free: `used` marks occupancy, so any long key (including
+    * Long.MinValue) is representable.
+    */
+  @inline private def probeSlot(keys: Array[Long], used: Array[Boolean],
+                                mask: Int, v: Long): Int = {
+    // finalizer-mixed hash spreads mod-P-clustered shingle hashes
+    var h = v * -7046029254386353131L
+    h ^= (h >>> 32)
+    var idx = (h & mask).toInt
+    while (used(idx) && keys(idx) != v) idx = (idx + 1) & mask
+    idx
+  }
+
+  /** Jaccard similarity of two BIGINT arrays treated as sets (same value
+    * as size(intersect)/size(union) of the distinct inputs).
     */
   def jaccardLong(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0
-    val setA = new java.util.HashSet[java.lang.Long](na * 2)
+    var cap = 4
+    while (cap < (na + nb) * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val tag = new Array[Byte](cap)
+    var sizeA = 0
     var i = 0
-    while (i < na) { setA.add(a.getLong(i)); i += 1 }
-    val seenB = new java.util.HashSet[java.lang.Long](nb * 2)
+    while (i < na) {
+      val v = a.getLong(i)
+      val idx = probeSlot(keys, used, mask, v)
+      if (!used(idx)) {
+        used(idx) = true; keys(idx) = v; tag(idx) = 1; sizeA += 1
+      }
+      i += 1
+    }
+    var sizeB = 0
     var inter = 0
     i = 0
     while (i < nb) {
       val v = b.getLong(i)
-      if (seenB.add(v) && setA.contains(v)) inter += 1
+      val idx = probeSlot(keys, used, mask, v)
+      if (!used(idx)) {
+        used(idx) = true; keys(idx) = v; tag(idx) = 2; sizeB += 1
+      } else if (tag(idx) == 1) {
+        tag(idx) = 3; inter += 1; sizeB += 1
+      }
       i += 1
     }
-    val union = setA.size + seenB.size - inter
+    val union = sizeA + sizeB - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
@@ -238,18 +304,38 @@ object HashKernels {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 || nb == 0) return 0.0
-    val setA = new java.util.HashSet[java.lang.Long](na * 2)
+    // same primitive open-addressed table as jaccardLong (r18) — the
+    // boxed-HashSet form was the per-pair hot loop of the containment face
+    var cap = 4
+    while (cap < (na + nb) * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val tag = new Array[Byte](cap)
+    var sizeA = 0
     var i = 0
-    while (i < na) { setA.add(a.getLong(i)); i += 1 }
-    val seenB = new java.util.HashSet[java.lang.Long](nb * 2)
+    while (i < na) {
+      val v = a.getLong(i)
+      val idx = probeSlot(keys, used, mask, v)
+      if (!used(idx)) {
+        used(idx) = true; keys(idx) = v; tag(idx) = 1; sizeA += 1
+      }
+      i += 1
+    }
+    var sizeB = 0
     var inter = 0
     i = 0
     while (i < nb) {
       val v = b.getLong(i)
-      if (seenB.add(v) && setA.contains(v)) inter += 1
+      val idx = probeSlot(keys, used, mask, v)
+      if (!used(idx)) {
+        used(idx) = true; keys(idx) = v; tag(idx) = 2; sizeB += 1
+      } else if (tag(idx) == 1) {
+        tag(idx) = 3; inter += 1; sizeB += 1
+      }
       i += 1
     }
-    val m = math.min(setA.size, seenB.size)
+    val m = math.min(sizeA, sizeB)
     if (m == 0) 0.0 else inter.toDouble / m
   }
 

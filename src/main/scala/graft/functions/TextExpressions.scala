@@ -87,6 +87,18 @@ object TextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  case class LetterTokenCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(toks: Any): Any =
+      TextKernels.letterTokenCount(
+        toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextKernels.letterTokenCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): LetterTokenCount =
+      copy(child = newChild)
+  }
+
   case class IntervalTotal(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(iv: Any): Any =
@@ -128,6 +140,8 @@ object TextExpressions {
   def windowCoverK(ps: Column, t: Column, w: Int): Column =
     GraftBridge.column(WindowCover(GraftBridge.expression(ps),
       GraftBridge.expression(t), w))
+  def letterTokenCountK(toks: Column): Column =
+    GraftBridge.column(LetterTokenCount(GraftBridge.expression(toks)))
   def intervalTotalK(iv: Column): Column =
     GraftBridge.column(IntervalTotal(GraftBridge.expression(iv)))
   def intervalIntersectK(a: Column, b: Column): Column =

@@ -156,6 +156,37 @@ object TextKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** Count of tokens containing at least one NON-DIGIT byte. Over the
+    * house token alphabet ([a-z0-9가-힣] — every array this kernel sees
+    * comes from `tokens`, which normalizes) a non-digit byte can only
+    * belong to a letter, so this equals the Gopher alpha-rule predicate
+    * `t rlike '[a-z가-힣]'` exactly (spec-pinned in TextKernelsProps).
+    * Replaces an interpreted ArrayFilter HOF running a regex per token
+    * in the funnel's fused scan (guide §1.2 step 2: per-task work).
+    * Byte test, not codepoint: ASCII digits are single bytes 0x30-0x39;
+    * a-z are > 0x39 and Hangul UTF-8 bytes are negative, so any byte
+    * outside ['0','9'] means a non-digit character.
+    */
+  def letterTokenCount(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var i = 0
+    var out = 0L
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val nb = t.numBytes()
+      var j = 0
+      var has = false
+      while (j < nb && !has) {
+        val b = t.getByte(j)
+        if (b < '0' || b > '9') has = true
+        j += 1
+      }
+      if (has) out += 1
+      i += 1
+    }
+    out
+  }
+
   /** Per-document term-frequency map of a token array — pre-aggregating TF
     * inside the row means `explode(tfMap(toks))` yields final
     * (word, tf) pairs with NO token-level shuffle (one row per DISTINCT

@@ -270,9 +270,14 @@ object CurationOps {
             .cast("double") / col("nw") <= GopherMaxSymbolRatio &&
           regexp_count(coalesce(col(textCol), lit("")), lit("[.]{3}|…"))
             .cast("double") / col("nw") <= GopherMaxSymbolRatio).cast("int"))
+      // letterTokenCount kernel ≡ size(filter(toks, t -> t rlike
+      // '[a-z가-힣]')) over the normalized token alphabet (spec-pinned):
+      // the HOF form ran an interpreted ArrayFilter with a regex match
+      // per token inside the funnel's hottest scan
       .withColumn("pass_alpha",
         (col("nw") > 0 &&
-          expr("size(filter(toks, t -> t rlike '[a-z가-힣]'))").cast("double")
+          graft.functions.TextExpressions.letterTokenCountK(col("toks"))
+            .cast("double")
             / col("nw") >= GopherMinAlphaFrac).cast("int"))
       .withColumn("pass_stop",
         (size(array_intersect(array_distinct(col("toks")),

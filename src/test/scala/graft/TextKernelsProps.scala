@@ -90,6 +90,25 @@ class TextKernelsProps extends SparkSuite {
     }
   }
 
+  test("letterTokenCount kernel == rlike-filter HOF on normalized tokens") {
+    // the Gopher alpha rule's pre-kernel form: an interpreted ArrayFilter
+    // running `t rlike '[a-z가-힣]'` per token. Over arrays produced by the
+    // `tokens` kernel (alphabet [a-z0-9가-힣]) "contains a letter" and
+    // "contains a non-digit byte" are the same predicate — pinned here on
+    // the full curated + random Unicode corpus at the funnel's (1, 100)
+    // band and the default (2, 15) band.
+    for ((lo, hi) <- Seq((1, 100), (2, 15))) {
+      val bad = df.select(col("id"),
+        graft.functions.TextExpressions.letterTokenCountK(
+          graft.functions.TextFunctions.tokens(col("text"), lo, hi)).as("k"),
+        size(filter(graft.functions.TextFunctions.tokens(col("text"), lo, hi),
+          t => t.rlike("[a-z가-힣]"))).cast("long").as("h"))
+        .filter(not(col("k") === col("h")))
+        .collect()
+      assert(bad.isEmpty, s"bounds ($lo,$hi): ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("quality kernel == four-indicator HOF formulation") {
     val bad = df.select(col("id"),
       TextAnalysisOps.qualityScoreCol(col("text")).as("k"),

@@ -166,20 +166,26 @@ object CurationOps {
     case _ => None
   }
 
-  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
-    val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat, _)) =>
-      val n = regexp_count(col(textCol), lit(pat))
-      d.withColumn(s"n_$cat",
-        piiGate(cat, col(textCol)).fold(n)(g => when(g, n).otherwise(lit(0))))
-    }
-    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+  /** The sequential replacement chain as a bare Column — shared by
+    * `scrubPii` and the funnel's fused stats pass (which needs the
+    * expression under a survivor-flag CASE, not a full projection).
+    */
+  def scrubbedText(textCol: Column): Column =
+    PiiPatterns.foldLeft(textCol) {
       case (c, (cat, pat, token)) =>
         val repl = regexp_replace(c, pat, token)
         // gate on the PRE-replacement column: earlier placeholders
         // introduce no '@'/"http", so the gate basis is equivalent
         piiGate(cat, c).fold(repl)(g => when(g, repl).otherwise(c))
     }
-    counted.withColumn("scrubbed", scrubbed)
+
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat, _)) =>
+      val n = regexp_count(col(textCol), lit(pat))
+      d.withColumn(s"n_$cat",
+        piiGate(cat, col(textCol)).fold(n)(g => when(g, n).otherwise(lit(0))))
+    }
+    counted.withColumn("scrubbed", scrubbedText(col(textCol)))
   }
 
   /** Query: PII-redaction profile. The synthetic fixture carries no natural
@@ -413,10 +419,9 @@ object CurationOps {
     */
   def curationFunnelFull(spark: SparkSession, dir: String): DataFrame = {
     val w = funnelWork(spark, dir)
-    val byStage = w.statsAction()
+    val (byStage, (_, t5)) = w.statsScrubAction()
     val Seq((n0, t0), (n1, t1), (n2, t2), (n3, t3), (n4, t4)) =
       (0 to 4).map(i => byStage(i.toString))
-    val (_, t5) = w.scrubAction()
     import spark.implicits._
     Seq(
       ("1_gopher_struct", n0, n1, t0, t1),
@@ -447,8 +452,7 @@ object CurationOps {
   private[graft] final case class FunnelWork(
       combined: DataFrame,
       stages: Seq[(String, DataFrame)],
-      statsAction: () => Map[String, (Long, Long)],
-      scrubAction: () => (Long, Long))
+      statsScrubAction: () => (Map[String, (Long, Long)], (Long, Long)))
 
   private[graft] def funnelWork(spark: SparkSession, dir: String): FunnelWork = {
     val docs = Tables.documents(spark, dir)
@@ -491,11 +495,18 @@ object CurationOps {
           "doc_id", "q")
         .select(col("keep_id").as("doc_id")))
     val stages = Seq("1" -> s1, "2" -> s2, "3" -> s3, "4" -> s4)
-    def statsAction(): Map[String, (Long, Long)] = {
-      // ONE job, ONE pass over the cached combined frame: each survivor
-      // id-set joins in as a membership flag (tiny broadcast sides), and
-      // all five (docs, tokens) pairs fall out of a single aggregate —
-      // stage 0 is combined itself (combined IS the train rows)
+    def statsScrubAction(): (Map[String, (Long, Long)], (Long, Long)) = {
+      // ONE action for EVERY number the funnel reports (r18; was two
+      // sequential collect jobs). The two 1-row aggregates stay the
+      // shapes that measured fastest on their own — the membership-flag
+      // aggregate over the cached narrow `combined` frame (tiny broadcast
+      // id-sets, no text anywhere near the exchange), and the scrub
+      // recount over the train scan with a broadcast semi-join (the text
+      // column never shuffles; a fused single-frame variant that joined
+      // text through the flag frame measured +0.8 s on the realistic
+      // twin) — and CROSS-JOIN into one row, so one action schedules
+      // both subtrees' stages concurrently instead of paying two
+      // back-to-back jobs.
       val withM = stages.foldLeft(combined.select(col("doc_id"), col("tk"))) {
         case (d, (tag, ids)) =>
           d.join(ids.select(col("doc_id"), lit(1).as(s"m$tag")),
@@ -507,29 +518,29 @@ object CurationOps {
           sum(col(s"m$tag")).cast("long").as(s"n$tag"),
           sum(when(col(s"m$tag") === 1, col("tk"))).as(s"t$tag"))
         }
-      val r = withM.agg(aggs.head, aggs.tail: _*).collect()(0)
-      (0 to 4).map { i =>
+      val statsAgg = withM.agg(aggs.head, aggs.tail: _*)
+      // recount only docs the scrub actually REWROTE: an unchanged text's
+      // BPE-ish count is the already-computed `tk` (string equality is one
+      // linear compare vs a full re-tokenize; on the twin most survivors
+      // carry no PII span)
+      val scrubAgg = scrubPii(train.join(s4, Seq("doc_id"), "left_semi"), "text")
+        .join(combined.select(col("doc_id"), col("tk")), "doc_id")
+        .agg(count(lit(1)).as("n5"), sum(
+          when(col("scrubbed") === col("text"), col("tk"))
+            .otherwise(TextAnalysisOps.bpeishTokenCount(col("scrubbed"))))
+          .as("t5"))
+      val r = statsAgg.crossJoin(scrubAgg).collect()(0)
+      val byStage = (0 to 4).map { i =>
         val (ni, ti) = (2 * i, 2 * i + 1)
         i.toString -> (
           (if (r.isNullAt(ni)) 0L else r.getLong(ni)),
           (if (r.isNullAt(ti)) 0L else r.getLong(ti)))
       }.toMap
+      // row layout: (n0, t0) + four stage pairs = 0-9; then n5, t5
+      (byStage,
+        (r.getLong(10), if (r.isNullAt(11)) 0L else r.getLong(11)))
     }
-    def scrubAction(): (Long, Long) = {
-      // recount only docs the scrub actually REWROTE: an unchanged text's
-      // BPE-ish count is the already-computed `tk` (string equality is one
-      // linear compare vs a full re-tokenize; on the twin most survivors
-      // carry no PII span)
-      val r = scrubPii(train.join(s4, Seq("doc_id"), "left_semi"), "text")
-        .join(combined.select(col("doc_id"), col("tk")), "doc_id")
-        .agg(count(lit(1)).as("n"), sum(
-          when(col("scrubbed") === col("text"), col("tk"))
-            .otherwise(TextAnalysisOps.bpeishTokenCount(col("scrubbed"))))
-          .as("t"))
-        .collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    FunnelWork(combined, stages, statsAction _, scrubAction _)
+    FunnelWork(combined, stages, statsScrubAction _)
   }
 
   /** Query: cross-gate AGREEMENT diagnostic — per (lang, perplexity

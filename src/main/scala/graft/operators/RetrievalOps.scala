@@ -567,12 +567,12 @@ object RetrievalOps {
     * in the oracle), so the ≤10-term double sum is order-pinned.
     */
   def ivfRankEval(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(
-      SimilarityOps.unitCorpus(Tables.embeddings(spark, dir)))
+    // registry-shared IVF world (sim.ivfworld): the stored index this
+    // gauge probes is the same stored table the ann/recall faces probe
+    val (corpus, indexed, cents) = SimilarityOps.ivfWorld(spark, dir)
     val queries = corpus.filter(col("vec_id") < 5)
     val brute = SimilarityOps.bruteForceTopK(corpus, queries, 10)
       .select(col("query_id"), col("vec_id"), lit(1).as("rel"))
-    val (indexed, cents) = SimilarityOps.ivfIndex(corpus, SimilarityOps.IvfLists)
     graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_centroids")(cents)
     val ann = SimilarityOps.ivfProbe(indexed, cents, queries,

@@ -229,11 +229,10 @@ object SimilarityOps {
     * probe ranking, in-list re-rank, and recall from them exactly.
     */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
+    val (corpus, indexed, cents) = ivfWorld(spark, dir)
     val queries = corpus.filter(col("vec_id") < 5)
     val brute = bruteForceTopK(corpus, queries, 10)
       .select(col("query_id"), col("vec_id"))
-    val (indexed, cents) = ivfIndex(corpus, nLists = IvfLists)
     graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_centroids")(cents)
     val ann = ivfProbe(indexed, cents, queries, k = 10, nProbe = IvfProbe)
@@ -297,7 +296,40 @@ object SimilarityOps {
       c.unpersist(false); i.unpersist(false); ce.unpersist(false)
     }
     balancedCache.clear()
+    ivfWorldCache.values.foreach { case (c, i, ce) =>
+      c.unpersist(false); i.unpersist(false); ce.unpersist(false)
+    }
+    ivfWorldCache.clear()
   }
+
+  /** Stored-index registry for the PLAIN IVF world — (unit corpus,
+    * assignments, centroids), all persisted. Same contract as
+    * `balancedCache` / `indexmaint.worlds` / `retrieval.ragindex`: the
+    * IVF index is a stored table in production (built once per corpus
+    * version, probed many times), yet four probe faces (`sim_ivf_ann`,
+    * `sim_ivf_recall`, `sim_hard_negatives`, `sim_eval_rank`) were each
+    * re-running the seeded KMeans fit + assignment scan per invocation —
+    * a cost no deployment pays per query (r18; the drift/incremental/
+    * balanced/RAG tiers already rode registries). The fit is seeded, so
+    * every consumer sees the identical index the Artifacts export pins.
+    */
+  private val ivfWorldCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+  graft.Caching.nameRegistry(ivfWorldCache, "sim.ivfworld")
+
+  private[operators] def ivfWorld(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    graft.Caching.registryGet(ivfWorldCache,
+        s"${graft.Fingerprint.dirKey(spark, dir)}|${graft.Artifacts.contextTag}") {
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist()
+        p.count() // materialize before the building query's scope ends
+        p
+      }
+      val corpus = mat(unitCorpus(Tables.embeddings(spark, dir)))
+      val (indexed0, cents0) = ivfIndex(corpus, nLists = IvfLists)
+      (corpus, mat(indexed0), mat(cents0))
+    }
 
   private def balancedWorlds(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Long, (Int, Int)) =
@@ -518,8 +550,7 @@ object SimilarityOps {
     * dots are exact in DuckDB; BruteVsIvfSpec pins recall on top).
     */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
-    val (indexed, cents) = ivfIndex(corpus, nLists = IvfLists)
+    val (corpus, indexed, cents) = ivfWorld(spark, dir)
     graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_centroids")(cents)
     ivfProbe(indexed, cents, corpus.filter(col("vec_id") < 50), k = 3,
@@ -535,8 +566,7 @@ object SimilarityOps {
     * `sim_ivf_ann` — the label filter only shrinks the re-rank set.
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = graft.Caching.track(unitCorpus(Tables.embeddings(spark, dir)))
-    val (indexed, cents) = ivfIndex(corpus, nLists = IvfLists)
+    val (corpus, indexed, cents) = ivfWorld(spark, dir)
     graft.Artifacts.save("ivf_assign")(indexed.select("vec_id", "list"))
     graft.Artifacts.save("ivf_centroids")(cents)
     val queries = corpus.filter(col("vec_id") < 50)

@@ -54,8 +54,10 @@ object FunnelProfile {
           "s4_keep_best")).foreach { case ((_, frame), name) =>
           times(name) = timed(frame.count())._2
         }
-        times("stats_union_agg") = timed(w.statsAction())._2
-        times("s5_scrub_recount") = timed(w.scrubAction())._2
+        // r18: the stats aggregate and the scrub recount are ONE fused
+        // action now — the per-stage survivor counts above still
+        // attribute stages 1-4; this row is the terminal pass
+        times("stats_scrub_fused") = timed(w.statsScrubAction())._2
       }
       graft.Caching.releaseAll()
       val total = times.values.sum
